@@ -1,0 +1,104 @@
+"""Benchmark harness — runs on the real TPU chip.
+
+Headline metric (BASELINE.json "metric"): **AR codec tokens/sec/chip** on the
+reference's default model scale (d=256, 8 layers, 4 heads, num_beams=4, KV-cached
+on-device decode).  ``vs_baseline`` is value / 75: EnCodec-24kHz produces 75 codec
+frames per audio-second, so vs_baseline is the real-time headroom (how many times
+faster than real time the first-codebook stream is generated).  The reference
+publishes no numbers to compare against (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra detail (RTF breakdown, NAR + codec timings) goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_ar_decode(steps: int = 512, repeats: int = 3) -> dict:
+    from valle2_tpu.config import ConfigValle
+    from valle2_tpu.models.ar import ValleAR
+
+    config = ConfigValle(max_audio_len=steps, ignore_eos=True, dropout=0.0,
+                         dtype='bfloat16')
+    model = ValleAR(config)
+    prompt_tokens = jnp.asarray(np.random.RandomState(0).randint(0, 256, (64,)))
+    prompt_codes = np.random.RandomState(1).randint(0, 1024, (150, 8)).astype(np.int32)
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    out = model.generate(prompt_tokens, prompt_codes, rng=jax.random.key(0))
+    compile_time = time.perf_counter() - t0
+    log(f'AR decode compile+first run: {compile_time:.1f}s, generated {len(out)} tokens')
+
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        out = model.generate(prompt_tokens, prompt_codes, rng=jax.random.key(i + 1))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    tokens_per_sec = steps / best
+    log(f'AR decode: {steps} steps x {config.num_beams} beams in {best:.3f}s '
+        f'-> {tokens_per_sec:.0f} useful tokens/s '
+        f'({steps * config.num_beams / best:.0f} incl. beams)')
+    return {'tokens_per_sec': tokens_per_sec, 'decode_time': best, 'steps': steps}
+
+
+def bench_e2e_rtf(steps: int = 384) -> dict:
+    from valle2_tpu.config import ConfigValle
+    from valle2_tpu.tts import ValleTTS
+
+    config = ConfigValle(max_audio_len=steps, ignore_eos=True, dropout=0.0,
+                         dtype='bfloat16')
+    tts = ValleTTS(config)
+    rs = np.random.RandomState(2)
+    prompt_tokens = rs.randint(0, 256, (48,)).astype(np.int32)
+    prompt_codes = rs.randint(0, 1024, (150, 8)).astype(np.int32)
+    text = 'the quick brown fox jumps over the lazy dog.'
+
+    res = tts.synthesize(text, prompt_tokens, prompt_codes)     # compile
+    t0 = time.perf_counter()
+    res = tts.synthesize(text, prompt_tokens, prompt_codes)
+    wall = time.perf_counter() - t0
+    audio_secs = len(res.waveform) / 24000
+    rtf = wall / max(audio_secs, 1e-9)
+    log(f'E2E TTS: {audio_secs:.2f}s audio in {wall:.2f}s -> RTF {rtf:.4f} '
+        f'(target < 0.05) | timings: ' +
+        ', '.join(f'{k}={v:.3f}s' for k, v in res.timings.items()))
+    return {'rtf': rtf, 'audio_secs': audio_secs}
+
+
+def main():
+    log(f'devices: {jax.devices()}')
+    ar = bench_ar_decode()
+    try:
+        e2e = bench_e2e_rtf()
+    except Exception as exc:  # keep the headline metric even if e2e fails
+        log(f'e2e bench failed: {exc!r}')
+        e2e = None
+
+    result = {
+        'metric': 'ar_codec_tokens_per_sec_per_chip',
+        'value': round(ar['tokens_per_sec'], 1),
+        'unit': 'tokens/s',
+        # 75 codec frames per audio-second -> value/75 = x real time.
+        'vs_baseline': round(ar['tokens_per_sec'] / 75.0, 2),
+    }
+    if e2e is not None:
+        result['extra'] = {'tts_rtf': round(e2e['rtf'], 4),
+                           'rtf_target': 0.05,
+                           'rtf_vs_target': round(0.05 / max(e2e['rtf'], 1e-9), 2)}
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,224 @@
+"""Native codec tests: frame geometry (reference tests/test_encodec_pip.py shape
+tables), RVQ semantics, causal conv / transposed conv / LSTM parity vs torch, and the
+weight converter round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from valle2_tpu.codec import (EncodecTPU, convert_state_dict, nearest_code, rvq_decode,
+                              rvq_encode, rvq_init)
+from valle2_tpu.codec.conv import causal_conv1d, causal_conv_transpose1d, conv1d_init
+from valle2_tpu.codec.lstm import lstm, lstm_init
+
+
+@pytest.fixture(scope='module')
+def codec():
+    return EncodecTPU(seed=0)
+
+
+class TestGeometry:
+    """Reference tests/test_encodec_pip.py:7-97 pin codes = samples/320, 8 codebooks,
+    128-dim latents."""
+
+    @pytest.mark.parametrize('samples,frames', [(16000, 50), (24000, 75), (32000, 100)])
+    def test_encode_frames(self, codec, samples, frames):
+        codes = codec.encode(np.random.RandomState(0).randn(samples).astype(np.float32))
+        assert codes.shape == (8, frames)
+        assert ((np.asarray(codes) >= 0) & (np.asarray(codes) < 1024)).all()
+
+    def test_batch_encode(self, codec):
+        codes = codec.batch_encode(np.random.randn(2, 16000).astype(np.float32))
+        assert codes.shape == (2, 8, 50)
+
+    def test_decode_length(self, codec):
+        wav = codec.decode(np.zeros((8, 50), np.int32))
+        assert wav.shape == (16000,)
+
+    def test_batch_decode(self, codec):
+        wavs = codec.batch_decode(np.zeros((3, 8, 25), np.int32))
+        assert wavs.shape == (3, 8000)
+
+    def test_embedding_shape(self, codec):
+        emb = codec.get_embedding(np.random.randn(16000).astype(np.float32))
+        assert emb.shape == (128, 50)
+
+    def test_encode_decode_roundtrip_shape(self, codec):
+        out = codec.encode_decode(np.random.randn(8000).astype(np.float32))
+        assert out.shape == (8000,)
+
+
+class TestRVQ:
+    def test_nearest_code_is_argmin_distance(self):
+        cb = jax.random.normal(jax.random.key(0), (16, 4))
+        x = jax.random.normal(jax.random.key(1), (10, 4))
+        idx = np.asarray(nearest_code(cb, x))
+        dists = ((np.asarray(x)[:, None] - np.asarray(cb)[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(idx, dists.argmin(-1))
+
+    def test_quantized_latents_roundtrip_exact(self):
+        """With scale-separated codebooks (each stage an order of magnitude smaller),
+        greedy residual encoding exactly recovers the codes of a synthesized sum."""
+        p = rvq_init(jax.random.key(2), num_quantizers=4, codebook_size=32, dim=8)
+        scales = jnp.asarray([100.0, 10.0, 1.0, 0.1])[:, None, None]
+        p = {'codebooks': p['codebooks'] * scales}
+        codes = jnp.asarray(np.random.RandomState(3).randint(0, 32, (2, 4, 11)))
+        latents = rvq_decode(p, codes)
+        codes2 = rvq_encode(p, latents, 4)
+        np.testing.assert_array_equal(np.asarray(codes2), np.asarray(codes))
+
+    def test_residual_reduces_error(self):
+        """More quantizer stages → lower reconstruction error, when stage scales
+        roughly track the residual magnitude (as trained codebooks do; pure random
+        uniform codebooks don't guarantee monotone improvement)."""
+        p = rvq_init(jax.random.key(4))
+        scales = (0.5 ** jnp.arange(8))[:, None, None]
+        p = {'codebooks': p['codebooks'] * scales * 3.0}
+        x = jax.random.normal(jax.random.key(5), (1, 20, 128))
+        x = rvq_decode(p, rvq_encode(p, x, 8)) + 0.01 * x      # near codebook span
+        errs = []
+        for n_q in (1, 4, 8):
+            codes = rvq_encode(p, x, n_q)
+            err = float(jnp.mean((rvq_decode(p, codes) - x) ** 2))
+            errs.append(err)
+        assert errs[0] > errs[1] > errs[2], errs
+
+
+class TestConvParity:
+    """Causal conv math vs torch with encodec-style padding."""
+
+    @pytest.mark.parametrize('stride,kernel', [(1, 7), (1, 3), (2, 4), (5, 10), (8, 16)])
+    def test_causal_conv_matches_torch(self, stride, kernel):
+        cin, cout, t = 3, 5, 50
+        p = conv1d_init(jax.random.key(0), cin, cout, kernel)
+        x = np.random.RandomState(0).randn(2, t, cin).astype(np.float32)
+        got = np.asarray(causal_conv1d(p, jnp.asarray(x), stride=stride))
+
+        # torch mirror: left-pad (k - stride) + right extra for full windows, reflect.
+        import math
+        pad_total = kernel - stride
+        n_frames = (t - kernel + pad_total) / stride + 1
+        ideal = (math.ceil(n_frames) - 1) * stride + kernel - pad_total
+        extra = max(ideal - t, 0)
+        xt = torch.from_numpy(x).permute(0, 2, 1)
+        xt = torch.nn.functional.pad(xt, (pad_total, extra), mode='reflect')
+        w = torch.from_numpy(np.asarray(p['w'])).permute(2, 1, 0)  # (out, in, k)
+        b = torch.from_numpy(np.asarray(p['b']))
+        want = torch.nn.functional.conv1d(xt, w, b, stride=stride).permute(0, 2, 1)
+        np.testing.assert_allclose(got, want.numpy(), atol=1e-5)
+        assert got.shape[1] == -(-t // stride)  # ceil(T/stride)
+
+    @pytest.mark.parametrize('stride,kernel', [(2, 4), (5, 10), (8, 16), (4, 8)])
+    def test_causal_conv_transpose_matches_torch(self, stride, kernel):
+        cin, cout, t = 4, 3, 13
+        p = conv1d_init(jax.random.key(1), cin, cout, kernel)
+        x = np.random.RandomState(1).randn(2, t, cin).astype(np.float32)
+        got = np.asarray(causal_conv_transpose1d(p, jnp.asarray(x), stride=stride))
+
+        # torch ConvTranspose1d weight layout (in, out, k) == our (k, in, out) permuted.
+        w = torch.from_numpy(np.asarray(p['w'])).permute(1, 2, 0)
+        b = torch.from_numpy(np.asarray(p['b']))
+        xt = torch.from_numpy(x).permute(0, 2, 1)
+        y = torch.nn.functional.conv_transpose1d(xt, w, b, stride=stride)
+        y = y[..., :-(kernel - stride)]                       # causal right trim
+        np.testing.assert_allclose(got, y.permute(0, 2, 1).numpy(), atol=1e-5)
+        assert got.shape[1] == t * stride
+
+
+class TestLSTMParity:
+    def test_two_layer_lstm_matches_torch(self):
+        dim, t, b = 8, 12, 2
+        p = lstm_init(jax.random.key(2), dim, dim, 2)
+        x = np.random.RandomState(2).randn(b, t, dim).astype(np.float32)
+        got = np.asarray(lstm(p, jnp.asarray(x), skip=True))
+
+        ref = torch.nn.LSTM(dim, dim, num_layers=2, batch_first=True)
+        sd = {}
+        for i, lp in enumerate(p['layers']):
+            sd[f'weight_ih_l{i}'] = torch.from_numpy(np.asarray(lp['w_ih']).T.copy())
+            sd[f'weight_hh_l{i}'] = torch.from_numpy(np.asarray(lp['w_hh']).T.copy())
+            sd[f'bias_ih_l{i}'] = torch.from_numpy(np.asarray(lp['b_ih']))
+            sd[f'bias_hh_l{i}'] = torch.from_numpy(np.asarray(lp['b_hh']))
+        ref.load_state_dict(sd)
+        with torch.no_grad():
+            want, _ = ref(torch.from_numpy(x))
+        want = want.numpy() + x                               # skip connection
+        # f32 recurrence accumulates ~1e-5 of rounding over t steps.
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+class TestConverter:
+    def test_weight_norm_folding_conv(self):
+        """Converted weight-normed torch conv == our causal conv on the same input."""
+        conv = torch.nn.Conv1d(3, 6, 7)
+        conv = torch.nn.utils.weight_norm(conv)
+        sd = {f'encoder.model.0.conv.conv.{k}': v.detach().numpy()
+              for k, v in conv.state_dict().items()}
+        from valle2_tpu.codec.convert import _conv
+        p = jax.tree.map(jnp.asarray, _conv(sd, 'encoder.model.0.conv.conv'))
+
+        x = np.random.RandomState(3).randn(1, 30, 3).astype(np.float32)
+        got = np.asarray(causal_conv1d(p, jnp.asarray(x), stride=1))
+        xt = torch.from_numpy(x).permute(0, 2, 1)
+        xt = torch.nn.functional.pad(xt, (6, 0), mode='reflect')
+        with torch.no_grad():
+            want = conv(xt).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_full_state_dict_conversion_structure(self):
+        """Synthesize an encodec-shaped state dict and check the converted pytree
+        drives the codec end to end."""
+        sd = {}
+        rs = np.random.RandomState(4)
+
+        def add_conv(prefix, cin, cout, k):
+            sd[f'{prefix}.weight'] = rs.randn(cout, cin, k).astype(np.float32) * 0.05
+            sd[f'{prefix}.bias'] = rs.randn(cout).astype(np.float32) * 0.05
+
+        def add_convtr(prefix, cin, cout, k):
+            sd[f'{prefix}.weight'] = rs.randn(cin, cout, k).astype(np.float32) * 0.05
+            sd[f'{prefix}.bias'] = rs.randn(cout).astype(np.float32) * 0.05
+
+        def add_res(prefix, dim):
+            add_conv(f'{prefix}.block.1.conv.conv', dim, dim // 2, 3)
+            add_conv(f'{prefix}.block.3.conv.conv', dim // 2, dim, 1)
+            add_conv(f'{prefix}.shortcut.conv.conv', dim, dim, 1)
+
+        def add_lstm(prefix, dim):
+            for i in range(2):
+                sd[f'{prefix}.weight_ih_l{i}'] = rs.randn(4 * dim, dim).astype(np.float32) * 0.05
+                sd[f'{prefix}.weight_hh_l{i}'] = rs.randn(4 * dim, dim).astype(np.float32) * 0.05
+                sd[f'{prefix}.bias_ih_l{i}'] = rs.randn(4 * dim).astype(np.float32) * 0.05
+                sd[f'{prefix}.bias_hh_l{i}'] = rs.randn(4 * dim).astype(np.float32) * 0.05
+
+        # Encoder: stem, 4 stages (ratios 2,4,5,8), lstm, head.
+        add_conv('encoder.model.0.conv.conv', 1, 32, 7)
+        mult = 1
+        for i, r in enumerate((2, 4, 5, 8)):
+            ch = mult * 32
+            add_res(f'encoder.model.{1 + 3 * i}', ch)
+            add_conv(f'encoder.model.{3 + 3 * i}.conv.conv', ch, ch * 2, r * 2)
+            mult *= 2
+        add_lstm('encoder.model.13.lstm', 512)
+        add_conv('encoder.model.15.conv.conv', 512, 128, 7)
+        # Decoder: stem, lstm, 4 stages (ratios 8,5,4,2), head.
+        add_conv('decoder.model.0.conv.conv', 128, 512, 7)
+        add_lstm('decoder.model.1.lstm', 512)
+        mult = 16
+        for i, r in enumerate((8, 5, 4, 2)):
+            ch = mult * 32
+            add_convtr(f'decoder.model.{3 + 3 * i}.convtr.convtr', ch, ch // 2, r * 2)
+            add_res(f'decoder.model.{4 + 3 * i}', ch // 2)
+            mult //= 2
+        add_conv('decoder.model.15.conv.conv', 32, 1, 7)
+        for q in range(8):
+            sd[f'quantizer.vq.layers.{q}._codebook.embed'] = rs.randn(1024, 128).astype(np.float32)
+
+        params = jax.tree.map(jnp.asarray, convert_state_dict(sd))
+        codec = EncodecTPU(params=params)
+        codes = codec.encode(np.random.randn(3200).astype(np.float32))
+        assert codes.shape == (8, 10)
+        wav = codec.decode(codes)
+        assert wav.shape == (3200,)

@@ -1,0 +1,126 @@
+"""Trainer, data pipeline, sharding dry-run, and end-to-end pipeline tests."""
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valle2_tpu.config import ConfigValle
+from valle2_tpu.data import (DataLoader, PhonemeTokenizer, SyntheticValleDataset,
+                             get_collate)
+from valle2_tpu.train import TrainState, Trainer, init_state, make_train_step
+
+
+def tiny_cfg(tmp_path=None, **kw):
+    base = dict(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                batch_size=2, max_steps=4, log_every_n_steps=2, dropout=0.0,
+                bucket_sizes=(64, 128), ckpt_every_n_steps=0, norm='LayerNorm')
+    base.update(kw)
+    cfg = ConfigValle(**base)
+    if tmp_path is not None:
+        cfg.ckpt_path = Path(tmp_path) / 'ckpt'
+        cfg.log_path = Path(tmp_path) / 'logs'
+    return cfg
+
+
+class TestCollate:
+    def test_ar_collate_bos_eos_and_buckets(self):
+        cfg = tiny_cfg()
+        collate = get_collate('ValleAR')(cfg)
+        ds = SyntheticValleDataset(cfg, size=4, min_frames=20, max_frames=50)
+        batch = collate([ds[0], ds[1]])
+        assert batch['codes'].shape == batch['target'].shape
+        assert batch['codes'].shape[1] in cfg.bucket_sizes      # bucketed width
+        for i in (0, 1):
+            n = batch['codes_lens'][i]
+            assert batch['codes'][i, 0] == cfg.bos_token
+            assert batch['target'][i, n - 1] == cfg.eos_token
+            # input[1:] == target[:-1] within the valid region
+            np.testing.assert_array_equal(batch['codes'][i, 1:n],
+                                          batch['target'][i, :n - 1])
+
+    def test_nar_collate_shapes(self):
+        cfg = tiny_cfg()
+        collate = get_collate('ValleNAR')(cfg)
+        ds = SyntheticValleDataset(cfg, size=4, min_frames=20, max_frames=50)
+        batch = collate([ds[0], ds[1]])
+        assert batch['codes'].ndim == 3 and batch['codes'].shape[2] == 8
+        assert batch['codes'].shape[1] in cfg.bucket_sizes
+
+
+class TestFrontend:
+    def test_tokenizer_deterministic_and_in_range(self):
+        tok = PhonemeTokenizer()
+        ids = tok('Hello, world.')
+        ids2 = tok('Hello, world.')
+        np.testing.assert_array_equal(ids, ids2)
+        assert (ids < tok.vocab_size).all()
+        # Punctuation appended after the phoneme inventory (reference data.py:20-22).
+        assert tok.sym2idx[' '] == tok.vocab_size - 3
+        assert tok.sym2idx[','] == tok.vocab_size - 2
+        assert tok.sym2idx['.'] == tok.vocab_size - 1
+
+    def test_decode_roundtrip(self):
+        tok = PhonemeTokenizer()
+        ids = tok('cat.')
+        syms = tok.decode(ids)
+        assert '.' in syms
+
+
+class TestTrainer:
+    def test_loss_decreases_over_steps(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, max_steps=12, lr=3e-3, min_frames=0)
+        collate = get_collate('ValleAR')(cfg)
+        ds = SyntheticValleDataset(cfg, size=4, min_frames=30, max_frames=60)
+        loader = DataLoader(ds, cfg.batch_size, collate, shuffle=False)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        step = make_train_step(cfg, 'ValleAR')
+        rng = jax.random.key(1)
+        losses = []
+        for epoch in range(6):
+            for batch in loader:
+                batch = jax.tree.map(jnp.asarray, batch)
+                state, m = step(state, batch, rng)
+                losses.append(float(m['loss']))
+        assert losses[-1] < losses[0] - 0.3, losses[:3] + losses[-3:]
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        trainer = Trainer(cfg, 'ValleAR', use_tensorboard=False)
+        state = TrainState(state.params, state.opt_state, jnp.int32(7))
+        trainer.save_checkpoint(state)
+        latest = trainer.latest_checkpoint()
+        assert latest is not None and latest.name == 'step_7'
+        fresh = init_state(cfg, 'ValleAR', jax.random.key(9))
+        restored = trainer.restore_checkpoint(fresh, latest)
+        assert int(restored.step) == 7
+        chex_equal = jax.tree.map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+            state.params, restored.params)
+        assert all(jax.tree.leaves(chex_equal))
+
+
+class TestSharding:
+    def test_dryrun_multichip_8(self):
+        import sys
+        sys.path.insert(0, '/root/repo')
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)   # 8 virtual CPU devices from conftest
+
+    def test_param_sharding_specs(self):
+        from valle2_tpu.models import ar as ar_mod
+        from valle2_tpu.parallel import make_mesh, param_sharding
+        mesh = make_mesh(data=4, model=2)
+        cfg = tiny_cfg()
+        params = ar_mod.init_params(jax.random.key(0), cfg)
+        shardings = param_sharding(mesh, params)
+        qkv = shardings['transformer']['attn']['qkv']['w']
+        assert qkv.spec[-1] == 'model'                       # column parallel
+        out = shardings['transformer']['attn']['out']['w']
+        assert out.spec[-2] == 'model'                       # row parallel
+        emb = shardings['tokens_emb']['emb']
+        assert all(s is None for s in emb.spec)              # replicated

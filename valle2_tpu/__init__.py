@@ -1,0 +1,20 @@
+"""valle2_tpu — TPU-native VALL-E X neural-codec TTS/ASR framework.
+
+A from-scratch JAX/XLA/Pallas re-design of KubiakJakub01/Valle2 (PyTorch+Lightning):
+
+- ``config``    — flat dataclass + JSON loader (reference-compatible surface)
+- ``ops``       — functional NN primitives; scanned transformer; masks; sampling
+- ``kernels``   — Pallas TPU kernels (flash prefix-LM attention, fused AdaLN, RVQ)
+- ``codec``     — native EnCodec 24 kHz (SEANet + RVQ) with torch weight converter
+- ``models``    — ValleAR (on-device while_loop decode), ValleNAR (7-stage scan),
+                  ValleASR (direction-swapped AR), EncodecTPU
+- ``data``      — phoneme frontend, bucketed static-shape collate, loaders
+- ``parallel``  — device mesh + GSPMD sharding rules (data/tensor parallel)
+- ``train``     — jitted optax train loop, orbax checkpoints, TB metrics
+- ``tts``       — end-to-end text→waveform and audio→phonemes pipelines
+"""
+
+from .config import ConfigValle
+
+__version__ = '0.1.0'
+__all__ = ['ConfigValle', '__version__']

@@ -1,0 +1,113 @@
+"""EncodecTPU — the native JAX audio codec with the reference wrapper's API.
+
+Drop-in equivalent of the reference EncodecPip
+(``/root/reference/valle/models/encodec_pip.py:23-129``): same method names, shapes and
+layouts (codes (n_q, T); latents (128, T); 24 kHz, 6 kbps → 8 codebooks), but the
+SEANet conv/LSTM stacks and the RVQ run as jitted XLA programs on TPU instead of torch
+on CPU — the reference's real input-pipeline bottleneck (SURVEY §3.1).
+
+Weights: pass a converted pretrained pytree (codec/convert.py) for token parity with
+the pip model, or let it random-init (tests, geometry checks).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rvq as _rvq
+from . import seanet
+from .convert import load_torch_checkpoint
+
+Params = dict[str, Any]
+
+SAMPLE_RATE = 24_000
+NUM_QUANTIZERS = 8          # 6.0 kbps @ 75 fps, 10 bits/codebook
+CODEBOOK_SIZE = 1024
+LATENT_DIM = 128
+HOP = seanet.HOP
+
+
+def init_params(key: jax.Array, dtype=jnp.float32) -> Params:
+    k_enc, k_dec, k_vq = jax.random.split(key, 3)
+    return {'encoder': seanet.encoder_init(k_enc, dtype),
+            'decoder': seanet.decoder_init(k_dec, dtype),
+            'rvq': _rvq.rvq_init(k_vq, NUM_QUANTIZERS, CODEBOOK_SIZE, LATENT_DIM, dtype)}
+
+
+def encode(params: Params, wav: jax.Array, n_q: int = NUM_QUANTIZERS) -> jax.Array:
+    """(B, T) waveform → (B, n_q, ceil(T/320)) int32 codes."""
+    latents = seanet.encode(params['encoder'], wav)
+    return _rvq.rvq_encode(params['rvq'], latents, n_q)
+
+
+def decode(params: Params, codes: jax.Array) -> jax.Array:
+    """(B, n_q, F) codes → (B, F*320) waveform."""
+    latents = _rvq.rvq_decode(params['rvq'], codes)
+    return seanet.decode(params['decoder'], latents)
+
+
+def embed(params: Params, wav: jax.Array) -> jax.Array:
+    """(B, T) waveform → (B, F, 128) pre-VQ latents."""
+    return seanet.encode(params['encoder'], wav)
+
+
+class EncodecTPU:
+    """Stateful wrapper with the reference EncodecPip surface."""
+
+    def __init__(self, params: Params | None = None, checkpoint: str | None = None,
+                 seed: int = 0):
+        if params is None and checkpoint is not None:
+            params = jax.tree.map(jnp.asarray, load_torch_checkpoint(checkpoint))
+        if params is None:
+            params = init_params(jax.random.key(seed))
+        self.params = params
+        self._encode = jax.jit(encode, static_argnums=(2,))
+        self._decode = jax.jit(decode)
+        self._embed = jax.jit(embed)
+
+    @property
+    def sampling_rate(self) -> int:
+        return SAMPLE_RATE
+
+    # --- reference API (encodec_pip.py:23-129); shapes/layouts identical ---
+
+    def encode(self, audio) -> jax.Array:
+        """1D wave (T,) → codes (n_q, ceil(T/320))."""
+        audio = jnp.asarray(audio, jnp.float32)
+        assert audio.ndim == 1, f'Expected 1D audio tensor, got {audio.ndim}D'
+        return self._encode(self.params, audio[None], NUM_QUANTIZERS)[0]
+
+    def batch_encode(self, audios) -> jax.Array:
+        """(B, T) waves → (B, n_q, F)."""
+        audios = jnp.asarray(audios, jnp.float32)
+        assert audios.ndim == 2, f'Expected 2D audio tensor, got {audios.ndim}D'
+        return self._encode(self.params, audios, NUM_QUANTIZERS)
+
+    def decode(self, codes) -> jax.Array:
+        """(n_q, F) codes → 1D wave (F*320,)."""
+        codes = jnp.asarray(codes, jnp.int32)
+        assert codes.ndim == 2, f'Expected 2D codes tensor, got {codes.ndim}D'
+        return self._decode(self.params, codes[None])[0]
+
+    def batch_decode(self, codes) -> jax.Array:
+        codes = jnp.asarray(codes, jnp.int32)
+        assert codes.ndim == 3, f'Expected 3D codes tensor, got {codes.ndim}D'
+        return self._decode(self.params, codes)
+
+    def encode_decode(self, audio) -> jax.Array:
+        return self.decode(self.encode(audio))
+
+    def get_embedding(self, audio) -> jax.Array:
+        """1D wave → (128, F) latents (channel-first like the reference)."""
+        audio = jnp.asarray(audio, jnp.float32)
+        assert audio.ndim == 1, f'Expected 1D audio tensor, got {audio.ndim}D'
+        return self._embed(self.params, audio[None])[0].T
+
+    def batch_get_embedding(self, audios) -> jax.Array:
+        audios = jnp.asarray(audios, jnp.float32)
+        assert audios.ndim == 2, f'Expected 2D audio tensor, got {audios.ndim}D'
+        return self._embed(self.params, audios).transpose(0, 2, 1)

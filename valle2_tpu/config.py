@@ -1,0 +1,174 @@
+"""Configuration for the TPU-native VALL-E framework.
+
+Public surface mirrors the reference config (``/root/reference/valle/config.py:7-99``):
+same field names, defaults, derived properties (``quantization_factor``, ``bos_token``,
+``eos_token``) and loaders (``from_dict`` / ``from_json``), so reference JSON configs
+load unchanged.  TPU-specific knobs (dtype, mesh shape, kernel flags, bucketing) are
+additive and default to values that preserve reference behaviour.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Literal
+
+
+@dataclass
+class ConfigValle:
+    # Data
+    dataset: str = field(default='keithito/lj_speech', metadata={'help': 'Hugging Face dataset'})
+    num_workers: int = field(default=4, metadata={'help': 'Number of data workers'})
+
+    # Input features
+    vocab_size: int = field(default=256, metadata={'help': 'Text/phoneme vocab size'})
+    num_audio_tokens: int = field(default=1024, metadata={'help': 'Audio codebook size'})
+    num_quantizers: int = field(
+        default=8, metadata={'help': 'Number of residual quantizer levels in the codec'}
+    )
+    sampling_rate: int = field(default=16000, metadata={'help': 'Sampling rate'})
+    polling_factor: int = field(default=320, metadata={'help': 'Codec hop size'})
+
+    # Model
+    d_model: int = field(default=256, metadata={'help': 'Model dimension'})
+    n_heads: int = field(default=4, metadata={'help': 'Number of attention heads'})
+    dim_feedforward: int = field(default=1024, metadata={'help': 'FFN hidden dimension'})
+    dropout: float = field(default=0.1, metadata={'help': 'Dropout rate'})
+    activation: Literal['relu', 'gelu'] = field(
+        default='relu',
+        metadata={'help': 'Activation (kept for config parity; FFN uses GELU, see Q8)'},
+    )
+    num_layers: int = field(default=8, metadata={'help': 'Number of transformer layers'})
+    norm: Literal['AdaptiveLayerNorm', 'LayerNorm'] = field(
+        default='AdaptiveLayerNorm', metadata={'help': 'Normalization layer'}
+    )
+
+    # Optimizer
+    lr: float = field(default=1e-4, metadata={'help': 'Learning rate'})
+    lr_warmup: int = field(default=1000, metadata={'help': 'LR warmup / cosine period steps'})
+    betas: tuple = field(default=(0.9, 0.98), metadata={'help': 'Adam betas'})
+    weight_decay: float = field(default=0.1, metadata={'help': 'Weight decay'})
+    use_fused_adam: bool = field(
+        default=True, metadata={'help': 'Kept for parity; optax adamw is always fused under XLA'}
+    )
+    gradient_clip_val: float = field(default=1.0, metadata={'help': 'Global-norm grad clip'})
+    grad_accum: int = field(default=1, metadata={'help': 'Gradient accumulation steps'})
+
+    # Generation
+    max_audio_len: int = field(default=1024, metadata={'help': 'Max decode steps'})
+    num_beams: int = field(default=4, metadata={'help': 'Best-of-N sampling replicas'})
+    use_kv_cache: bool = field(default=True, metadata={'help': 'Use KV cache for decode'})
+    top_k: int = field(default=50, metadata={'help': 'Top-k for sampling'})
+    tok_p: float = field(default=1.0, metadata={'help': 'Top-p (reference spells it tok_p)'})
+    temperature: float = field(default=1.0, metadata={'help': 'Temperature (0 => greedy argmax)'})
+    length_penalty: float = field(default=1.0, metadata={'help': 'Length penalty'})
+
+    # Training
+    seed: int = field(default=42, metadata={'help': 'Seed'})
+    batch_size: int = field(default=4, metadata={'help': 'Global batch size'})
+    valid_batch_size: int = field(default=1, metadata={'help': 'Validation batch size'})
+    max_steps: int = field(default=1000, metadata={'help': 'Max optimizer steps'})
+    log_every_n_steps: int = field(default=100, metadata={'help': 'Log interval'})
+    ckpt_path: Path = field(default=Path('models/checkpoints'), metadata={'help': 'Ckpt dir'})
+    log_path: Path = field(default=Path('models/logs'), metadata={'help': 'Log dir'})
+
+    # ---- TPU-native additions (absent from the reference) ----
+    dtype: str = field(
+        default='float32',
+        metadata={'help': 'Activation/compute dtype: float32 (parity) or bfloat16 (speed)'},
+    )
+    param_dtype: str = field(default='float32', metadata={'help': 'Parameter dtype'})
+    matmul_precision: str = field(
+        default='default',
+        metadata={'help': "jax matmul precision: 'default'|'high'|'highest' (parity runs)"},
+    )
+    mask_loss_pads: bool = field(
+        default=True,
+        metadata={'help': 'Mask padded positions out of the loss (reference includes them, Q6)'},
+    )
+    use_flash_attention: bool = field(
+        default=False, metadata={'help': 'Use the Pallas flash-attention kernel (training path)'}
+    )
+    remat: bool = field(
+        default=False, metadata={'help': 'jax.checkpoint each transformer layer (saves HBM)'}
+    )
+    mesh_data: int = field(default=1, metadata={'help': 'Data-parallel mesh axis size'})
+    mesh_model: int = field(default=1, metadata={'help': 'Tensor-parallel mesh axis size'})
+    bucket_sizes: tuple = field(
+        default=(128, 256, 384, 512, 768, 1024),
+        metadata={'help': 'Static sequence-length buckets for the collate path'},
+    )
+    direction: Literal['tts', 'asr'] = field(
+        default='tts',
+        metadata={'help': 'tts: phonemes->codes. asr: codes->phonemes (streams swapped)'},
+    )
+    schedule: Literal['cosine_restarts', 'warmup_cosine', 'constant'] = field(
+        default='cosine_restarts',
+        metadata={'help': 'LR schedule; cosine_restarts mirrors the reference '
+                          'CosineAnnealingWarmRestarts(T_0=lr_warmup)'},
+    )
+    ckpt_every_n_steps: int = field(
+        default=500, metadata={'help': 'Orbax checkpoint interval (steps)'}
+    )
+    ignore_eos: bool = field(
+        default=False,
+        metadata={'help': 'Decode exactly max_audio_len steps (benchmarking)'},
+    )
+
+    def __post_init__(self):
+        if self.dataset is None:
+            raise ValueError('Dataset must be provided')
+        if self.norm not in ('AdaptiveLayerNorm', 'LayerNorm'):
+            raise ValueError('Normalization layer must be AdaptiveLayerNorm or LayerNorm')
+        if self.activation not in ('relu', 'gelu'):
+            raise ValueError('Activation function must be relu or gelu')
+        self.ckpt_path = Path(self.ckpt_path)
+        self.log_path = Path(self.log_path)
+        self.betas = tuple(self.betas)
+        self.bucket_sizes = tuple(self.bucket_sizes)
+
+    def ensure_dirs(self) -> None:
+        """Create checkpoint/log dirs.
+
+        The reference does this eagerly in ``__post_init__`` (config.py:74-77); we defer
+        to trainer startup so constructing a config has no filesystem side effects.
+        """
+        self.ckpt_path.mkdir(parents=True, exist_ok=True)
+        self.log_path.mkdir(parents=True, exist_ok=True)
+
+    # Derived properties — reference config.py:79-89.
+    @property
+    def quantization_factor(self) -> int:
+        return self.sampling_rate // self.polling_factor
+
+    @property
+    def bos_token(self) -> int:
+        return self.num_audio_tokens + 1
+
+    @property
+    def eos_token(self) -> int:
+        return self.num_audio_tokens
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @classmethod
+    def from_dict(cls, hparams_dict: dict) -> 'ConfigValle':
+        """Build from a dict; unknown keys are ignored (reference raises — we accept
+        configs written for either implementation)."""
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in hparams_dict.items() if k in names})
+
+    @classmethod
+    def from_json(cls, json_file) -> 'ConfigValle':
+        with open(json_file, encoding='utf-8') as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d['ckpt_path'] = str(d['ckpt_path'])
+        d['log_path'] = str(d['log_path'])
+        return d

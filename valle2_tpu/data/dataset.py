@@ -1,0 +1,135 @@
+"""Datasets + loaders: HF LJSpeech pipeline and a synthetic fallback.
+
+TPU re-design of the reference data path (``/root/reference/valle/data.py``): same
+shape contract per item ({'codes': (nq, T), 'tokens': (Tt,)}) and the same 90/10 HF
+split, but EnCodec tokenization runs **batched on device** through the native codec
+(the reference encodes per-item on CPU inside DataLoader workers — its real input
+bottleneck, SURVEY §3.1) and results are memoized so each utterance is encoded once
+per run.
+
+``SyntheticValleDataset`` generates deterministic phoneme/code pairs for tests,
+benchmarks and zero-egress environments (LJSpeech needs a download the image lacks).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from ..codec import EncodecTPU
+from ..config import ConfigValle
+from ..utils import log_info, normalize_audio
+from .collate import get_collate
+from .frontend import PhonemeTokenizer
+
+
+class ValleDataset:
+    """HF-dataset-backed items (reference ValleDataset, data.py:13-43)."""
+
+    def __init__(self, dataset, config: ConfigValle, codec: EncodecTPU | None = None):
+        self.dataset = dataset
+        self.config = config
+        self.codec = codec if codec is not None else EncodecTPU()
+        self.tokenizer = PhonemeTokenizer()
+        self.sym2idx = self.tokenizer.sym2idx
+        self._cache: dict[int, dict[str, np.ndarray]] = {}
+
+    def _tokenize(self, text: str) -> np.ndarray:
+        return self.tokenizer(text)
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        if idx in self._cache:
+            return self._cache[idx]
+        item = self.dataset[idx]
+        audio = np.asarray(item['audio']['array'], dtype=np.float32)
+        sr = item['audio']['sampling_rate']
+        tokens = self._tokenize(item['text'])
+        wav = normalize_audio(audio, sr, self.codec.sampling_rate)
+        codes = np.asarray(self.codec.encode(wav))          # (nq, T), on device
+        out = {'codes': codes, 'tokens': tokens}
+        self._cache[idx] = out
+        return out
+
+
+class SyntheticValleDataset:
+    """Deterministic synthetic items with LJSpeech-like length statistics."""
+
+    def __init__(self, config: ConfigValle, size: int = 256, seed: int = 0,
+                 min_frames: int = 60, max_frames: int = 400):
+        self.config = config
+        self.size = size
+        self.seed = seed
+        self.min_frames = min_frames
+        self.max_frames = max_frames
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        rs = np.random.RandomState(self.seed * 100003 + idx)
+        t_codes = rs.randint(self.min_frames, self.max_frames)
+        t_tokens = max(4, t_codes // 6)                    # codes_len > tokens_len
+        return {
+            'codes': rs.randint(0, self.config.num_audio_tokens,
+                                (self.config.num_quantizers, t_codes)).astype(np.int32),
+            'tokens': rs.randint(0, self.config.vocab_size,
+                                 (t_tokens,)).astype(np.int32),
+        }
+
+
+class DataLoader:
+    """Minimal shuffling batcher (the torch DataLoader equivalent for this stack).
+
+    Single-process: the heavy work (codec encode) already runs on the TPU, so worker
+    processes would only move Python overhead around.
+    """
+
+    def __init__(self, dataset, batch_size: int, collate_fn, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        for start in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0),
+                           self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            yield self.collate_fn([self.dataset[int(i)] for i in idxs])
+
+
+def get_dataloaders(model_name: str, config: ConfigValle,
+                    synthetic: bool = False) -> tuple[DataLoader, DataLoader]:
+    """Train/valid loaders (reference get_dataloaders, data.py:46-63: 90/10 split)."""
+    collate = get_collate(model_name)(config)
+    if synthetic:
+        train_ds = SyntheticValleDataset(config, size=max(8 * config.batch_size, 64))
+        valid_ds = SyntheticValleDataset(config, size=max(2 * config.valid_batch_size, 8),
+                                         seed=1)
+    else:
+        from datasets import load_dataset
+        log_info('Loading HF dataset %s', config.dataset)
+        codec = EncodecTPU()
+        train_ds = ValleDataset(load_dataset(config.dataset, split='train[:90%]',
+                                             trust_remote_code=True), config, codec)
+        valid_ds = ValleDataset(load_dataset(config.dataset, split='train[90%:]',
+                                             trust_remote_code=True), config, codec)
+    train = DataLoader(train_ds, config.batch_size, collate, shuffle=True,
+                       seed=config.seed)
+    valid = DataLoader(valid_ds, config.valid_batch_size, collate, shuffle=False)
+    return train, valid

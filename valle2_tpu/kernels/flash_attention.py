@@ -1,0 +1,167 @@
+"""Pallas TPU flash attention with the VALL-E prefix-LM mask computed in-kernel.
+
+Replaces the materialized (b, 1, s, s) bias of the jnp path (ops/attention.sdpa) for
+training/prefill: the mask — token block sees tokens only, audio block sees tokens +
+causal audio, padded keys dropped (reference masks at
+/root/reference/valle/models/utils.py:17-43 and valle_ar.py:69-74) — reduces to
+
+    attend(q, k) = ((k < tokens_valid[b])                       # visible source keys
+                    | ((k >= tokens_total) & (k <= q)))          # causal audio block
+                   & (k < kv_end[b])                             # key padding
+
+(with the causal clause dropped for the NAR's bidirectional pattern), so the kernel
+derives it from two scalars per batch row (scalar-prefetched to SMEM)
+instead of reading an (s, s) tensor from HBM.  Standard flash structure: grid over
+(batch*heads, q-blocks); per q-block an online-softmax ``fori_loop`` over kv-blocks
+resident in VMEM; running max/sum rescaling in float32.
+
+The custom VJP recomputes attention with the jnp reference (so training works and the
+forward never stores an (s, s) residual); use ``use_flash_attention`` in the config to
+enable it on the training path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
+                sm_scale: float, seq_len: int, n_heads: int, tokens_total: int,
+                causal: bool):
+    """One (batch*head, q-block) program.
+
+    meta_ref: SMEM (b, 2) int32 — [tokens_valid, kv_end] per batch row (prefetched).
+    q_ref: (1, block_q, hd); k_ref/v_ref: (1, seq_len, hd); o_ref: (1, block_q, hd).
+    """
+    bh_idx = pl.program_id(0)
+    q_blk = pl.program_id(1)
+    b_idx = bh_idx // n_heads
+    tokens_valid = meta_ref[b_idx, 0]
+    kv_end = meta_ref[b_idx, 1]
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale                       # (bq, hd)
+    q_ids = q_blk * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)   # (bq, bk)
+        k_ids = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        if causal:
+            audio_vis = (k_ids >= tokens_total) & (k_ids <= q_ids)
+        else:
+            audio_vis = k_ids >= tokens_total
+        attend = ((k_ids < tokens_valid) | audio_vis) & (k_ids < kv_end)
+        s = jnp.where(attend, s, NEG_INF)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))  # (bq, 1)
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc, m_cur, l_cur
+
+    acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, l_f = jax.lax.fori_loop(0, pl.cdiv(seq_len, block_k), body,
+                                    (acc, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
+               block_q: int, block_k: int):
+    """q/k/v: (b, h, s, hd); meta: (b, 2) int32 [tokens_valid, kv_end]."""
+    b, h, s, hd = q.shape
+    sm_scale = 1.0 / math.sqrt(hd)
+    s_pad = -(-s // max(block_q, block_k)) * max(block_q, block_k)
+    if s_pad != s:
+        pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    qf = q.reshape(b * h, s_pad, hd)
+    kf = k.reshape(b * h, s_pad, hd)
+    vf = v.reshape(b * h, s_pad, hd)
+
+    kernel = functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k,
+                               sm_scale=sm_scale, seq_len=s_pad, n_heads=h,
+                               tokens_total=tokens_total, causal=causal)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, s_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, hd), lambda bi, qi, meta: (bi, qi, 0)),
+                pl.BlockSpec((1, s_pad, hd), lambda bi, qi, meta: (bi, 0, 0)),
+                pl.BlockSpec((1, s_pad, hd), lambda bi, qi, meta: (bi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, hd),
+                                   lambda bi, qi, meta: (bi, qi, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+    )(meta, qf, kf, vf)
+    return out.reshape(b, h, s_pad, hd)[:, :, :s]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_attention(q, k, v, meta, tokens_total: int, causal: bool = True,
+                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K):
+    """Prefix-LM flash attention.
+
+    q, k, v: (b, h, s, hd); meta: (b, 2) int32 = [tokens_valid, kv_end] per row;
+    tokens_total: static width of the source block; causal=False for the NAR's
+    bidirectional audio block.
+    """
+    return _flash_fwd(q, k, v, meta, tokens_total, causal, block_q, block_k)
+
+
+def reference_attention(q, k, v, meta, tokens_total: int, causal: bool = True):
+    """jnp reference with the same mask semantics (tests + recompute-VJP)."""
+    s = q.shape[2]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    q_ids = jnp.arange(s)[:, None]
+    k_ids = jnp.arange(s)[None, :]
+    tokens_valid = meta[:, 0][:, None, None, None]
+    kv_end = meta[:, 1][:, None, None, None]
+    if causal:
+        audio_vis = ((k_ids >= tokens_total) & (k_ids <= q_ids))[None, None]
+    else:
+        audio_vis = (k_ids >= tokens_total)[None, None] & jnp.ones(
+            (1, 1, s, s), bool)
+    attend = ((k_ids[None, None] < tokens_valid) | audio_vis) \
+        & (k_ids[None, None] < kv_end)
+    scores = jnp.where(attend, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _fwd_rule(q, k, v, meta, tokens_total, causal, block_q, block_k):
+    return (_flash_fwd(q, k, v, meta, tokens_total, causal, block_q, block_k),
+            (q, k, v, meta))
+
+
+def _bwd_rule(tokens_total, causal, block_q, block_k, residuals, g):
+    q, k, v, meta = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: reference_attention(q_, k_, v_, meta, tokens_total, causal),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fwd_rule, _bwd_rule)

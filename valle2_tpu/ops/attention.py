@@ -1,0 +1,108 @@
+"""Multi-head attention: full-sequence (training/prefill) and KV-cached decode step.
+
+TPU-native equivalent of the reference MultiHeadAttention
+(``/root/reference/valle/models/modules.py:102-207``): fused QKV projection (no bias),
+output projection (bias), scale 1/sqrt(head_dim), float32 softmax.
+
+Differences by design (not translation):
+- The reference grows its KV cache by ``torch.cat`` every step (modules.py:149-157) —
+  a reallocation per token.  Here the cache is **preallocated at max length** and decode
+  writes one slot with ``dynamic_update_slice``; validity is enforced by masking scores
+  past the current position.  Static shapes → XLA compiles the decode step once.
+- Masks arrive as additive float biases (see ``ops.masks``) so the same code path serves
+  bool-mask training and maskless cached decode.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .nn import linear, linear_init
+from .masks import NEG_INF
+
+Params = dict[str, Any]
+
+
+def mha_init(key: jax.Array, d_model: int, n_heads: int, dtype=jnp.float32) -> Params:
+    del n_heads  # head count is a reshape, not a parameter
+    k1, k2 = jax.random.split(key)
+    return {'qkv': linear_init(k1, d_model, 3 * d_model, use_bias=False, dtype=dtype),
+            'out': linear_init(k2, d_model, d_model, dtype=dtype)}
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    b, s, d = x.shape
+    return x.reshape(b, s, n_heads, d // n_heads).transpose(0, 2, 1, 3)  # (b, h, s, hd)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, s, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+
+
+def qkv_proj(p: Params, x: jax.Array, n_heads: int):
+    """Fused QKV → per-head (b, h, s, hd) triple."""
+    qkv = linear(p['qkv'], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return (_split_heads(q, n_heads), _split_heads(k, n_heads), _split_heads(v, n_heads))
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+         bias: jax.Array | None = None) -> jax.Array:
+    """Scaled dot-product attention with float32 softmax.
+
+    q: (b, h, sq, hd), k/v: (b, h, sk, hd), bias: broadcastable to (b, h, sq, sk).
+    """
+    hd = q.shape[-1]
+    scale = 1.0 / math.sqrt(hd)
+    scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
+        return_kv: bool = False, flash: dict | None = None):
+    """Full-sequence MHA.  Returns out, or (out, k, v) for cache prefill.
+
+    ``flash``: optional {'meta': (b, 2) int32, 'tokens_total': int, 'causal': bool} —
+    routes through the Pallas flash kernel instead of the materialized-bias sdpa.
+    """
+    q, k, v = qkv_proj(p, x, n_heads)
+    if flash is not None:
+        from ..kernels.flash_attention import flash_attention
+        attn = flash_attention(q, k, v, flash['meta'], flash['tokens_total'],
+                               flash.get('causal', True))
+    else:
+        attn = sdpa(q, k, v, bias)
+    out = linear(p['out'], _merge_heads(attn))
+    if return_kv:
+        return out, k, v
+    return out
+
+
+def mha_decode_step(p: Params, x: jax.Array, n_heads: int,
+                    cache_k: jax.Array, cache_v: jax.Array, index: jax.Array):
+    """Single-token cached attention.
+
+    x: (b, 1, d) query token at absolute position ``index``.
+    cache_k/cache_v: (b, h, max_len, hd) preallocated; slot ``index`` is written here.
+    Returns (out (b, 1, d), cache_k, cache_v).
+    """
+    q, k, v = qkv_proj(p, x, n_heads)                    # k, v: (b, h, 1, hd)
+    cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k, index, axis=2)
+    cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v, index, axis=2)
+    max_len = cache_k.shape[2]
+    # Attend over cache slots [0, index]; later slots are masked out.
+    valid = jnp.arange(max_len) <= index                 # (max_len,)
+    bias = jnp.where(valid, 0.0, NEG_INF)[None, None, None, :]
+    attn = sdpa(q, cache_k, cache_v, bias)
+    out = linear(p['out'], _merge_heads(attn))
+    return out, cache_k, cache_v

@@ -1,0 +1,150 @@
+"""Core NN primitives as pure functions over pytree parameters.
+
+TPU-native equivalents of the reference's torch modules
+(``/root/reference/valle/models/modules.py:11-221``): token embeddings, sinusoidal
+positional encoding, LayerNorm / AdaptiveLayerNorm, and the GELU FFN.  Everything is a
+plain ``dict`` pytree + a pure ``apply`` function so models can be stacked with
+``jax.tree.map`` and scanned with ``lax.scan`` — the idiomatic XLA formulation (one
+compiled layer body, L iterations) instead of torch's ModuleList of distinct kernels.
+
+Initializers replicate torch defaults (kaiming-uniform linear, N(0,1) embedding) so
+training dynamics match the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-default-compatible)
+# ---------------------------------------------------------------------------
+
+def linear_init(key: jax.Array, in_dim: int, out_dim: int, use_bias: bool = True,
+                dtype=jnp.float32) -> Params:
+    """torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(in), 1/sqrt(in))
+    for the weight, U(-1/sqrt(in), 1/sqrt(in)) for the bias.
+
+    Weight stored as (in_dim, out_dim) — the XLA-friendly layout (x @ w, no transpose).
+    """
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p: Params = {'w': jax.random.uniform(wkey, (in_dim, out_dim), dtype, -bound, bound)}
+    if use_bias:
+        p['b'] = jax.random.uniform(bkey, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    y = x @ p['w']
+    if 'b' in p:
+        y = y + p['b']
+    return y
+
+
+def embedding_init(key: jax.Array, vocab_size: int, dim: int, dtype=jnp.float32) -> Params:
+    """torch nn.Embedding default init: N(0, 1)."""
+    return {'emb': jax.random.normal(key, (vocab_size, dim), dtype)}
+
+
+def embedding(p: Params, ids: jax.Array) -> jax.Array:
+    """Token embedding lookup (reference TokenEmbedding, modules.py:11-37; its dropout
+    defaults to p=0.0 and is never configured, so it is omitted here)."""
+    return jnp.take(p['emb'], ids, axis=0)
+
+
+def layernorm_init(dim: int, dtype=jnp.float32) -> Params:
+    return {'scale': jnp.ones((dim,), dtype), 'bias': jnp.zeros((dim,), dtype)}
+
+
+def layernorm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm matching torch nn.LayerNorm (eps=1e-5, biased variance).
+
+    Statistics in float32 regardless of activation dtype (TPU numerics hygiene)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p['scale'] + p['bias']).astype(dtype)
+
+
+def adaln_init(key: jax.Array, dim: int, dtype=jnp.float32) -> Params:
+    """AdaptiveLayerNorm (reference modules.py:83-99): a LayerNorm whose scale/bias come
+    from a Linear(d, 2d) applied to a conditioning embedding."""
+    return {'proj': linear_init(key, dim, 2 * dim, dtype=dtype), 'ln': layernorm_init(dim, dtype)}
+
+
+def adaln(p: Params, x: jax.Array, cond: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """``weight * LN(x) + bias`` with (weight, bias) = split(proj(cond)).
+
+    ``cond`` has shape (1, d) (a stage-embedding row) or (b, d); broadcasts over the
+    sequence axis.  The inner LN carries its own learned affine exactly like the
+    reference (``self.norm = nn.LayerNorm(d_model)``).
+    """
+    wb = linear(p['proj'], cond)
+    weight, bias = jnp.split(wb, 2, axis=-1)
+    y = layernorm(p['ln'], x, eps)
+    if cond.ndim == 2 and x.ndim == 3:
+        weight = weight[:, None, :]
+        bias = bias[:, None, :]
+    return weight * y + bias
+
+
+def ffn_init(key: jax.Array, d_model: int, d_ff: int, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {'lin1': linear_init(k1, d_model, d_ff, dtype=dtype),
+            'lin2': linear_init(k2, d_ff, d_model, dtype=dtype)}
+
+
+def ffn(p: Params, x: jax.Array, *, dropout_rate: float = 0.0,
+        rng: jax.Array | None = None) -> jax.Array:
+    """Linear → exact (erf) GELU → dropout → Linear (reference FeedForward,
+    modules.py:210-221; torch nn.GELU defaults to the erf form, hence
+    ``approximate=False``)."""
+    h = jax.nn.gelu(linear(p['lin1'], x), approximate=False)
+    h = dropout(h, dropout_rate, rng)
+    return linear(p['lin2'], h)
+
+
+def dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
+    """Inverted dropout; identity when rng is None (deterministic/eval mode)."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal positional encoding (reference modules.py:40-80)
+# ---------------------------------------------------------------------------
+
+def sinusoidal_table(max_len: int, d_model: int, dtype=jnp.float32) -> jax.Array:
+    """Fixed table: pe[pos, 2i] = sin(pos * exp(-2i ln(1e4)/d)), pe[pos, 2i+1] = cos(...)."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                       * (-math.log(10000.0) / d_model))
+    angles = position * div_term
+    pe = jnp.zeros((max_len, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    return pe.astype(dtype)
+
+
+def add_positional(pe: jax.Array, x: jax.Array, offset: int | jax.Array = 0,
+                   *, dropout_rate: float = 0.0, rng: jax.Array | None = None) -> jax.Array:
+    """x[..., t, :] += pe[offset + t].  ``offset`` supports KV-cached decode where the
+    current token sits at an absolute stream position."""
+    seq_len = x.shape[-2]
+    if isinstance(offset, int) and offset == 0:
+        p = pe[:seq_len]
+    else:
+        p = jax.lax.dynamic_slice_in_dim(pe, offset, seq_len, axis=0)
+    return dropout(x + p.astype(x.dtype), dropout_rate, rng)

@@ -1,0 +1,147 @@
+"""Transformer stack: scanned pre-norm encoder layers with AdaLN support and a
+preallocated-KV-cache decode path.
+
+TPU-native equivalent of the reference EncoderLayer / Transformer
+(``/root/reference/valle/models/modules.py:224-352``).  Architectural choices:
+
+- **Stacked layer params + ``lax.scan``**: all L layers share one compiled body (one
+  trace instead of L), the XLA-idiomatic formulation of a homogeneous stack.  Params are
+  initialized per-layer (distinct keys) then ``jnp.stack``-ed leaf-wise.
+- **Pre-norm residual blocks** exactly as the reference (modules.py:270-278):
+  ``x + drop(attn(norm1(x)))``; ``x + drop(ffn(norm2(x)))``; norm is LayerNorm or
+  AdaptiveLayerNorm conditioned on a stage embedding.
+- **Decode**: the reference truncates the input to the last token and drops the mask
+  when cached (modules.py:336-338).  Here prefill fills a static (L, b, h, max, hd)
+  cache in one pass and `decode_step` advances one token with no host round-trips —
+  both jit-compatible and used inside ``lax.while_loop`` / ``lax.scan`` by the models.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .attention import mha, mha_decode_step, mha_init, qkv_proj, sdpa, _merge_heads
+from .nn import adaln, adaln_init, dropout, ffn, ffn_init, layernorm, layernorm_init, linear
+
+Params = dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer KV cache: k, v of shape (L, b, h, max_len, hd)."""
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def zeros(cls, num_layers: int, batch: int, n_heads: int, max_len: int,
+              head_dim: int, dtype=jnp.float32) -> 'KVCache':
+        shape = (num_layers, batch, n_heads, max_len, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def encoder_layer_init(key: jax.Array, d_model: int, n_heads: int, d_ff: int,
+                       adaptive_norm: bool, dtype=jnp.float32) -> Params:
+    k_attn, k_ffn, k_n1, k_n2 = jax.random.split(key, 4)
+    if adaptive_norm:
+        norm1, norm2 = adaln_init(k_n1, d_model, dtype), adaln_init(k_n2, d_model, dtype)
+    else:
+        norm1, norm2 = layernorm_init(d_model, dtype), layernorm_init(d_model, dtype)
+    return {'attn': mha_init(k_attn, d_model, n_heads, dtype),
+            'ffn': ffn_init(k_ffn, d_model, d_ff, dtype),
+            'norm1': norm1, 'norm2': norm2}
+
+
+def transformer_init(key: jax.Array, num_layers: int, d_model: int, n_heads: int,
+                     d_ff: int, adaptive_norm: bool, dtype=jnp.float32) -> Params:
+    layers = [encoder_layer_init(k, d_model, n_heads, d_ff, adaptive_norm, dtype)
+              for k in jax.random.split(key, num_layers)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _norm(p: Params, x: jax.Array, cond: jax.Array | None) -> jax.Array:
+    if 'proj' in p:  # AdaptiveLayerNorm
+        assert cond is not None, 'AdaptiveLayerNorm requires a conditioning embedding'
+        return adaln(p, x, cond)
+    return layernorm(p, x)
+
+
+def encoder_layer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None,
+                  cond: jax.Array | None, *, dropout_rate: float = 0.0,
+                  rng: jax.Array | None = None, return_kv: bool = False,
+                  flash: dict | None = None):
+    """One pre-norm block (reference modules.py:240-280)."""
+    rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+    h = _norm(p['norm1'], x, cond)
+    if return_kv:
+        attn_out, k, v = mha(p['attn'], h, n_heads, bias, return_kv=True, flash=flash)
+    else:
+        attn_out = mha(p['attn'], h, n_heads, bias, flash=flash)
+    x = x + dropout(attn_out, dropout_rate, rngs[0])
+    h = ffn(p['ffn'], _norm(p['norm2'], x, cond), dropout_rate=dropout_rate, rng=rngs[1])
+    x = x + dropout(h, dropout_rate, rngs[2])
+    if return_kv:
+        return x, k, v
+    return x
+
+
+def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
+                cond: jax.Array | None = None, *, dropout_rate: float = 0.0,
+                rng: jax.Array | None = None, remat: bool = False,
+                flash: dict | None = None) -> jax.Array:
+    """Full-sequence forward over the scanned stack (training path)."""
+    num_layers = jax.tree.leaves(p)[0].shape[0]
+
+    def body(carry, scan_in):
+        layer_p, idx = scan_in
+        layer_rng = jax.random.fold_in(rng, idx) if rng is not None else None
+        y = encoder_layer(layer_p, carry, n_heads, bias, cond,
+                          dropout_rate=dropout_rate, rng=layer_rng, flash=flash)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (p, jnp.arange(num_layers)))
+    return x
+
+
+def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
+                        bias: jax.Array | None = None,
+                        cond: jax.Array | None = None):
+    """Forward pass that also fills a KV cache padded to ``max_len``.
+
+    Returns (y, KVCache) where cache slots [0, seq_len) hold the prefix keys/values.
+    Replaces the reference's first cached iteration (modules.py:340-351).
+    """
+    seq_len = x.shape[1]
+    pad = max_len - seq_len
+
+    def body(carry, layer_p):
+        y, k, v = encoder_layer(layer_p, carry, n_heads, bias, cond, return_kv=True)
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return y, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, x, p)
+    return x, KVCache(ks, vs)
+
+
+def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCache,
+                            index: jax.Array, cond: jax.Array | None = None):
+    """Advance one token: x is (b, 1, d) at absolute position ``index``.
+
+    Scans over layers, threading the token through and updating each layer's cache
+    slice.  Returns (y (b, 1, d), new_cache).
+    """
+    def body(carry, scan_in):
+        layer_p, ck, cv = scan_in
+        h = _norm(layer_p['norm1'], carry, cond)
+        attn_out, ck, cv = mha_decode_step(layer_p['attn'], h, n_heads, ck, cv, index)
+        y = carry + attn_out
+        y = y + ffn(layer_p['ffn'], _norm(layer_p['norm2'], y, cond))
+        return y, (ck, cv)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (p, cache.k, cache.v))
+    return x, KVCache(ks, vs)

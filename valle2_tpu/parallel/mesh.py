@@ -1,0 +1,92 @@
+"""Device mesh + sharding rules (SPMD over ICI).
+
+The reference has no parallelism at all (SURVEY §2.3: Lightning single-accelerator,
+no DDP/NCCL configured).  The TPU-native story is declarative: one
+``Mesh(('data', 'model'))``, ``NamedSharding`` annotations on params/batch, and XLA
+inserts the collectives (gradient ``psum`` over 'data', activation collectives for the
+tensor-parallel 'model' axis) over ICI — no communication code here at all.
+
+Sharding rules (GSPMD annotations; correctness never depends on them):
+- batch leaves: first axis over 'data'.
+- attention qkv (L, d, 3d) and FFN lin1 (L, d, ffn): output features over 'model'
+  (column parallel); attention out (L, d, d) and FFN lin2 (L, ffn, d): input features
+  over 'model' (row parallel) — the Megatron pairing, one psum per block.
+- output projections: vocab over 'model'.
+- embeddings / norms / biases: replicated (tiny at this scale).
+
+At the reference's default scale (d=256) 'model' stays size 1 and this degrades to
+pure data parallelism; the rules exist so larger configs shard without code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = dict[str, Any]
+
+
+def make_mesh(data: int | None = None, model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if data is None:
+        data = len(devices) // model
+    assert data * model <= len(devices), \
+        f'mesh {data}x{model} needs {data * model} devices, have {len(devices)}'
+    dev = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(dev, ('data', 'model'))
+
+
+def batch_sharding(mesh: Mesh, batch: Any) -> Any:
+    """Shard every batch leaf's leading axis over 'data'."""
+    def spec(x):
+        return NamedSharding(mesh, P('data', *([None] * (np.ndim(x) - 1))))
+    return jax.tree.map(spec, batch)
+
+
+def _param_spec(path: tuple, leaf) -> P:
+    """Partition spec from the param path (keys joined) + rank."""
+    keys = [getattr(k, 'key', getattr(k, 'idx', None)) for k in path]
+    names = [str(k) for k in keys if k is not None]
+    joined = '/'.join(names)
+    ndim = np.ndim(leaf)
+
+    def lastdim(spec_last):
+        return P(*([None] * (ndim - 1) + [spec_last]))
+
+    def middim(spec_mid):
+        if ndim < 2:
+            return P(*([None] * ndim))
+        return P(*([None] * (ndim - 2) + [spec_mid, None]))
+
+    if joined.endswith('qkv/w') or joined.endswith('lin1/w'):
+        return lastdim('model')              # column parallel
+    if joined.endswith('lin1/b'):
+        return lastdim('model')
+    if joined.endswith('out/w') or joined.endswith('lin2/w'):
+        return middim('model')               # row parallel
+    if 'proj_layers' in joined or joined == 'proj/w':
+        return lastdim('model')              # vocab-sharded output head
+    return P(*([None] * ndim))               # replicate
+
+
+def param_sharding(mesh: Mesh, params: Params) -> Params:
+    """NamedSharding pytree for a model's params under the Megatron-style rules."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)), params)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params: Params) -> Params:
+    """Place params according to the sharding rules."""
+    return jax.device_put(params, param_sharding(mesh, params))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    return jax.device_put(batch, batch_sharding(mesh, batch))

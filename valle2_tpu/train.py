@@ -1,0 +1,256 @@
+"""Training loop: jitted update step, optax optimizer, orbax checkpointing, metrics.
+
+TPU-native replacement for the reference's Lightning trainer
+(``/root/reference/valle/train_model.py:13-44`` + the optimizer config at
+``valle_ar.py:182-194``).  One pjit-compiled function does forward + backward + global
+-norm clip + AdamW update, sharded over the ('data', 'model') mesh; gradient psums ride
+ICI, inserted by XLA from the sharding annotations.  Grad accumulation uses
+``optax.MultiSteps`` (SURVEY §2.3).  Checkpoint/resume is orbax (params + opt state +
+step); metrics go to TensorBoard via tensorboardX under the same ``train/loss`` tag as
+the reference (valle_ar.py:88) for comparability.
+
+Public API parity: ``train(hparams_fp, model_name)`` and a ``-c/--config -m/--model``
+CLI (train_model.py:38-44 — whose shipped entry point crashes on a bad attribute,
+SURVEY Q2; this one works).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .config import ConfigValle
+from .data import get_dataloaders
+from .models import ar as ar_mod
+from .models import nar as nar_mod
+from .parallel import make_mesh, shard_batch, shard_params
+from .utils import log_info
+
+Params = dict[str, Any]
+
+LOSS_FNS = {
+    'ValleAR': ar_mod.loss_fn,
+    'ValleASR': ar_mod.loss_fn,
+    'ValleNAR': nar_mod.loss_fn,
+}
+INIT_FNS = {
+    'ValleAR': ar_mod.init_params,
+    'ValleASR': ar_mod.init_params,
+    'ValleNAR': nar_mod.init_params,
+}
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+
+def lr_schedule(config: ConfigValle) -> optax.Schedule:
+    """Reference scheduler: CosineAnnealingWarmRestarts(T_0=lr_warmup) — restart-period
+    cosine from lr to 0 (valle_ar.py:190-193).  'warmup_cosine' is the TPU-recommended
+    alternative; 'constant' for debugging."""
+    if config.schedule == 'cosine_restarts':
+        period = max(config.lr_warmup, 1)
+
+        def sched(step):
+            t = jnp.mod(step, period) / period
+            return config.lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        return sched
+    if config.schedule == 'warmup_cosine':
+        return optax.warmup_cosine_decay_schedule(
+            0.0, config.lr, config.lr_warmup,
+            max(config.max_steps, config.lr_warmup + 1))
+    return optax.constant_schedule(config.lr)
+
+
+def make_optimizer(config: ConfigValle) -> optax.GradientTransformation:
+    """AdamW(betas, wd) + global-norm clip (reference valle_ar.py:182-189 +
+    Trainer(gradient_clip_val), train_model.py:31).  'Fused' is inherent under XLA."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.gradient_clip_val),
+        optax.adamw(lr_schedule(config), b1=config.betas[0], b2=config.betas[1],
+                    weight_decay=config.weight_decay),
+    )
+    if config.grad_accum > 1:
+        tx = optax.MultiSteps(tx, config.grad_accum)
+    return tx
+
+
+def init_state(config: ConfigValle, model_name: str, rng: jax.Array) -> TrainState:
+    params = INIT_FNS[model_name](rng, config)
+    tx = make_optimizer(config)
+    return TrainState(params, tx.init(params), jnp.int32(0))
+
+
+def make_train_step(config: ConfigValle, model_name: str, mesh=None):
+    """Build the jitted (state, batch, rng) → (state, metrics) update."""
+    loss_fn = LOSS_FNS[model_name]
+    tx = make_optimizer(config)
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        with jax.default_matmul_precision(config.matmul_precision):
+            grads, metrics = jax.grad(
+                lambda p: loss_fn(p, config, batch, step_rng), has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    # With a mesh, params are placed by parallel.shard_params and the batch by
+    # parallel.shard_batch before the call; GSPMD propagates the shardings through
+    # the whole step and inserts the grad psum / TP collectives itself.
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(config: ConfigValle, model_name: str):
+    loss_fn = LOSS_FNS[model_name]
+
+    @jax.jit
+    def eval_fn(params: Params, batch: dict, rng: jax.Array):
+        # NAR still needs an rng for its stage draw; dropout stays off (rng=None
+        # path inside loss for AR; NAR uses rng only for the stage).
+        _, metrics = loss_fn(params, config, batch, rng)
+        return metrics
+    return eval_fn
+
+
+class Trainer:
+    """Step-driven train loop (max_steps, log_every_n_steps, ckpt_every_n_steps)."""
+
+    def __init__(self, config: ConfigValle, model_name: str, mesh=None,
+                 use_tensorboard: bool = True):
+        self.config = config
+        self.model_name = model_name
+        self.mesh = mesh
+        self.train_step = make_train_step(config, model_name, mesh)
+        self.eval_step = make_eval_step(config, model_name)
+        self.writer = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                config.ensure_dirs()
+                self.writer = SummaryWriter(str(Path(config.log_path) / model_name))
+            except ImportError:
+                pass
+
+    # ---- checkpointing (orbax) ----
+    def save_checkpoint(self, state: TrainState) -> None:
+        import orbax.checkpoint as ocp
+        self.config.ensure_dirs()
+        path = (Path(self.config.ckpt_path).resolve() / self.model_name
+                / f'step_{int(state.step)}')
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, {'params': state.params, 'opt_state': state.opt_state,
+                              'step': state.step}, force=True)
+        log_info('Saved checkpoint at step %d → %s', int(state.step), path)
+
+    def restore_checkpoint(self, state: TrainState, path: str | Path) -> TrainState:
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                Path(path).resolve(),
+                item={'params': state.params, 'opt_state': state.opt_state,
+                      'step': state.step})
+        return TrainState(restored['params'], restored['opt_state'], restored['step'])
+
+    def latest_checkpoint(self) -> Path | None:
+        root = Path(self.config.ckpt_path) / self.model_name
+        if not root.exists():
+            return None
+        steps = sorted((int(p.name.split('_')[1]), p) for p in root.glob('step_*'))
+        return steps[-1][1] if steps else None
+
+    # ---- loops ----
+    def fit(self, state: TrainState, train_loader, valid_loader=None,
+            resume: bool = False) -> TrainState:
+        cfg = self.config
+        rng = jax.random.key(cfg.seed)
+        if resume:
+            latest = self.latest_checkpoint()
+            if latest is not None:
+                state = self.restore_checkpoint(state, latest)
+                log_info('Resumed from %s (step %d)', latest, int(state.step))
+        if self.mesh is not None:
+            state = TrainState(shard_params(self.mesh, state.params),
+                               state.opt_state, state.step)
+
+        t_start = time.time()
+        frames = 0
+        step = int(state.step)
+        while step < cfg.max_steps:
+            for batch in train_loader:
+                if step >= cfg.max_steps:
+                    break
+                batch = (shard_batch(self.mesh, batch) if self.mesh is not None
+                         else jax.tree.map(jnp.asarray, batch))
+                state, metrics = self.train_step(state, batch, rng)
+                step += 1
+                frames += int(np.prod(batch['codes'].shape[:2]))
+                if step % cfg.log_every_n_steps == 0 or step == 1:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    elapsed = time.time() - t_start
+                    log_info('step %d | loss %.4f | acc %.3f | %.0f frames/s',
+                             step, m['loss'], m.get('acc', 0.0), frames / max(elapsed, 1e-6))
+                    if self.writer:
+                        self.writer.add_scalar('train/loss', m['loss'], step)
+                        for k, v in m.items():
+                            if k != 'loss':
+                                self.writer.add_scalar(f'train/{k}', v, step)
+                if cfg.ckpt_every_n_steps and step % cfg.ckpt_every_n_steps == 0:
+                    self.save_checkpoint(state)
+            if valid_loader is not None:
+                self.validate(state, valid_loader, step, rng)
+        self.save_checkpoint(state)
+        return state
+
+    def validate(self, state: TrainState, valid_loader, step: int, rng: jax.Array):
+        losses = []
+        for i, batch in enumerate(valid_loader):
+            batch = jax.tree.map(jnp.asarray, batch)
+            metrics = self.eval_step(state.params, batch, jax.random.fold_in(rng, i))
+            losses.append(float(metrics['loss']))
+        if losses:
+            mean = float(np.mean(losses))
+            log_info('valid | step %d | loss %.4f', step, mean)
+            if self.writer:
+                self.writer.add_scalar('valid/loss', mean, step)
+            return mean
+        return None
+
+
+def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
+          mesh=None, resume: bool = False) -> TrainState:
+    """End-to-end training entry (reference train_model.py:13-35)."""
+    config = ConfigValle.from_json(hparams_fp)
+    log_info('Training %s with %s', model_name, config)
+    state = init_state(config, model_name, jax.random.key(config.seed))
+    train_loader, valid_loader = get_dataloaders(model_name, config, synthetic=synthetic)
+    trainer = Trainer(config, model_name, mesh=mesh)
+    return trainer.fit(state, train_loader, valid_loader, resume=resume)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description='Train a VALL-E TPU model')
+    parser.add_argument('-c', '--config', type=Path, required=True)
+    parser.add_argument('-m', '--model', type=str,
+                        choices=['ValleAR', 'ValleNAR', 'ValleASR'], required=True)
+    parser.add_argument('--synthetic', action='store_true',
+                        help='Use synthetic data (no dataset download)')
+    parser.add_argument('--resume', action='store_true')
+    args = parser.parse_args(argv)
+    train(args.config, args.model, synthetic=args.synthetic, resume=args.resume)
+
+
+if __name__ == '__main__':
+    main()

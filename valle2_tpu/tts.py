@@ -1,0 +1,131 @@
+"""End-to-end VALL-E X pipelines: TTS (text → waveform) and ASR (audio → text).
+
+The reference has no end-to-end entry point (SURVEY §1: 'inference: user code calls
+model.generate directly'); this module composes the full stack the way the BASELINE
+configs describe:
+
+TTS  (BASELINE config #4): phonemize → AR first-codebook decode (on-device while_loop)
+     → NAR 7-stage refinement (on-device scan) → native codec decode → 24 kHz waveform,
+     with a cloning prompt (prompt audio + its transcript).
+ASR  (BASELINE config #5): audio → codec encode → direction-swapped AR decode over the
+     phoneme vocabulary, batched.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codec import EncodecTPU
+from .config import ConfigValle
+from .data.frontend import PhonemeTokenizer
+from .models import ValleAR, ValleNAR
+from .utils import log_info, normalize_audio
+
+
+@dataclass
+class TTSResult:
+    waveform: np.ndarray            # (T,) float32 @ 24 kHz
+    codes: np.ndarray               # (frames, num_quantizers)
+    rtf: float                      # wall-clock / audio-seconds
+    timings: dict[str, float]
+
+
+class ValleTTS:
+    """text (+ cloning prompt) → waveform."""
+
+    def __init__(self, config: ConfigValle, ar: ValleAR | None = None,
+                 nar: ValleNAR | None = None, codec: EncodecTPU | None = None,
+                 tokenizer: PhonemeTokenizer | None = None):
+        self.config = config
+        self.ar = ar if ar is not None else ValleAR(config)
+        self.nar = nar if nar is not None else ValleNAR(config)
+        self.codec = codec if codec is not None else EncodecTPU()
+        self.tokenizer = tokenizer if tokenizer is not None else PhonemeTokenizer()
+
+    def prepare_prompt(self, prompt_audio, prompt_sr: int, prompt_text: str
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Cloning prompt → (prompt_tokens, prompt_codes (T, nq))."""
+        wav = normalize_audio(jnp.asarray(prompt_audio), prompt_sr,
+                              self.codec.sampling_rate)
+        codes = np.asarray(self.codec.encode(wav)).T        # (T, nq)
+        tokens = self.tokenizer(prompt_text)
+        return tokens, codes
+
+    def synthesize(self, text: str, prompt_tokens, prompt_codes,
+                   rng: jax.Array | None = None) -> TTSResult:
+        """Full pipeline.  prompt_codes: (T, num_quantizers) from prepare_prompt."""
+        if rng is None:
+            rng = jax.random.key(self.config.seed)
+        ar_rng, nar_rng = jax.random.split(jnp.asarray(rng))
+        timings: dict[str, float] = {}
+
+        t0 = time.perf_counter()
+        target_tokens = self.tokenizer(text)
+        timings['frontend'] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        first_layer = np.asarray(self.ar.generate(
+            jnp.asarray(prompt_tokens), jnp.asarray(prompt_codes),
+            jnp.asarray(target_tokens), rng=ar_rng))
+        timings['ar_decode'] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        codes = np.asarray(self.nar.generate(
+            jnp.asarray(prompt_tokens), jnp.asarray(prompt_codes),
+            jnp.asarray(target_tokens), jnp.asarray(first_layer), rng=nar_rng))
+        timings['nar_refine'] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        wav = np.asarray(self.codec.decode(codes.T))
+        timings['codec_decode'] = time.perf_counter() - t0
+
+        audio_secs = len(wav) / self.codec.sampling_rate
+        rtf = sum(timings.values()) / max(audio_secs, 1e-9)
+        return TTSResult(wav, codes, rtf, timings)
+
+    def __call__(self, text: str, prompt_audio, prompt_sr: int, prompt_text: str,
+                 rng: jax.Array | None = None) -> TTSResult:
+        tokens, codes = self.prepare_prompt(prompt_audio, prompt_sr, prompt_text)
+        return self.synthesize(text, tokens, codes, rng)
+
+
+class ValleASRPipeline:
+    """audio → codec tokens → phoneme transcription (direction-swapped AR model).
+
+    The reference README claims ASR but ships no code (SURVEY §0); this realizes the
+    direction-symmetric formulation: source stream = first-codebook codes, target
+    stream = phonemes with BOS/EOS at vocab_size/vocab_size+1.
+    """
+
+    def __init__(self, config: ConfigValle, ar: ValleAR | None = None,
+                 codec: EncodecTPU | None = None,
+                 tokenizer: PhonemeTokenizer | None = None):
+        import dataclasses
+        if config.direction != 'asr':
+            config = dataclasses.replace(config, direction='asr')
+        self.config = config
+        self.ar = ar if ar is not None else ValleAR(config)
+        self.codec = codec if codec is not None else EncodecTPU()
+        self.tokenizer = tokenizer if tokenizer is not None else PhonemeTokenizer()
+
+    def transcribe(self, audio, sr: int, rng: jax.Array | None = None) -> list[str]:
+        """One utterance → phoneme strings."""
+        wav = normalize_audio(jnp.asarray(audio), sr, self.codec.sampling_rate)
+        codes0 = np.asarray(self.codec.encode(wav))[0]      # first codebook (T,)
+        # In ASR direction the AR 'tokens' stream carries codec codes and the decoded
+        # stream carries phonemes; generate() handles BOS/EOS in the target vocab.
+        ids = np.asarray(self.ar.generate(
+            jnp.asarray(codes0, jnp.int32),
+            np.zeros((0, self.config.num_quantizers), np.int32),
+            rng=rng))
+        return self.tokenizer.decode(ids)
+
+    def batch_transcribe(self, audios: list, srs: list[int],
+                         rng: jax.Array | None = None) -> list[list[str]]:
+        return [self.transcribe(a, s, rng) for a, s in zip(audios, srs)]
