@@ -12,12 +12,17 @@ Extra detail (RTF breakdown, NAR + codec timings) goes to stderr.
 """
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache_tpu')
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
 def log(*args):

@@ -72,7 +72,7 @@ class TestFrontend:
 
 class TestTrainer:
     def test_loss_decreases_over_steps(self, tmp_path):
-        cfg = tiny_cfg(tmp_path, max_steps=12, lr=3e-3, min_frames=0)
+        cfg = tiny_cfg(tmp_path, max_steps=12, lr=3e-3)
         collate = get_collate('ValleAR')(cfg)
         ds = SyntheticValleDataset(cfg, size=4, min_frames=30, max_frames=60)
         loader = DataLoader(ds, cfg.batch_size, collate, shuffle=False)

@@ -47,36 +47,41 @@ def batch_sharding(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(spec, batch)
 
 
-def _param_spec(path: tuple, leaf) -> P:
-    """Partition spec from the param path (keys joined) + rank."""
+def _param_spec(path: tuple, leaf, model_size: int) -> P:
+    """Partition spec from the param path (keys joined) + rank.
+
+    A dim is only sharded if divisible by the 'model' axis size (e.g. the
+    num_audio_tokens+1 = 1025-wide output head replicates on an even axis).
+    """
     keys = [getattr(k, 'key', getattr(k, 'idx', None)) for k in path]
     names = [str(k) for k in keys if k is not None]
     joined = '/'.join(names)
-    ndim = np.ndim(leaf)
+    shape = np.shape(leaf)
+    ndim = len(shape)
 
-    def lastdim(spec_last):
-        return P(*([None] * (ndim - 1) + [spec_last]))
-
-    def middim(spec_mid):
-        if ndim < 2:
+    def dim_spec(axis_from_end: int) -> P:
+        idx = ndim - axis_from_end
+        if idx < 0 or shape[idx] % model_size != 0:
             return P(*([None] * ndim))
-        return P(*([None] * (ndim - 2) + [spec_mid, None]))
+        spec = [None] * ndim
+        spec[idx] = 'model'
+        return P(*spec)
 
-    if joined.endswith('qkv/w') or joined.endswith('lin1/w'):
-        return lastdim('model')              # column parallel
-    if joined.endswith('lin1/b'):
-        return lastdim('model')
+    if joined.endswith('qkv/w') or joined.endswith('lin1/w') or joined.endswith('lin1/b'):
+        return dim_spec(1)                   # column parallel (output features)
     if joined.endswith('out/w') or joined.endswith('lin2/w'):
-        return middim('model')               # row parallel
+        return dim_spec(2)                   # row parallel (input features)
     if 'proj_layers' in joined or joined == 'proj/w':
-        return lastdim('model')              # vocab-sharded output head
+        return dim_spec(1)                   # vocab-sharded output head
     return P(*([None] * ndim))               # replicate
 
 
 def param_sharding(mesh: Mesh, params: Params) -> Params:
     """NamedSharding pytree for a model's params under the Megatron-style rules."""
+    model_size = mesh.shape.get('model', 1)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)), params)
+        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf, model_size)),
+        params)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
