@@ -1,0 +1,90 @@
+"""Pallas kernel tests (interpreter mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valle2_tpu.kernels.flash_attention import flash_attention, reference_attention
+
+
+def make_qkv(seed, b, h, s, hd):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return tuple(jax.random.normal(k, (b, h, s, hd)) for k in ks)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize('causal', [True, False])
+    def test_matches_reference_unpadded(self, causal):
+        b, h, s, hd = 2, 2, 160, 32
+        q, k, v = make_qkv(0, b, h, s, hd)
+        tokens_total = 48
+        meta = jnp.asarray([[48, s], [48, s]], jnp.int32)
+        out = flash_attention(q, k, v, meta, tokens_total, causal,
+                              block_q=64, block_k=64)
+        want = reference_attention(q, k, v, meta, tokens_total, causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    def test_matches_reference_with_padding(self):
+        b, h, s, hd = 2, 2, 192, 32
+        q, k, v = make_qkv(1, b, h, s, hd)
+        tokens_total = 64
+        # Row 0: only 40 valid tokens, codes end at 150; row 1 fully valid.
+        meta = jnp.asarray([[40, 150], [64, 192]], jnp.int32)
+        out = flash_attention(q, k, v, meta, tokens_total, True,
+                              block_q=64, block_k=64)
+        want = reference_attention(q, k, v, meta, tokens_total, True)
+        # Compare only rows the model consumes (valid queries); padded-query rows
+        # are don't-care (masked out of the loss downstream).
+        o, w = np.asarray(out), np.asarray(want)
+        np.testing.assert_allclose(o[0, :, :150], w[0, :, :150], atol=2e-5)
+        np.testing.assert_allclose(o[1], w[1], atol=2e-5)
+
+    def test_non_multiple_seq_len(self):
+        b, h, s, hd = 1, 2, 100, 32    # not a block multiple -> internal padding
+        q, k, v = make_qkv(2, b, h, s, hd)
+        meta = jnp.asarray([[30, s]], jnp.int32)
+        out = flash_attention(q, k, v, meta, 30, True, block_q=64, block_k=64)
+        want = reference_attention(q, k, v, meta, 30, True)
+        assert out.shape == (b, h, s, hd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    def test_gradients_flow(self):
+        b, h, s, hd = 1, 2, 64, 16
+        q, k, v = make_qkv(3, b, h, s, hd)
+        meta = jnp.asarray([[16, s]], jnp.int32)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, meta, 16, True,
+                                           block_q=64, block_k=64) ** 2)
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(reference_attention(q, k, v, meta, 16, True) ** 2)
+
+        rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
+
+    def test_model_loss_with_flash_matches_bias_path(self):
+        """AR loss with use_flash_attention == the materialized-bias path."""
+        from valle2_tpu.config import ConfigValle
+        from valle2_tpu.models import ar as ar_mod
+        import dataclasses
+        cfg = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                          dropout=0.0, norm='LayerNorm')
+        params = ar_mod.init_params(jax.random.key(0), cfg)
+        rs = np.random.RandomState(0)
+        batch = {
+            'tokens': jnp.asarray(rs.randint(0, 255, (2, 6))),
+            'tokens_lens': jnp.asarray([6, 4]),
+            'codes': jnp.asarray(rs.randint(0, 1024, (2, 10))),
+            'codes_lens': jnp.asarray([10, 7]),
+            'target': jnp.asarray(rs.randint(0, 1024, (2, 10))),
+        }
+        l_bias, _ = ar_mod.loss_fn(params, cfg, batch, None)
+        cfg_f = dataclasses.replace(cfg, use_flash_attention=True)
+        l_flash, _ = ar_mod.loss_fn(params, cfg_f, batch, None)
+        np.testing.assert_allclose(float(l_bias), float(l_flash), atol=1e-5)

@@ -1,0 +1,62 @@
+"""End-to-end pipeline tests: TTS (text→waveform) and batched ASR."""
+
+import jax
+import numpy as np
+import pytest
+
+from valle2_tpu.config import ConfigValle
+from valle2_tpu.tts import ValleASRPipeline, ValleTTS
+
+
+def tiny_cfg(**kw):
+    base = dict(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                max_audio_len=12, num_beams=2, dropout=0.0, temperature=0.0,
+                bucket_sizes=(32, 64, 128))
+    base.update(kw)
+    return ConfigValle(**base)
+
+
+class TestValleTTS:
+    @pytest.fixture(scope='class')
+    def tts(self):
+        return ValleTTS(tiny_cfg())
+
+    def test_synthesize_produces_waveform(self, tts):
+        rs = np.random.RandomState(0)
+        prompt_tokens = rs.randint(0, 70, (6,))
+        prompt_codes = rs.randint(0, 1024, (8, 8))
+        res = tts.synthesize('hi.', prompt_tokens, prompt_codes)
+        assert res.waveform.ndim == 1
+        assert len(res.waveform) % 320 == 0
+        assert res.codes.shape[1] == 8
+        assert res.rtf > 0
+        assert set(res.timings) == {'frontend', 'ar_decode', 'nar_refine',
+                                    'codec_decode'}
+
+    def test_call_with_prompt_audio(self, tts):
+        rs = np.random.RandomState(1)
+        prompt_audio = rs.randn(4800).astype(np.float32)
+        res = tts('ok.', prompt_audio, 24000, 'a b.')
+        assert res.waveform.ndim == 1 and len(res.waveform) > 0
+
+    def test_greedy_deterministic(self, tts):
+        rs = np.random.RandomState(2)
+        pt = rs.randint(0, 70, (5,))
+        pc = rs.randint(0, 1024, (6, 8))
+        a = tts.synthesize('go.', pt, pc, rng=jax.random.key(0))
+        b = tts.synthesize('go.', pt, pc, rng=jax.random.key(5))
+        np.testing.assert_array_equal(a.codes, b.codes)
+
+
+class TestValleASR:
+    def test_batch_transcribe_matches_solo(self):
+        asr = ValleASRPipeline(tiny_cfg(vocab_size=70))
+        rs = np.random.RandomState(3)
+        audios = [rs.randn(4800).astype(np.float32),
+                  rs.randn(7200).astype(np.float32)]
+        batch = asr.batch_transcribe(audios, [24000, 24000])
+        assert len(batch) == 2
+        solo0 = asr.transcribe(audios[0], 24000)
+        assert batch[0] == solo0
+        for syms in batch:
+            assert all(isinstance(s, str) for s in syms)

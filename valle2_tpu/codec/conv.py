@@ -30,6 +30,14 @@ Params = dict[str, Any]
 _DN = ('NWC', 'WIO', 'NWC')  # (batch, time, chan) x (width, in, out)
 
 
+def _precision_for(dtype) -> jax.lax.Precision:
+    """float32 weights → exact f32 math (token parity feeds an argmin; this
+    backend's *default* matmul precision is low).  bfloat16 weights mean the caller
+    chose the fast decode path — let the MXU run natively."""
+    return (jax.lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def conv1d_init(key: jax.Array, in_ch: int, out_ch: int, kernel: int,
                 dtype=jnp.float32) -> Params:
     """torch nn.Conv1d default init (kaiming uniform, fan_in = in_ch * kernel)."""
@@ -73,7 +81,7 @@ def causal_conv1d(p: Params, x: jax.Array, stride: int = 1, dilation: int = 1,
     y = jax.lax.conv_general_dilated(
         x, p['w'], window_strides=(stride,), padding='VALID',
         rhs_dilation=(dilation,), dimension_numbers=_DN,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_precision_for(p['w'].dtype))
     return y + p['b']
 
 
@@ -91,7 +99,7 @@ def causal_conv_transpose1d(p: Params, x: jax.Array, stride: int) -> jax.Array:
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,), padding=[(kernel - 1, kernel - 1)],
         lhs_dilation=(stride,), dimension_numbers=_DN,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_precision_for(w.dtype))
     y = y + p['b']
     padding_total = kernel - stride
     if padding_total > 0:

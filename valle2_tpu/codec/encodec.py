@@ -56,15 +56,24 @@ def embed(params: Params, wav: jax.Array) -> jax.Array:
 
 
 class EncodecTPU:
-    """Stateful wrapper with the reference EncodecPip surface."""
+    """Stateful wrapper with the reference EncodecPip surface.
+
+    ``decode_dtype``: compute dtype for the decode path (waveform synthesis).
+    bfloat16 roughly halves decode latency; encode always runs float32/highest —
+    token IDs feed an argmin and must match the reference bit-for-bit.
+    """
 
     def __init__(self, params: Params | None = None, checkpoint: str | None = None,
-                 seed: int = 0):
+                 seed: int = 0, decode_dtype: str = 'float32'):
         if params is None and checkpoint is not None:
             params = jax.tree.map(jnp.asarray, load_torch_checkpoint(checkpoint))
         if params is None:
             params = init_params(jax.random.key(seed))
         self.params = params
+        ddtype = jnp.dtype(decode_dtype)
+        self._dec_params = (params if ddtype == jnp.float32 else
+                            jax.tree.map(lambda a: a.astype(ddtype)
+                                         if a.dtype == jnp.float32 else a, params))
         self._encode = jax.jit(encode, static_argnums=(2,))
         self._decode = jax.jit(decode)
         self._embed = jax.jit(embed)
@@ -91,12 +100,12 @@ class EncodecTPU:
         """(n_q, F) codes → 1D wave (F*320,)."""
         codes = jnp.asarray(codes, jnp.int32)
         assert codes.ndim == 2, f'Expected 2D codes tensor, got {codes.ndim}D'
-        return self._decode(self.params, codes[None])[0]
+        return self._decode(self._dec_params, codes[None])[0].astype(jnp.float32)
 
     def batch_decode(self, codes) -> jax.Array:
         codes = jnp.asarray(codes, jnp.int32)
         assert codes.ndim == 3, f'Expected 3D codes tensor, got {codes.ndim}D'
-        return self._decode(self.params, codes)
+        return self._decode(self._dec_params, codes).astype(jnp.float32)
 
     def encode_decode(self, audio) -> jax.Array:
         return self.decode(self.encode(audio))

@@ -45,15 +45,17 @@ def _lstm_layer(p: Params, x: jax.Array) -> jax.Array:
     """One LSTM layer over (B, T, C) → (B, T, H)."""
     b, t, _ = x.shape
     h_dim = p['w_hh'].shape[0]
-    # Hoist the input projection: one MXU matmul for the whole sequence.  Explicit
-    # 'highest' precision: codec numerics feed an argmin (RVQ) — bf16 matmul passes
-    # flip token ids (and this backend's *default* matmul precision is low).
-    gates_x = (jnp.matmul(x, p['w_ih'], precision='highest')
+    # Hoist the input projection: one MXU matmul for the whole sequence.  f32
+    # weights get explicit 'highest' precision (codec numerics feed an argmin — bf16
+    # matmul passes flip token ids, and this backend's *default* precision is low);
+    # bf16 weights are the fast decode path and run natively.
+    prec = 'highest' if p['w_ih'].dtype == jnp.float32 else 'default'
+    gates_x = (jnp.matmul(x, p['w_ih'], precision=prec)
                + (p['b_ih'] + p['b_hh']))                      # (B, T, 4H)
 
     def step(carry, gx):
         h, c = carry
-        gates = gx + jnp.matmul(h, p['w_hh'], precision='highest')
+        gates = gx + jnp.matmul(h, p['w_hh'], precision=prec)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)

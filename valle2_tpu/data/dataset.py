@@ -102,7 +102,7 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+    def _batches(self) -> Iterator[dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(order)
@@ -111,6 +111,32 @@ class DataLoader:
                            self.batch_size):
             idxs = order[start:start + self.batch_size]
             yield self.collate_fn([self.dataset[int(i)] for i in idxs])
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        """Iterate with one batch of background prefetch: host-side collate overlaps
+        the device step (the reference used torch DataLoader workers for this;
+        one thread suffices since the heavy encode already runs on the TPU)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
 
 
 def get_dataloaders(model_name: str, config: ConfigValle,

@@ -97,6 +97,7 @@ def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
     kernel = functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k,
                                sm_scale=sm_scale, seq_len=s_pad, n_heads=h,
                                tokens_total=tokens_total, causal=causal)
+    interpret = jax.default_backend() != 'tpu'   # CPU tests run the interpreter
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -111,6 +112,7 @@ def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
                                    lambda bi, qi, meta: (bi, qi, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+        interpret=interpret,
     )(meta, qf, kf, vf)
     return out.reshape(b, h, s_pad, hd)[:, :, :s]
 

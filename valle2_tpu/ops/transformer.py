@@ -129,13 +129,17 @@ def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
 
 
 def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCache,
-                            index: jax.Array, cond: jax.Array | None = None):
+                            index: jax.Array, cond: jax.Array | None = None,
+                            attend_mask: jax.Array | None = None):
     """Advance one token: x is (b, 1, d) at absolute position ``index``.
 
     Layers are **unrolled** (not scanned): a layer-scan forces XLA to slice and
     re-stack the whole (L, b, h, max, hd) cache every step — measured 2.3x slower on
     v5e than unrolled single-slot ``dynamic_update_slice`` writes, which XLA performs
     in place inside the enclosing while_loop.  Returns (y (b, 1, d), new_cache).
+
+    ``attend_mask``: optional (b, max_len) bool of cache slots this token may attend
+    (batched decode with per-row lengths); defaults to slots [0, index].
     """
     from .nn import linear
     from .attention import qkv_proj, sdpa, _merge_heads
@@ -144,8 +148,9 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
     num_layers = cache.k.shape[0]
     max_len = cache.k.shape[3]
     ck, cv = cache.k, cache.v
-    valid = jnp.arange(max_len) <= index
-    bias = jnp.where(valid, 0.0, NEG_INF)[None, None, None, :]
+    if attend_mask is None:
+        attend_mask = (jnp.arange(max_len) <= index)[None, :]
+    bias = jnp.where(attend_mask, 0.0, NEG_INF)[:, None, None, :]
     zero = jnp.int32(0)
     for li in range(num_layers):
         lp = jax.tree.map(lambda a: a[li], p)

@@ -248,8 +248,21 @@ def main(argv=None):
     parser.add_argument('--synthetic', action='store_true',
                         help='Use synthetic data (no dataset download)')
     parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--profile', type=Path, default=None,
+                        help='Capture a jax.profiler device trace into this dir')
+    parser.add_argument('--debug-nans', action='store_true',
+                        help='Enable jax_debug_nans (numerics sanitizer)')
     args = parser.parse_args(argv)
-    train(args.config, args.model, synthetic=args.synthetic, resume=args.resume)
+    if args.debug_nans:
+        from .profiling import enable_nan_checks
+        enable_nan_checks()
+    if args.profile is not None:
+        from .profiling import trace
+        with trace(args.profile):
+            train(args.config, args.model, synthetic=args.synthetic,
+                  resume=args.resume)
+    else:
+        train(args.config, args.model, synthetic=args.synthetic, resume=args.resume)
 
 
 if __name__ == '__main__':

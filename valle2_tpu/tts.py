@@ -45,7 +45,8 @@ class ValleTTS:
         self.config = config
         self.ar = ar if ar is not None else ValleAR(config)
         self.nar = nar if nar is not None else ValleNAR(config)
-        self.codec = codec if codec is not None else EncodecTPU()
+        # Waveform synthesis follows the model compute dtype; codec *encode* stays f32.
+        self.codec = codec if codec is not None else EncodecTPU(decode_dtype=config.dtype)
         self.tokenizer = tokenizer if tokenizer is not None else PhonemeTokenizer()
 
     def prepare_prompt(self, prompt_audio, prompt_sr: int, prompt_text: str
@@ -116,16 +117,20 @@ class ValleASRPipeline:
 
     def transcribe(self, audio, sr: int, rng: jax.Array | None = None) -> list[str]:
         """One utterance → phoneme strings."""
-        wav = normalize_audio(jnp.asarray(audio), sr, self.codec.sampling_rate)
-        codes0 = np.asarray(self.codec.encode(wav))[0]      # first codebook (T,)
-        # In ASR direction the AR 'tokens' stream carries codec codes and the decoded
-        # stream carries phonemes; generate() handles BOS/EOS in the target vocab.
-        ids = np.asarray(self.ar.generate(
-            jnp.asarray(codes0, jnp.int32),
-            np.zeros((0, self.config.num_quantizers), np.int32),
-            rng=rng))
-        return self.tokenizer.decode(ids)
+        return self.batch_transcribe([audio], [sr], rng)[0]
 
     def batch_transcribe(self, audios: list, srs: list[int],
                          rng: jax.Array | None = None) -> list[list[str]]:
-        return [self.transcribe(a, s, rng) for a, s in zip(audios, srs)]
+        """Batched transcription (BASELINE config #5): all utterances' codec tokens
+        decode through ONE on-device loop via ValleAR.generate_batch; per-item masks
+        keep each result identical to a solo decode."""
+        tokens_list, codes_list = [], []
+        for audio, sr in zip(audios, srs):
+            wav = normalize_audio(jnp.asarray(audio), sr, self.codec.sampling_rate)
+            codes0 = np.asarray(self.codec.encode(wav))[0]   # first codebook (T,)
+            # ASR direction: the AR source stream carries codec codes; the decoded
+            # stream carries phonemes (BOS/EOS in the phoneme vocab).
+            tokens_list.append(jnp.asarray(codes0, jnp.int32))
+            codes_list.append(np.zeros((0, self.config.num_quantizers), np.int32))
+        outs = self.ar.generate_batch(tokens_list, codes_list, rng=rng)
+        return [self.tokenizer.decode(np.asarray(ids)) for ids in outs]

@@ -32,6 +32,7 @@ if not logger.handlers:
     _handler.setLevel(logging.INFO)
     logger.addHandler(_handler)
     logger.setLevel(logging.INFO)
+    logger.propagate = False
 
 
 def log_debug(*args, **kwargs):
@@ -65,7 +66,8 @@ def to_device(x, device=None):
 @lru_cache(maxsize=32)
 def _sinc_kernel(l_up: int, m_down: int, width: int = 6) -> np.ndarray:
     """Hann-windowed sinc lowpass for rational L/M resampling (numpy, trace-time)."""
-    cutoff = 0.99 / max(l_up, m_down)          # normalized (Nyquist of denser grid)
+    # Cutoff at the dense grid's Nyquist (0.5) scaled by the rate ratio + rolloff.
+    cutoff = 0.99 * 0.5 / max(l_up, m_down)
     half = width * max(l_up, m_down)
     n = np.arange(-half, half + 1, dtype=np.float64)
     taps = 2.0 * cutoff * np.sinc(2.0 * cutoff * n)
