@@ -1,0 +1,97 @@
+"""Reference-checkpoint converter round trip: synthesize a reference-shaped torch
+state dict from known pytrees, convert, and require identical decode behaviour."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from valle2_tpu.config import ConfigValle
+from valle2_tpu.models import ar as ar_mod
+from valle2_tpu.models import nar as nar_mod
+from valle2_tpu.models.convert import convert_ar_state_dict, convert_nar_state_dict
+
+
+def cfg(**kw):
+    base = dict(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                num_audio_tokens=64, vocab_size=16, dropout=0.0, temperature=0.0,
+                num_beams=1, max_audio_len=8, norm='LayerNorm')
+    base.update(kw)
+    return ConfigValle(**base)
+
+
+def ar_params_to_reference_sd(params, num_layers):
+    """Emit the reference's state-dict naming from our pytree (torch layouts)."""
+    p = jax.tree.map(np.asarray, params)
+    sd = {
+        'tokens_emb.word_embeddings.weight': p['tokens_emb']['emb'],
+        'audio_emb.word_embeddings.weight': p['audio_emb']['emb'],
+        'proj.weight': p['proj']['w'].T.copy(),
+    }
+    tr = p['transformer']
+    for i in range(num_layers):
+        pre = f'transformer.layers.{i}'
+        sd[f'{pre}.self_attn.qkv.weight'] = tr['attn']['qkv']['w'][i].T.copy()
+        sd[f'{pre}.self_attn.out.weight'] = tr['attn']['out']['w'][i].T.copy()
+        sd[f'{pre}.self_attn.out.bias'] = tr['attn']['out']['b'][i]
+        sd[f'{pre}.ffn.linear_1.weight'] = tr['ffn']['lin1']['w'][i].T.copy()
+        sd[f'{pre}.ffn.linear_1.bias'] = tr['ffn']['lin1']['b'][i]
+        sd[f'{pre}.ffn.linear_2.weight'] = tr['ffn']['lin2']['w'][i].T.copy()
+        sd[f'{pre}.ffn.linear_2.bias'] = tr['ffn']['lin2']['b'][i]
+        sd[f'{pre}.norm1.weight'] = tr['norm1']['scale'][i]
+        sd[f'{pre}.norm1.bias'] = tr['norm1']['bias'][i]
+        sd[f'{pre}.norm2.weight'] = tr['norm2']['scale'][i]
+        sd[f'{pre}.norm2.bias'] = tr['norm2']['bias'][i]
+    return sd
+
+
+def test_ar_roundtrip_identical_decode():
+    c = cfg()
+    original = ar_mod.init_params(jax.random.key(0), c)
+    sd = ar_params_to_reference_sd(original, c.num_layers)
+    restored = jax.tree.map(jnp.asarray, convert_ar_state_dict(sd, c.num_layers))
+
+    same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                        original, restored)
+    assert all(jax.tree.leaves(same))
+
+    m1 = ar_mod.ValleAR(c, params=original)
+    m2 = ar_mod.ValleAR(c, params=restored)
+    rs = np.random.RandomState(0)
+    t = rs.randint(0, 16, (4,))
+    pc = rs.randint(0, 64, (3, 8))
+    np.testing.assert_array_equal(np.asarray(m1.generate(t, pc)),
+                                  np.asarray(m2.generate(t, pc)))
+
+
+def test_nar_roundtrip_structure():
+    c = cfg(norm='AdaptiveLayerNorm')
+    original = nar_mod.init_params(jax.random.key(1), c)
+    p = jax.tree.map(np.asarray, original)
+    sd = {
+        'tokens_emb.word_embeddings.weight': p['tokens_emb']['emb'],
+    }
+    for q in range(8):
+        sd[f'codes_embs.{q}.word_embeddings.weight'] = p['codes_embs'][q]
+    for q in range(7):
+        sd[f'stage_embs.{q}.word_embeddings.weight'] = p['stage_embs'][q][None]
+        sd[f'proj_layers.{q}.weight'] = p['proj_layers'][q].T.copy()
+    tr = p['transformer']
+    for i in range(c.num_layers):
+        pre = f'transformer.layers.{i}'
+        sd[f'{pre}.self_attn.qkv.weight'] = tr['attn']['qkv']['w'][i].T.copy()
+        sd[f'{pre}.self_attn.out.weight'] = tr['attn']['out']['w'][i].T.copy()
+        sd[f'{pre}.self_attn.out.bias'] = tr['attn']['out']['b'][i]
+        sd[f'{pre}.ffn.linear_1.weight'] = tr['ffn']['lin1']['w'][i].T.copy()
+        sd[f'{pre}.ffn.linear_1.bias'] = tr['ffn']['lin1']['b'][i]
+        sd[f'{pre}.ffn.linear_2.weight'] = tr['ffn']['lin2']['w'][i].T.copy()
+        sd[f'{pre}.ffn.linear_2.bias'] = tr['ffn']['lin2']['b'][i]
+        for n in ('norm1', 'norm2'):
+            sd[f'{pre}.{n}.project_layer.weight'] = tr[n]['proj']['w'][i].T.copy()
+            sd[f'{pre}.{n}.project_layer.bias'] = tr[n]['proj']['b'][i]
+            sd[f'{pre}.{n}.norm.weight'] = tr[n]['ln']['scale'][i]
+            sd[f'{pre}.{n}.norm.bias'] = tr[n]['ln']['bias'][i]
+
+    restored = convert_nar_state_dict(sd, c.num_layers)
+    same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                        original, jax.tree.map(jnp.asarray, restored))
+    assert all(jax.tree.leaves(same))

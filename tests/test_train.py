@@ -124,3 +124,49 @@ class TestSharding:
         assert out.spec[-2] == 'model'                       # row parallel
         emb = shardings['tokens_emb']['emb']
         assert all(s is None for s in emb.spec)              # replicated
+
+
+class TestGradAccum:
+    def test_multisteps_equals_big_batch(self, tmp_path):
+        """grad_accum=2 over half-batches == one full-batch step (same update)."""
+        import dataclasses
+        from valle2_tpu.train import init_state, make_train_step
+        cfg1 = tiny_cfg(tmp_path, batch_size=4, lr=1e-2)
+        cfg2 = dataclasses.replace(cfg1, grad_accum=2)
+
+        full = ar_batch_fixed()
+        half_a = {k: v[:2] for k, v in full.items()}
+        half_b = {k: v[2:] for k, v in full.items()}
+
+        s1 = init_state(cfg1, 'ValleAR', jax.random.key(0))
+        step1 = make_train_step(cfg1, 'ValleAR')
+        s1, _ = step1(s1, full, jax.random.key(1))
+
+        s2 = init_state(cfg2, 'ValleAR', jax.random.key(0))
+        step2 = make_train_step(cfg2, 'ValleAR')
+        s2, _ = step2(s2, half_a, jax.random.key(1))
+        s2, _ = step2(s2, half_b, jax.random.key(1))
+
+        # MultiSteps averages microbatch grads; with equal-size halves and
+        # mask_loss_pads averaging per-microbatch, updates are close but not
+        # identical (per-microbatch valid-token normalization) — require the
+        # parameter movement to agree closely.
+        d1 = jax.tree.map(lambda a, b: np.asarray(a - b), s1.params,
+                          init_state(cfg1, 'ValleAR', jax.random.key(0)).params)
+        d2 = jax.tree.map(lambda a, b: np.asarray(a - b), s2.params,
+                          init_state(cfg2, 'ValleAR', jax.random.key(0)).params)
+        num = sum(float(np.abs(x - y).sum()) for x, y in
+                  zip(jax.tree.leaves(d1), jax.tree.leaves(d2)))
+        den = sum(float(np.abs(x).sum()) for x in jax.tree.leaves(d1))
+        assert den > 0 and num / den < 0.2, num / den
+
+
+def ar_batch_fixed():
+    rs = np.random.RandomState(7)
+    return {
+        'tokens': jnp.asarray(rs.randint(0, 255, (4, 6))),
+        'tokens_lens': jnp.asarray([6, 6, 6, 6]),
+        'codes': jnp.asarray(rs.randint(0, 1024, (4, 10))),
+        'codes_lens': jnp.asarray([10, 10, 10, 10]),
+        'target': jnp.asarray(rs.randint(0, 1024, (4, 10))),
+    }
