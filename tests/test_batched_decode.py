@@ -52,3 +52,24 @@ class TestBatchedDecode:
         model.generate(jnp.asarray(rs.randint(0, 24, (7,))),
                        jnp.asarray(rs.randint(0, 96, (6, 8))), bucket=True)
         assert model._decode_jit._cache_size() == n0
+
+
+class TestChunkedDecode:
+    def test_unroll_factors_identical_outputs(self):
+        """decode_unroll ∈ {1, 3, 4, 8}: outputs bit-identical (greedy and sampled)."""
+        import dataclasses
+        rs = np.random.RandomState(3)
+        t = rs.randint(0, 24, (5,))
+        c = rs.randint(0, 96, (4, 8))
+        outs = {}
+        for temp in (0.0, 1.0):
+            ref = None
+            for unroll in (1, 3, 4, 8):
+                model = ValleAR(cfg(temperature=temp, decode_unroll=unroll))
+                out = np.asarray(model.generate(
+                    jnp.asarray(t), jnp.asarray(c), rng=jax.random.key(42)))
+                if ref is None:
+                    ref = out
+                else:
+                    np.testing.assert_array_equal(out, ref,
+                                                  err_msg=f'unroll={unroll} temp={temp}')

@@ -170,3 +170,35 @@ def ar_batch_fixed():
         'codes_lens': jnp.asarray([10, 10, 10, 10]),
         'target': jnp.asarray(rs.randint(0, 1024, (4, 10))),
     }
+
+
+class TestPrecompute:
+    def test_precompute_matches_per_item_encode(self):
+        """Bucketed batch encoding == per-item encoding (causal codec ⇒ padding-safe)."""
+        from valle2_tpu.codec import EncodecTPU
+        from valle2_tpu.data.dataset import ValleDataset
+
+        class FakeHF:
+            def __init__(self, n):
+                rs = np.random.RandomState(0)
+                self.items = [{'audio': {'array': rs.randn(rs.randint(3000, 9000)),
+                                         'sampling_rate': 24000},
+                               'text': 'a b.'} for _ in range(n)]
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, i):
+                return self.items[i]
+
+        cfg = tiny_cfg()
+        codec = EncodecTPU(seed=0)
+        ds_pre = ValleDataset(FakeHF(3), cfg, codec)
+        ds_pre.precompute_codes(batch_size=2, length_buckets=(1,))
+        ds_item = ValleDataset(FakeHF(3), cfg, codec)
+        for i in range(3):
+            a = ds_pre[i]
+            b = ds_item[i]
+            assert a['codes'].shape == b['codes'].shape
+            np.testing.assert_array_equal(a['codes'], b['codes'])
+            np.testing.assert_array_equal(a['tokens'], b['tokens'])

@@ -60,3 +60,24 @@ class TestValleASR:
         assert batch[0] == solo0
         for syms in batch:
             assert all(isinstance(s, str) for s in syms)
+
+
+class TestFusedPipeline:
+    def test_fused_matches_staged_greedy(self):
+        tts = ValleTTS(tiny_cfg())
+        rs = np.random.RandomState(5)
+        pt = rs.randint(0, 70, (6,))
+        pc = rs.randint(0, 1024, (7, 8))
+        staged = tts.synthesize('hello.', pt, pc)
+        fused = tts.synthesize_fused('hello.', pt, pc)
+        np.testing.assert_array_equal(fused.codes, staged.codes)
+        np.testing.assert_allclose(fused.waveform, staged.waveform, atol=2e-5)
+
+    def test_fused_bucket_invariant(self):
+        tts = ValleTTS(tiny_cfg())
+        rs = np.random.RandomState(6)
+        pt = rs.randint(0, 70, (4,))
+        pc = rs.randint(0, 1024, (5, 8))
+        a = tts.synthesize_fused('go.', pt, pc, bucket=True)
+        b = tts.synthesize_fused('go.', pt, pc, bucket=False)
+        np.testing.assert_array_equal(a.codes, b.codes)

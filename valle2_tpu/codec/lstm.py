@@ -64,7 +64,10 @@ def _lstm_layer(p: Params, x: jax.Array) -> jax.Array:
         return (h, c), h
 
     init = (jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
-    _, hs = jax.lax.scan(step, init, gates_x.swapaxes(0, 1))   # scan over time
+    # unroll=32: loop-iteration overhead dominates tiny recurrence bodies on TPU
+    # (measured ~120 us/iter floor); unrolling packs 32 sequential steps into one
+    # loop turn at negligible compile cost.
+    _, hs = jax.lax.scan(step, init, gates_x.swapaxes(0, 1), unroll=32)
     return hs.swapaxes(0, 1)
 
 

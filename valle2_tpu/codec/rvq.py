@@ -44,7 +44,7 @@ def rvq_encode(p: Params, latents: jax.Array, n_q: int | None = None) -> jax.Arr
         quantized = codebook[idx]
         return residual - quantized, idx
 
-    _, codes = jax.lax.scan(body, latents, codebooks)              # (n_q, B, T)
+    _, codes = jax.lax.scan(body, latents, codebooks, unroll=True)  # (n_q, B, T)
     return codes.transpose(1, 0, 2)
 
 

@@ -116,6 +116,12 @@ class ConfigValle:
         default=False,
         metadata={'help': 'Decode exactly max_audio_len steps (benchmarking)'},
     )
+    decode_unroll: int = field(
+        default=4,
+        metadata={'help': 'AR decode steps per while_loop turn: loop-turn overhead '
+                          'amortizes across K unrolled sequential steps; EOS exit '
+                          'granularity coarsens to K with identical outputs'},
+    )
 
     def __post_init__(self):
         if self.dataset is None:

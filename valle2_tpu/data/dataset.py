@@ -54,6 +54,45 @@ class ValleDataset:
         self._cache[idx] = out
         return out
 
+    def precompute_codes(self, batch_size: int = 16,
+                         length_buckets: tuple[int, ...] = (2, 4, 8, 12, 16, 24)
+                         ) -> None:
+        """Tokenize the whole dataset through the codec in length-bucketed batches.
+
+        The reference encodes one utterance at a time on CPU inside DataLoader
+        workers — its real input bottleneck (SURVEY §3.1).  Here audio is padded to
+        second-granularity buckets and pushed through ``batch_encode`` on the TPU;
+        codes are truncated back to each item's true frame count (the codec is causal,
+        so right-padding does not alter earlier frames) and memoized.
+        """
+        sr = self.codec.sampling_rate
+        hop = 320
+        groups: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
+        for idx in range(len(self.dataset)):
+            if idx in self._cache:
+                continue
+            item = self.dataset[idx]
+            audio = np.asarray(item['audio']['array'], dtype=np.float32)
+            wav = np.asarray(normalize_audio(audio, item['audio']['sampling_rate'], sr))
+            secs = len(wav) / sr
+            bucket = next((b for b in length_buckets if secs <= b), length_buckets[-1])
+            groups.setdefault(bucket, []).append(
+                (idx, wav, self._tokenize(item['text'])))
+
+        for bucket, items in groups.items():
+            width = bucket * sr
+            for start in range(0, len(items), batch_size):
+                chunk = items[start:start + batch_size]
+                padded = np.zeros((len(chunk), width), np.float32)
+                for i, (_, wav, _) in enumerate(chunk):
+                    padded[i, :min(len(wav), width)] = wav[:width]
+                batch_codes = np.asarray(self.codec.batch_encode(padded))
+                for i, (idx, wav, tokens) in enumerate(chunk):
+                    n_frames = -(-min(len(wav), width) // hop)
+                    self._cache[idx] = {'codes': batch_codes[i, :, :n_frames],
+                                        'tokens': tokens}
+        log_info('Precomputed codec tokens for %d items', len(self._cache))
+
 
 class SyntheticValleDataset:
     """Deterministic synthetic items with LJSpeech-like length statistics."""

@@ -90,8 +90,12 @@ def encoder_layer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None,
 def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
                 cond: jax.Array | None = None, *, dropout_rate: float = 0.0,
                 rng: jax.Array | None = None, remat: bool = False,
-                flash: dict | None = None) -> jax.Array:
-    """Full-sequence forward over the scanned stack (training path)."""
+                flash: dict | None = None, unroll: int | bool = 1) -> jax.Array:
+    """Full-sequence forward over the scanned stack.
+
+    ``unroll``: lax.scan unroll factor.  Inference paths pass True (full unroll) —
+    loop-turn overhead (~120 us on v5e-via-axon) would otherwise dominate the small
+    per-layer compute; training keeps the rolled scan for compile time + remat."""
     num_layers = jax.tree.leaves(p)[0].shape[0]
 
     def body(carry, scan_in):
@@ -103,7 +107,7 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, (p, jnp.arange(num_layers)))
+    x, _ = jax.lax.scan(body, x, (p, jnp.arange(num_layers)), unroll=unroll)
     return x
 
 

@@ -15,17 +15,62 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import codec as codec_mod
 from .codec import EncodecTPU
 from .config import ConfigValle
 from .data.frontend import PhonemeTokenizer
 from .models import ValleAR, ValleNAR
+from .models import ar as ar_mod
+from .models import nar as nar_mod
 from .utils import log_info, normalize_audio
+
+
+def _fused_tts_fn(ar_params, nar_params, codec_dec_params, tokens, tokens_len,
+                  prompt_codes, p_len, rng, config: ConfigValle):
+    """The whole TTS pipeline as one XLA program: AR while_loop decode → NAR 7-stage
+    refinement → codec waveform synthesis.  ONE dispatch, ONE host fetch.
+
+    Rationale: on the target runtime a host↔device round trip costs ~80 ms — more
+    than the entire device-side compute of the pipeline.  The staged path
+    (ValleTTS.synthesize) pays 3 fetches; this pays 1 (north-star: no host round
+    trips inside the pipeline).
+
+    tokens: (Ttm,) padded, true len tokens_len; prompt_codes: (Pm, nq) padded, true
+    len p_len.  Returns (waveform (max_new*320,), gen_len, codes (max_new, nq));
+    slice wav[:gen_len*320] and codes[:gen_len] on host.
+    """
+    eos = config.eos_token
+    bos = config.bos_token
+    max_new = config.max_audio_len
+    pm = prompt_codes.shape[0]
+    rng_ar, rng_nar = jax.random.split(rng)
+
+    # AR first-codebook decode (BOS-prefixed prompt; valid length p_len + 1).
+    codes0 = jnp.concatenate([jnp.array([bos], jnp.int32), prompt_codes[:, 0]])
+    codes_buf, _, best = ar_mod._decode_fn(
+        ar_params, tokens[None], tokens_len[None], codes0[None],
+        (p_len + 1)[None], rng_ar, config)
+    row = codes_buf[0, best[0]]                       # (Pm+1+max_new,)
+    gen_region = row[pm + 1:]                         # (max_new,)
+    is_eos = gen_region == eos
+    gen_len = jnp.where(jnp.any(is_eos), jnp.argmax(is_eos), max_new)
+    first_layer = jnp.where(is_eos, 0, gen_region)    # keep ids in-vocab past EOS
+
+    # NAR refinement over the padded buffer (per-length masks keep valid rows exact).
+    codes = nar_mod._generate_fn(nar_params, tokens, tokens_len, prompt_codes,
+                                 p_len, first_layer, gen_len, rng_nar, config)
+
+    # Waveform synthesis; codec is causal, so frames past gen_len cannot affect
+    # earlier samples — slice on host.
+    wav = codec_mod.decode(codec_dec_params, codes.T[None])[0]
+    return wav.astype(jnp.float32), gen_len, codes
 
 
 @dataclass
@@ -48,6 +93,14 @@ class ValleTTS:
         # Waveform synthesis follows the model compute dtype; codec *encode* stays f32.
         self.codec = codec if codec is not None else EncodecTPU(decode_dtype=config.dtype)
         self.tokenizer = tokenizer if tokenizer is not None else PhonemeTokenizer()
+        prec = config.matmul_precision
+
+        def _fused(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
+            with jax.default_matmul_precision(prec):
+                return _fused_tts_fn(ar_p, nar_p, cod_p, tokens, tl, codes, pl,
+                                     rng, config)
+
+        self._fused_jit = jax.jit(_fused)
 
     def prepare_prompt(self, prompt_audio, prompt_sr: int, prompt_text: str
                        ) -> tuple[np.ndarray, np.ndarray]:
@@ -57,6 +110,42 @@ class ValleTTS:
         codes = np.asarray(self.codec.encode(wav)).T        # (T, nq)
         tokens = self.tokenizer(prompt_text)
         return tokens, codes
+
+    def synthesize_fused(self, text: str, prompt_tokens, prompt_codes,
+                         rng: jax.Array | None = None,
+                         bucket: bool = True) -> TTSResult:
+        """Single-dispatch pipeline: one jit call, one host fetch (serving path).
+
+        Greedy outputs match ``synthesize`` exactly; at temperature > 0 the NAR
+        stage sampling consumes rng in padded-buffer layout, so sampled codes differ
+        from the staged path in rng stream only (same distribution).
+        """
+        if rng is None:
+            rng = jax.random.key(self.config.seed)
+        t0 = time.perf_counter()
+        target_tokens = self.tokenizer(text)
+        tokens = np.concatenate([np.asarray(prompt_tokens, np.int32),
+                                 np.asarray(target_tokens, np.int32)])
+        prompt_codes = np.asarray(prompt_codes, np.int32)
+        tl, pl = len(tokens), len(prompt_codes)
+        ttm, pm = tl, pl
+        if bucket:
+            bkt = lambda n: next((b for b in self.config.bucket_sizes if n <= b), n)
+            ttm, pm = bkt(tl), bkt(pl)
+        tokens = np.pad(tokens, (0, ttm - tl))
+        prompt_codes = np.pad(prompt_codes, ((0, pm - pl), (0, 0)))
+        wav, gen_len, codes = self._fused_jit(
+            self.ar.params, self.nar.params, self.codec._dec_params,
+            jnp.asarray(tokens), jnp.int32(tl), jnp.asarray(prompt_codes),
+            jnp.int32(pl), rng)
+        wav = np.asarray(wav)                    # the single host fetch
+        n = int(gen_len)
+        wav = wav[:n * 320]
+        codes = np.asarray(codes)[:n]
+        wall = time.perf_counter() - t0
+        audio_secs = len(wav) / self.codec.sampling_rate
+        rtf = wall / max(audio_secs, 1e-9)
+        return TTSResult(wav, codes, rtf, {'fused': wall})
 
     def synthesize(self, text: str, prompt_tokens, prompt_codes,
                    rng: jax.Array | None = None) -> TTSResult:
