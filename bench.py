@@ -92,6 +92,37 @@ def bench_e2e_rtf(steps: int = 384) -> dict:
     return {'rtf': rtf, 'audio_secs': audio_secs}
 
 
+def bench_train(batch: int = 8, frames: int = 512) -> dict:
+    from valle2_tpu.config import ConfigValle
+    from valle2_tpu.train import init_state, make_train_step
+
+    config = ConfigValle(dropout=0.1, batch_size=batch, dtype='bfloat16')
+    state = init_state(config, 'ValleAR', jax.random.key(0))
+    step = make_train_step(config, 'ValleAR')
+    rs = np.random.RandomState(0)
+    data = {
+        'tokens': jnp.asarray(rs.randint(0, 256, (batch, frames // 4)), jnp.int32),
+        'tokens_lens': jnp.asarray([frames // 4] * batch),
+        'codes': jnp.asarray(rs.randint(0, 1024, (batch, frames)), jnp.int32),
+        'codes_lens': jnp.asarray([frames] * batch),
+        'target': jnp.asarray(rs.randint(0, 1024, (batch, frames)), jnp.int32),
+    }
+    rng = jax.random.key(1)
+    state, m = step(state, data, rng)
+    _ = np.asarray(m['loss'])
+    times = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        state, m = step(state, data, rng)
+        _ = np.asarray(m['loss'])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = batch * frames / best
+    log(f'train step (AR, b={batch}x{frames} frames, bf16): {best * 1e3:.1f} ms '
+        f'-> {fps:.0f} codec frames/s')
+    return {'frames_per_sec': fps, 'step_ms': best * 1e3}
+
+
 def main():
     log(f'devices: {jax.devices()}')
     ar = bench_ar_decode()
@@ -100,6 +131,11 @@ def main():
     except Exception as exc:  # keep the headline metric even if e2e fails
         log(f'e2e bench failed: {exc!r}')
         e2e = None
+    try:
+        trn = bench_train()
+    except Exception as exc:
+        log(f'train bench failed: {exc!r}')
+        trn = None
 
     result = {
         'metric': 'ar_codec_tokens_per_sec_per_chip',
@@ -108,10 +144,14 @@ def main():
         # 75 codec frames per audio-second -> value/75 = x real time.
         'vs_baseline': round(ar['tokens_per_sec'] / 75.0, 2),
     }
+    extra = {}
     if e2e is not None:
-        result['extra'] = {'tts_rtf': round(e2e['rtf'], 4),
-                           'rtf_target': 0.05,
-                           'rtf_vs_target': round(0.05 / max(e2e['rtf'], 1e-9), 2)}
+        extra.update({'tts_rtf': round(e2e['rtf'], 4), 'rtf_target': 0.05,
+                      'rtf_vs_target': round(0.05 / max(e2e['rtf'], 1e-9), 2)})
+    if trn is not None:
+        extra['train_frames_per_sec'] = round(trn['frames_per_sec'])
+    if extra:
+        result['extra'] = extra
     print(json.dumps(result))
 
 

@@ -117,10 +117,10 @@ class ConfigValle:
         metadata={'help': 'Decode exactly max_audio_len steps (benchmarking)'},
     )
     decode_unroll: int = field(
-        default=4,
-        metadata={'help': 'AR decode steps per while_loop turn: loop-turn overhead '
-                          'amortizes across K unrolled sequential steps; EOS exit '
-                          'granularity coarsens to K with identical outputs'},
+        default=1,
+        metadata={'help': 'AR decode steps per while_loop turn (outputs identical '
+                          'for any K; amortizes loop-turn overhead on runtimes '
+                          'where that dominates — benchmark per target)'},
     )
 
     def __post_init__(self):

@@ -223,3 +223,65 @@ class ValleASRPipeline:
             codes_list.append(np.zeros((0, self.config.num_quantizers), np.int32))
         outs = self.ar.generate_batch(tokens_list, codes_list, rng=rng)
         return [self.tokenizer.decode(np.asarray(ids)) for ids in outs]
+
+
+def main(argv=None):
+    """CLI: synthesize speech or transcribe audio from the command line.
+
+    TTS:  python -m valle2_tpu.tts -c cfg.json --text "..." \\
+            --prompt-wav p.wav --prompt-text "..." -o out.wav \\
+            [--ar-ckpt DIR --nar-ckpt DIR --codec-ckpt FILE]
+    ASR:  python -m valle2_tpu.tts -c cfg.json --transcribe in.wav
+    """
+    import argparse
+    from pathlib import Path
+
+    from .utils import load_audio, log_info, save_wav
+
+    parser = argparse.ArgumentParser(description='VALL-E TPU synthesis/transcription')
+    parser.add_argument('-c', '--config', type=Path, default=None)
+    parser.add_argument('--text', type=str, help='Text to synthesize')
+    parser.add_argument('--prompt-wav', type=Path, help='Cloning prompt audio (wav)')
+    parser.add_argument('--prompt-text', type=str, default='',
+                        help='Transcript of the prompt audio')
+    parser.add_argument('-o', '--output', type=Path, default=Path('out.wav'))
+    parser.add_argument('--transcribe', type=Path, default=None,
+                        help='ASR mode: audio file to transcribe')
+    parser.add_argument('--ar-ckpt', type=Path, default=None)
+    parser.add_argument('--nar-ckpt', type=Path, default=None)
+    parser.add_argument('--codec-ckpt', type=Path, default=None,
+                        help='Pretrained EnCodec torch checkpoint to convert')
+    parser.add_argument('--seed', type=int, default=None)
+    args = parser.parse_args(argv)
+
+    config = ConfigValle.from_json(args.config) if args.config else ConfigValle()
+    if args.seed is not None:
+        config.seed = args.seed
+    codec = EncodecTPU(checkpoint=str(args.codec_ckpt) if args.codec_ckpt else None,
+                       decode_dtype=config.dtype)
+
+    if args.transcribe is not None:
+        asr = ValleASRPipeline(config, codec=codec)
+        if args.ar_ckpt:
+            asr.ar.load(args.ar_ckpt)
+        wav = np.asarray(load_audio(args.transcribe, target_sr=codec.sampling_rate))
+        phonemes = asr.transcribe(wav, codec.sampling_rate)
+        print(' '.join(phonemes))
+        return
+
+    assert args.text and args.prompt_wav, '--text and --prompt-wav required for TTS'
+    tts = ValleTTS(config, codec=codec)
+    if args.ar_ckpt:
+        tts.ar.load(args.ar_ckpt)
+    if args.nar_ckpt:
+        tts.nar.load(args.nar_ckpt)
+    prompt = np.asarray(load_audio(args.prompt_wav, target_sr=codec.sampling_rate))
+    tokens, codes = tts.prepare_prompt(prompt, codec.sampling_rate, args.prompt_text)
+    result = tts.synthesize_fused(args.text, tokens, codes)
+    save_wav(args.output, result.waveform, codec.sampling_rate)
+    log_info('Wrote %s (%.2f s audio, RTF %.4f)', args.output,
+             len(result.waveform) / codec.sampling_rate, result.rtf)
+
+
+if __name__ == '__main__':
+    main()
