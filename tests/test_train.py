@@ -202,3 +202,25 @@ class TestPrecompute:
             assert a['codes'].shape == b['codes'].shape
             np.testing.assert_array_equal(a['codes'], b['codes'])
             np.testing.assert_array_equal(a['tokens'], b['tokens'])
+
+
+class TestASRTraining:
+    def test_asr_collate_and_loss(self):
+        import dataclasses
+        cfg = dataclasses.replace(tiny_cfg(), direction='asr', vocab_size=70)
+        collate = get_collate('ValleASR')(cfg)
+        ds = SyntheticValleDataset(cfg, size=4, min_frames=30, max_frames=50)
+        batch = collate([ds[0], ds[1]])
+        # source stream carries codec codes; target carries phonemes + specials
+        assert batch['codes'][0, 0] == cfg.vocab_size + 1            # ASR BOS
+        n = batch['codes_lens'][0]
+        assert batch['target'][0, n - 1] == cfg.vocab_size           # ASR EOS
+        assert batch['tokens'].max() < cfg.num_audio_tokens
+
+        state = init_state(cfg, 'ValleASR', jax.random.key(0))
+        step = make_train_step(cfg, 'ValleASR')
+        batch = jax.tree.map(jnp.asarray, batch)
+        state, m = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(m['loss']))
+        # random init CE ~ log(phoneme vocab + 1)
+        assert abs(float(m['loss']) - np.log(cfg.vocab_size + 1)) < 1.5

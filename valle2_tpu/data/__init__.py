@@ -1,10 +1,11 @@
 """Data pipeline: phoneme frontend, bucketed collate, datasets/loaders."""
 
-from .collate import ValleARCollate, ValleNARCollate, collate_list, get_collate
+from .collate import (ValleARCollate, ValleASRCollate, ValleNARCollate,
+                      collate_list, get_collate)
 from .dataset import (DataLoader, SyntheticValleDataset, ValleDataset,
                       get_dataloaders)
 from .frontend import PHONEMES, PUNCTUATION, PhonemeTokenizer
 
-__all__ = ['ValleARCollate', 'ValleNARCollate', 'collate_list', 'get_collate',
+__all__ = ['ValleARCollate', 'ValleASRCollate', 'ValleNARCollate', 'collate_list', 'get_collate',
            'DataLoader', 'SyntheticValleDataset', 'ValleDataset', 'get_dataloaders',
            'PHONEMES', 'PUNCTUATION', 'PhonemeTokenizer']

@@ -23,7 +23,7 @@ def get_collate(model_name: str):
     collate_dict = {
         'ValleAR': ValleARCollate,
         'ValleNAR': ValleNARCollate,
-        'ValleASR': ValleARCollate,
+        'ValleASR': ValleASRCollate,
     }
     return collate_dict[model_name]
 
@@ -74,6 +74,34 @@ class ValleARCollate:
         tokens, tokens_lens = collate_list(tokens_list, buckets)
         assert (codes_lens > tokens_lens).all(), \
             'Codes length must be greater than tokens length.'
+        return {'codes': codes, 'codes_lens': codes_lens, 'target': target,
+                'tokens': tokens, 'tokens_lens': tokens_lens}
+
+
+@dataclass
+class ValleASRCollate:
+    """ASR batch: streams swapped relative to TTS.
+
+    The AR model's 'tokens' stream (source prefix) carries the first-codebook codec
+    tokens; the 'codes' stream (causal target) carries phonemes with the ASR
+    specials (BOS = vocab_size+1, EOS = vocab_size).  No reference equivalent —
+    ASR is claimed in its README but unimplemented (SURVEY §0).
+    """
+    config: ConfigValle
+
+    def __call__(self, batch: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+        bos = self.config.vocab_size + 1
+        eos = self.config.vocab_size
+        src_list, tgt_in_list, tgt_out_list = [], [], []
+        for item in batch:
+            phonemes = np.asarray(item['tokens'], np.int32)
+            src_list.append(np.asarray(item['codes'])[0].astype(np.int32))
+            tgt_in_list.append(np.concatenate([[bos], phonemes]).astype(np.int32))
+            tgt_out_list.append(np.concatenate([phonemes, [eos]]).astype(np.int32))
+        buckets = self.config.bucket_sizes
+        tokens, tokens_lens = collate_list(src_list, buckets)     # codec tokens
+        codes, codes_lens = collate_list(tgt_in_list, buckets)    # BOS+phonemes
+        target, _ = collate_list(tgt_out_list, buckets)
         return {'codes': codes, 'codes_lens': codes_lens, 'target': target,
                 'tokens': tokens, 'tokens_lens': tokens_lens}
 
