@@ -73,3 +73,35 @@ class TestChunkedDecode:
                 else:
                     np.testing.assert_array_equal(out, ref,
                                                   err_msg=f'unroll={unroll} temp={temp}')
+
+
+class TestInt8KVCache:
+    def test_int8_decode_runs_and_mostly_agrees(self):
+        """int8 KV decode: valid codes, high token agreement with the f32-cache
+        greedy decode (quantization may flip occasional near-ties)."""
+        rs = np.random.RandomState(4)
+        t = rs.randint(0, 24, (6,))
+        c = rs.randint(0, 96, (5, 8))
+        ref_model = ValleAR(cfg())
+        ref = np.asarray(ref_model.generate(jnp.asarray(t), jnp.asarray(c)))
+        q_model = ValleAR(cfg(kv_cache_dtype='int8'), params=ref_model.params)
+        out = np.asarray(q_model.generate(jnp.asarray(t), jnp.asarray(c)))
+        assert ((out >= 0) & (out < 96)).all()
+        n = min(len(out), len(ref))
+        if n > 0:
+            agree = float((out[:n] == ref[:n]).mean())
+            assert agree > 0.5, (agree, out, ref)
+
+    def test_int8_cache_dtypes(self):
+        from valle2_tpu.ops import KVCache
+        cache = KVCache.zeros(2, 1, 2, 16, 8, dtype=jnp.int8)
+        assert cache.k.dtype == jnp.int8
+        assert cache.k_scale is not None and cache.k_scale.dtype == jnp.bfloat16
+
+    def test_quantize_kv_roundtrip(self):
+        from valle2_tpu.ops.transformer import quantize_kv
+        x = jax.random.normal(jax.random.key(0), (2, 2, 8, 16))
+        q, s = quantize_kv(x)
+        recon = q.astype(jnp.float32) * s.astype(jnp.float32)
+        rel = float(jnp.max(jnp.abs(recon - x)) / jnp.max(jnp.abs(x)))
+        assert rel < 0.02, rel

@@ -169,3 +169,17 @@ class TestValleNAR:
                           for q in range(3))
         np.testing.assert_allclose(np.asarray(emb[0, :3]), want_prefix, atol=1e-5)
         np.testing.assert_allclose(np.asarray(emb[0, 3:]), want_suffix, atol=1e-5)
+
+
+class TestNARBucketing:
+    def test_nar_generate_bucket_invariant(self):
+        cfg = tiny_cfg(norm='AdaptiveLayerNorm', temperature=0.0,
+                       bucket_sizes=(16, 32))
+        m = ValleNAR(cfg)
+        rs = np.random.RandomState(11)
+        pt, tt = rs.randint(0, 255, (4,)), rs.randint(0, 255, (3,))
+        pc = rs.randint(0, 1024, (6, 8))
+        first = rs.randint(0, 1024, (9,))
+        plain = np.asarray(m.generate(pt, pc, tt, first, bucket=False))
+        bucketed = np.asarray(m.generate(pt, pc, tt, first, bucket=True))
+        np.testing.assert_array_equal(plain, bucketed)

@@ -116,6 +116,12 @@ class ConfigValle:
         default=False,
         metadata={'help': 'Decode exactly max_audio_len steps (benchmarking)'},
     )
+    kv_cache_dtype: str = field(
+        default='bfloat16',
+        metadata={'help': "Decode KV cache storage: 'float32' | 'bfloat16' | 'int8' "
+                          '(per-slot max-abs scales; halves attention HBM traffic — '
+                          'decode is cache-bandwidth-bound)'},
+    )
     decode_unroll: int = field(
         default=1,
         metadata={'help': 'AR decode steps per while_loop turn (outputs identical '

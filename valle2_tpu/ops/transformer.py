@@ -31,15 +31,34 @@ Params = dict[str, Any]
 
 
 class KVCache(NamedTuple):
-    """Preallocated per-layer KV cache: k, v of shape (L, b, h, max_len, hd)."""
+    """Preallocated per-layer KV cache: k, v of shape (L, b, h, max_len, hd).
+
+    With int8 storage, ``k_scale``/``v_scale`` hold per-slot max-abs scales of shape
+    (L, b, h, max_len, 1); dequantized value = int8 * scale.  Decode attention is
+    HBM-bandwidth-bound on cache reads, so int8 roughly halves its cost.
+    """
     k: jax.Array
     v: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @classmethod
     def zeros(cls, num_layers: int, batch: int, n_heads: int, max_len: int,
               head_dim: int, dtype=jnp.float32) -> 'KVCache':
         shape = (num_layers, batch, n_heads, max_len, head_dim)
+        if jnp.dtype(dtype) == jnp.int8:
+            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros((*shape[:-1], 1), jnp.bfloat16),
+                       jnp.zeros((*shape[:-1], 1), jnp.bfloat16))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-slot (last-axis) symmetric int8 quantization → (int8 values, scales)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
 
 
 def encoder_layer_init(key: jax.Array, d_model: int, n_heads: int, d_ff: int,
@@ -113,21 +132,33 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
 
 def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
                         bias: jax.Array | None = None,
-                        cond: jax.Array | None = None):
+                        cond: jax.Array | None = None,
+                        cache_dtype=None):
     """Forward pass that also fills a KV cache padded to ``max_len``.
 
     Returns (y, KVCache) where cache slots [0, seq_len) hold the prefix keys/values.
     Replaces the reference's first cached iteration (modules.py:340-351).
+    ``cache_dtype``: None (activation dtype) | a float dtype | jnp.int8 (quantized).
     """
     seq_len = x.shape[1]
     pad = max_len - seq_len
+    quant = cache_dtype is not None and jnp.dtype(cache_dtype) == jnp.int8
 
     def body(carry, layer_p):
         y, k, v = encoder_layer(layer_p, carry, n_heads, bias, cond, return_kv=True)
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        if quant:
+            kq, ks_ = quantize_kv(k)
+            vq, vs_ = quantize_kv(v)
+            return y, (kq, vq, ks_, vs_)
+        if cache_dtype is not None:
+            k, v = k.astype(cache_dtype), v.astype(cache_dtype)
         return y, (k, v)
 
+    if quant:
+        x, (ks, vs, kss, vss) = jax.lax.scan(body, x, p)
+        return x, KVCache(ks, vs, kss, vss)
     x, (ks, vs) = jax.lax.scan(body, x, p)
     return x, KVCache(ks, vs)
 
@@ -151,7 +182,8 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
 
     num_layers = cache.k.shape[0]
     max_len = cache.k.shape[3]
-    ck, cv = cache.k, cache.v
+    quant = cache.k_scale is not None
+    ck, cv, cks, cvs = cache.k, cache.v, cache.k_scale, cache.v_scale
     if attend_mask is None:
         attend_mask = (jnp.arange(max_len) <= index)[None, :]
     bias = jnp.where(attend_mask, 0.0, NEG_INF)[:, None, None, :]
@@ -160,11 +192,27 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
         lp = jax.tree.map(lambda a: a[li], p)
         h = _norm(lp['norm1'], x, cond)
         q, k, v = qkv_proj(lp['attn'], h, n_heads)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k[None].astype(ck.dtype), (jnp.int32(li), zero, zero, index, zero))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v[None].astype(cv.dtype), (jnp.int32(li), zero, zero, index, zero))
-        attn = sdpa(q, ck[li], cv[li], bias)
+        if quant:
+            kq, ks_ = quantize_kv(k)
+            vq, vs_ = quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq[None], (jnp.int32(li), zero, zero, index, zero))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq[None], (jnp.int32(li), zero, zero, index, zero))
+            cks = jax.lax.dynamic_update_slice(
+                cks, ks_[None], (jnp.int32(li), zero, zero, index, zero))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vs_[None], (jnp.int32(li), zero, zero, index, zero))
+            k_full = ck[li].astype(x.dtype) * cks[li].astype(x.dtype)
+            v_full = cv[li].astype(x.dtype) * cvs[li].astype(x.dtype)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (jnp.int32(li), zero, zero, index, zero))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (jnp.int32(li), zero, zero, index, zero))
+            k_full, v_full = ck[li], cv[li]
+        attn = sdpa(q, k_full, v_full, bias)
         x = x + linear(lp['attn']['out'], _merge_heads(attn))
         x = x + ffn(lp['ffn'], _norm(lp['norm2'], x, cond))
-    return x, KVCache(ck, cv)
+    new_cache = KVCache(ck, cv, cks, cvs) if quant else KVCache(ck, cv)
+    return x, new_cache
