@@ -88,3 +88,50 @@ class TestFlashAttention:
         cfg_f = dataclasses.replace(cfg, use_flash_attention=True)
         l_flash, _ = ar_mod.loss_fn(params, cfg_f, batch, None)
         np.testing.assert_allclose(float(l_bias), float(l_flash), atol=1e-5)
+
+
+class TestRVQKernel:
+    def test_matches_jnp_rvq_exactly(self):
+        from valle2_tpu.codec.rvq import rvq_encode, rvq_init
+        from valle2_tpu.kernels.rvq import rvq_encode_fused
+        p = rvq_init(jax.random.key(0), num_quantizers=8, codebook_size=1024, dim=128)
+        latents = jax.random.normal(jax.random.key(1), (2, 300, 128))
+        want = rvq_encode(p, latents, 8)
+        got = rvq_encode_fused(p['codebooks'], latents, 8)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_partial_quantizers_and_odd_lengths(self):
+        from valle2_tpu.codec.rvq import rvq_encode, rvq_init
+        from valle2_tpu.kernels.rvq import rvq_encode_fused
+        p = rvq_init(jax.random.key(2), num_quantizers=8, codebook_size=1024, dim=128)
+        latents = jax.random.normal(jax.random.key(3), (1, 77, 128))
+        want = rvq_encode(p, latents, 4)
+        got = rvq_encode_fused(p['codebooks'], latents, 4)
+        assert got.shape == (1, 4, 77)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestAdaLNKernel:
+    def test_matches_jnp_adaln(self):
+        from valle2_tpu.ops import adaln, adaln_init
+        from valle2_tpu.kernels.adaln import adaln_fused
+        d = 64
+        p = adaln_init(jax.random.key(0), d)
+        x = jax.random.normal(jax.random.key(1), (2, 37, d))
+        cond = jax.random.normal(jax.random.key(2), (1, d))
+        want = adaln(p, x, cond)
+        got = adaln_fused(p, x, cond)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    def test_bf16_input(self):
+        from valle2_tpu.ops import adaln, adaln_init
+        from valle2_tpu.kernels.adaln import adaln_fused
+        d = 32
+        p = adaln_init(jax.random.key(3), d)
+        x = jax.random.normal(jax.random.key(4), (1, 8, d), jnp.bfloat16)
+        cond = jax.random.normal(jax.random.key(5), (1, d))
+        got = adaln_fused(p, x, cond)
+        want = adaln(p, x.astype(jnp.float32), cond)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                                   np.asarray(want), atol=0.05)

@@ -64,17 +64,27 @@ class EncodecTPU:
     """
 
     def __init__(self, params: Params | None = None, checkpoint: str | None = None,
-                 seed: int = 0, decode_dtype: str = 'float32'):
+                 seed: int = 0, decode_dtype: str = 'float32',
+                 use_pallas_rvq: bool = False):
         if params is None and checkpoint is not None:
             params = jax.tree.map(jnp.asarray, load_torch_checkpoint(checkpoint))
         if params is None:
             params = init_params(jax.random.key(seed))
         self.params = params
+        self.use_pallas_rvq = use_pallas_rvq
         ddtype = jnp.dtype(decode_dtype)
         self._dec_params = (params if ddtype == jnp.float32 else
                             jax.tree.map(lambda a: a.astype(ddtype)
                                          if a.dtype == jnp.float32 else a, params))
-        self._encode = jax.jit(encode, static_argnums=(2,))
+        if use_pallas_rvq:
+            from ..kernels.rvq import rvq_encode_fused
+
+            def _encode_fused(params, wav, n_q):
+                latents = seanet.encode(params['encoder'], wav)
+                return rvq_encode_fused(params['rvq']['codebooks'], latents, n_q)
+            self._encode = jax.jit(_encode_fused, static_argnums=(2,))
+        else:
+            self._encode = jax.jit(encode, static_argnums=(2,))
         self._decode = jax.jit(decode)
         self._embed = jax.jit(embed)
 

@@ -1,0 +1,83 @@
+"""Pallas TPU kernel: fused residual vector quantization (all stages, one pass).
+
+The jnp path (codec/rvq.py) runs 8 sequential stages, each reading the residual from
+HBM and writing it back.  Here the full codebook stack — 8 x 1024 x 128 f32 = 4 MB —
+sits resident in VMEM while latent frames stream through in blocks: one HBM read of
+the latents, one codebook load, all eight argmin/subtract stages fused in-register.
+
+Status: optional (EncodecTPU(use_pallas_rvq=True)).  On the current axon runtime the
+XLA path is already fusion-friendly and measures faster (the RVQ is a small slice of
+encode; BENCHMARKS.md) — the kernel exists for runtimes/shapes where the per-stage
+HBM round trips dominate, and as the VMEM-resident reference implementation.
+
+Distance uses the same expanded form as the jnp path (argmax of 2 x·c − |c|²), so
+ties resolve identically; the kernel is bit-compatible with codec.rvq.rvq_encode in
+float32 (tested in tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_T = 256
+
+
+def _rvq_kernel(latents_ref, codebooks_ref, codes_ref, *, n_q: int):
+    """One (time-block) program.
+
+    latents_ref: (1, BLOCK_T, D); codebooks_ref: (n_q, V, D) resident; codes_ref:
+    (1, n_q, BLOCK_T) int32 output.
+    """
+    residual = latents_ref[0].astype(jnp.float32)            # (T, D)
+    t = residual.shape[0]
+    for q in range(n_q):
+        cb = codebooks_ref[q].astype(jnp.float32)            # (V, D)
+        scores = 2.0 * jnp.dot(residual, cb.T,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST) \
+            - jnp.sum(cb * cb, axis=-1)[None, :]             # (T, V)
+        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # (T,)
+        # Mosaic has no dynamic row gather; select the rows with a one-hot matmul
+        # (MXU work, and ties already resolved by argmax).
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (t, cb.shape[0]), 1)
+                  == idx[:, None]).astype(jnp.float32)
+        residual = residual - jnp.dot(onehot, cb,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+        codes_ref[0, q, :] = idx
+
+
+def rvq_encode_fused(codebooks: jax.Array, latents: jax.Array,
+                     n_q: int | None = None, block_t: int = BLOCK_T) -> jax.Array:
+    """codebooks (n_q, V, D), latents (B, T, D) → codes (B, n_q, T) int32."""
+    if n_q is not None:
+        codebooks = codebooks[:n_q]
+    n_q = codebooks.shape[0]
+    b, t, d = latents.shape
+    t_pad = -(-t // block_t) * block_t
+    if t_pad != t:
+        latents = jnp.pad(latents, ((0, 0), (0, t_pad - t), (0, 0)))
+    flat = latents.reshape(-1, block_t, d)                   # (n_blocks, BLOCK_T, D)
+    n_blocks = flat.shape[0]
+
+    kernel = functools.partial(_rvq_kernel, n_q=n_q)
+    interpret = jax.default_backend() != 'tpu'
+    codes = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, block_t, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec(codebooks.shape, lambda i: (0, 0, 0)),   # resident
+        ],
+        out_specs=pl.BlockSpec((1, n_q, block_t), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, n_q, block_t), jnp.int32),
+        interpret=interpret,
+    )(flat, codebooks)
+    codes = codes.reshape(b, t_pad // block_t, n_q, block_t)
+    codes = codes.transpose(0, 2, 1, 3).reshape(b, n_q, t_pad)
+    return codes[:, :, :t]
