@@ -18,13 +18,12 @@ TPU-native equivalent of the reference EncoderLayer / Transformer
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from .attention import mha, mha_decode_step, mha_init, qkv_proj, sdpa, _merge_heads
+from .attention import mha, mha_init, qkv_proj, sdpa, _merge_heads
 from .nn import adaln, adaln_init, dropout, ffn, ffn_init, layernorm, layernorm_init, linear
 
 Params = dict[str, Any]

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import time
-from functools import partial
 from pathlib import Path
 from typing import Any, NamedTuple
 
@@ -31,7 +30,7 @@ from .config import ConfigValle
 from .data import get_dataloaders
 from .models import ar as ar_mod
 from .models import nar as nar_mod
-from .parallel import make_mesh, shard_batch, shard_params
+from .parallel import shard_batch, shard_params
 from .utils import log_info
 
 Params = dict[str, Any]
