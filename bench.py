@@ -125,7 +125,14 @@ def bench_train(batch: int = 8, frames: int = 512) -> dict:
 
 def main():
     log(f'devices: {jax.devices()}')
-    ar = bench_ar_decode()
+    try:
+        ar = bench_ar_decode()
+    except Exception as exc:
+        log(f'AR decode bench failed: {exc!r}')
+        print(json.dumps({'metric': 'ar_codec_tokens_per_sec_per_chip', 'value': 0,
+                          'unit': 'tokens/s', 'vs_baseline': 0,
+                          'error': repr(exc)[:200]}))
+        return
     try:
         e2e = bench_e2e_rtf()
     except Exception as exc:  # keep the headline metric even if e2e fails

@@ -224,3 +224,27 @@ class TestASRTraining:
         assert np.isfinite(float(m['loss']))
         # random init CE ~ log(phoneme vocab + 1)
         assert abs(float(m['loss']) - np.log(cfg.vocab_size + 1)) < 1.5
+
+
+class TestNARTrainer:
+    def test_nar_overfits_single_batch(self, tmp_path):
+        """NAR end-to-end learning signal: loss collapses on a memorizable batch."""
+        import dataclasses
+        cfg = dataclasses.replace(
+            tiny_cfg(tmp_path), norm='AdaptiveLayerNorm', num_audio_tokens=64,
+            vocab_size=16, lr=3e-3, schedule='constant', d_model=48,
+            dim_feedforward=96)
+        state = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        step = make_train_step(cfg, 'ValleNAR')
+        rs = np.random.RandomState(0)
+        batch = {'tokens': jnp.asarray(rs.randint(0, 16, (2, 5))),
+                 'tokens_lens': jnp.asarray([5, 5]),
+                 'codes': jnp.asarray(rs.randint(0, 64, (2, 24, 8))),
+                 'codes_lens': jnp.asarray([24, 24])}
+        first = None
+        for i in range(150):
+            state, m = step(state, batch, jax.random.key(1))
+            if first is None:
+                first = float(m['loss'])
+        last = float(m['loss'])
+        assert last < first - 1.5, (first, last)
