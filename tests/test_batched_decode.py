@@ -105,3 +105,18 @@ class TestInt8KVCache:
         recon = q.astype(jnp.float32) * s.astype(jnp.float32)
         rel = float(jnp.max(jnp.abs(recon - x)) / jnp.max(jnp.abs(x)))
         assert rel < 0.02, rel
+
+
+class TestBucketedAttention:
+    def test_attn_buckets_identical_outputs(self):
+        rs = np.random.RandomState(5)
+        t = rs.randint(0, 24, (5,))
+        c = rs.randint(0, 96, (4, 8))
+        for temp in (0.0, 1.0):
+            ref = np.asarray(ValleAR(cfg(temperature=temp)).generate(
+                jnp.asarray(t), jnp.asarray(c), rng=jax.random.key(7)))
+            for nb in (2, 4):
+                out = np.asarray(ValleAR(cfg(temperature=temp,
+                                             decode_attn_buckets=nb)).generate(
+                    jnp.asarray(t), jnp.asarray(c), rng=jax.random.key(7)))
+                np.testing.assert_array_equal(out, ref, err_msg=f'buckets={nb}')

@@ -122,6 +122,13 @@ class ConfigValle:
                           '(per-slot max-abs scales; halves attention HBM traffic — '
                           'decode is cache-bandwidth-bound)'},
     )
+    decode_attn_buckets: int = field(
+        default=4,
+        metadata={'help': 'Decode attention prefix buckets: lax.switch over static '
+                          'cache prefixes so each step reads ~only the valid region '
+                          '(decode is cache-bandwidth-bound; measured 1.7x on v5e). '
+                          'Outputs identical for any value; 1 disables'},
+    )
     decode_unroll: int = field(
         default=1,
         metadata={'help': 'AR decode steps per while_loop turn (outputs identical '

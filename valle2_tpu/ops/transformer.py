@@ -164,7 +164,8 @@ def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
 
 def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCache,
                             index: jax.Array, cond: jax.Array | None = None,
-                            attend_mask: jax.Array | None = None):
+                            attend_mask: jax.Array | None = None,
+                            attn_buckets: int = 1):
     """Advance one token: x is (b, 1, d) at absolute position ``index``.
 
     Layers are **unrolled** (not scanned): a layer-scan forces XLA to slice and
@@ -174,6 +175,10 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
 
     ``attend_mask``: optional (b, max_len) bool of cache slots this token may attend
     (batched decode with per-row lengths); defaults to slots [0, index].
+    ``attn_buckets`` > 1: lax.switch over that many static cache prefixes, reading
+    only ~the valid prefix each step — decode attention is cache-bandwidth-bound, so
+    early steps touch a fraction of the bytes.  Outputs identical (slots past
+    ``index`` are masked either way).
     """
     from .nn import linear
     from .attention import qkv_proj, sdpa, _merge_heads
@@ -186,6 +191,14 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
     if attend_mask is None:
         attend_mask = (jnp.arange(max_len) <= index)[None, :]
     bias = jnp.where(attend_mask, 0.0, NEG_INF)[:, None, None, :]
+
+    if attn_buckets > 1:
+        # Static prefix lengths (lane-aligned); smallest covering index+1 wins.
+        lens = [min(-(-(max_len * (i + 1) // attn_buckets) // 128) * 128, max_len)
+                for i in range(attn_buckets)]
+        lens = sorted(set(lens))
+        bucket_idx = sum((index + 1 > jnp.int32(L)).astype(jnp.int32)
+                         for L in lens[:-1])
     zero = jnp.int32(0)
     for li in range(num_layers):
         lp = jax.tree.map(lambda a: a[li], p)
@@ -210,7 +223,15 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
             cv = jax.lax.dynamic_update_slice(
                 cv, v[None].astype(cv.dtype), (jnp.int32(li), zero, zero, index, zero))
             k_full, v_full = ck[li], cv[li]
-        attn = sdpa(q, k_full, v_full, bias)
+        if attn_buckets > 1 and not quant:
+            attn = jax.lax.switch(
+                bucket_idx,
+                [(lambda L: lambda kf, vf, qq, bb:
+                  sdpa(qq, kf[:, :, :L], vf[:, :, :L], bb[:, :, :, :L]))(L)
+                 for L in lens],
+                k_full, v_full, q, bias)
+        else:
+            attn = sdpa(q, k_full, v_full, bias)
         x = x + linear(lp['attn']['out'], _merge_heads(attn))
         x = x + ffn(lp['ffn'], _norm(lp['norm2'], x, cond))
     new_cache = KVCache(ck, cv, cks, cvs) if quant else KVCache(ck, cv)
