@@ -55,7 +55,23 @@ def bench_ar_decode(steps: int = 512, repeats: int = 3) -> dict:
     log(f'AR decode: {steps} steps x {config.num_beams} beams in {best:.3f}s '
         f'-> {tokens_per_sec:.0f} useful tokens/s '
         f'({steps * config.num_beams / best:.0f} incl. beams)')
-    return {'tokens_per_sec': tokens_per_sec, 'decode_time': best, 'steps': steps}
+
+    # Steady-state marginal rate (amortizes prefill + per-call dispatch overhead).
+    marginal = None
+    try:
+        import dataclasses
+        short = ValleAR(dataclasses.replace(config, max_audio_len=steps // 4),
+                        params=model.params)
+        short.generate(prompt_tokens, prompt_codes, rng=jax.random.key(0))
+        t0 = time.perf_counter()
+        short.generate(prompt_tokens, prompt_codes, rng=jax.random.key(1))
+        t_short = time.perf_counter() - t0
+        marginal = (steps - steps // 4) / max(best - t_short, 1e-9)
+        log(f'AR decode marginal rate: {marginal:.0f} tokens/s')
+    except Exception as exc:
+        log(f'marginal-rate measurement failed: {exc!r}')
+    return {'tokens_per_sec': tokens_per_sec, 'decode_time': best, 'steps': steps,
+            'marginal_tokens_per_sec': marginal}
 
 
 def bench_e2e_rtf(steps: int = 384) -> dict:
@@ -157,6 +173,8 @@ def main():
                       'rtf_vs_target': round(0.05 / max(e2e['rtf'], 1e-9), 2)})
     if trn is not None:
         extra['train_frames_per_sec'] = round(trn['frames_per_sec'])
+    if ar.get('marginal_tokens_per_sec'):
+        extra['ar_marginal_tokens_per_sec'] = round(ar['marginal_tokens_per_sec'])
     if extra:
         result['extra'] = extra
     print(json.dumps(result))

@@ -81,3 +81,12 @@ class TestFusedPipeline:
         a = tts.synthesize_fused('go.', pt, pc, bucket=True)
         b = tts.synthesize_fused('go.', pt, pc, bucket=False)
         np.testing.assert_array_equal(a.codes, b.codes)
+
+    def test_fused_sampled_path_runs(self):
+        import dataclasses
+        tts = ValleTTS(dataclasses.replace(tiny_cfg(), temperature=1.0))
+        rs = np.random.RandomState(7)
+        res = tts.synthesize_fused('yes.', rs.randint(0, 70, (4,)),
+                                   rs.randint(0, 1024, (5, 8)))
+        assert res.waveform.ndim == 1
+        assert res.codes.shape[1] == 8
