@@ -87,7 +87,15 @@ def adaln(p: Params, x: jax.Array, cond: jax.Array, eps: float = 1e-5) -> jax.Ar
     ``cond`` has shape (1, d) (a stage-embedding row) or (b, d); broadcasts over the
     sequence axis.  The inner LN carries its own learned affine exactly like the
     reference (``self.norm = nn.LayerNorm(d_model)``).
+
+    Set ``VALLE2_FUSED_ADALN=1`` to dispatch eligible shapes ((b,t,d) x (1,d)) to
+    the Pallas fused kernel (kernels/adaln.py); the jnp path is the reference.
     """
+    import os
+    if (os.environ.get('VALLE2_FUSED_ADALN') == '1' and x.ndim == 3
+            and cond.ndim == 2 and cond.shape[0] == 1):
+        from ..kernels.adaln import adaln_fused
+        return adaln_fused(p, x, cond, eps)
     wb = linear(p['proj'], cond)
     weight, bias = jnp.split(wb, 2, axis=-1)
     y = layernorm(p['ln'], x, eps)
