@@ -108,7 +108,7 @@ def bench_e2e_rtf(steps: int = 384) -> dict:
     return {'rtf': rtf, 'audio_secs': audio_secs}
 
 
-def bench_train(batch: int = 8, frames: int = 512) -> dict:
+def bench_train(batch: int = 32, frames: int = 512) -> dict:
     from valle2_tpu.config import ConfigValle
     from valle2_tpu.train import init_state, make_train_step
 
