@@ -21,7 +21,7 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(logdir: str | Path, with_host: bool = False):
+def trace(logdir: str | Path):
     """Capture a device trace: ``with trace('logs/profile'): step(...)``."""
     jax.profiler.start_trace(str(logdir), create_perfetto_trace=False)
     try:
