@@ -282,3 +282,33 @@ class TestDataParallelEquivalence:
             lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
             s_single.params, s_mesh.params)
         assert max(jax.tree.leaves(diffs)) < 1e-5, diffs
+
+    def test_tp_mesh_matches_single_device(self):
+        """4x2 (dp x tp) sharded step == unsharded — validates the Megatron-style
+        column/row sharding rules preserve the math (d_ff and heads divisible)."""
+        from valle2_tpu.parallel import make_mesh, shard_batch, shard_params
+        cfg = tiny_cfg(batch_size=4)
+        batch = {
+            'tokens': jnp.asarray(np.random.RandomState(4).randint(0, 255, (4, 6))),
+            'tokens_lens': jnp.asarray([6] * 4),
+            'codes': jnp.asarray(np.random.RandomState(5).randint(0, 1024, (4, 10))),
+            'codes_lens': jnp.asarray([10] * 4),
+            'target': jnp.asarray(np.random.RandomState(6).randint(0, 1024, (4, 10))),
+        }
+        rng = jax.random.key(7)
+
+        s_single = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_single, m_single = make_train_step(cfg, 'ValleAR')(s_single, batch, rng)
+
+        mesh = make_mesh(data=4, model=2)
+        s_mesh = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_mesh = TrainState(shard_params(mesh, s_mesh.params),
+                            jax.device_put(s_mesh.opt_state), s_mesh.step)
+        s_mesh, m_mesh = make_train_step(cfg, 'ValleAR', mesh)(
+            s_mesh, shard_batch(mesh, batch), rng)
+
+        assert abs(float(m_single['loss']) - float(m_mesh['loss'])) < 2e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            s_single.params, s_mesh.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
