@@ -103,6 +103,24 @@ def bench_e2e_rtf(steps: int = 384) -> dict:
     log(f'E2E TTS (fused): {audio_secs:.2f}s audio in {wall:.2f}s -> RTF {rtf:.4f} '
         f'(target < 0.05)')
 
+    # Batched serving throughput: 8 utterances in one dispatch.
+    batch_rtf = None
+    try:
+        bsz = 8
+        texts = [text] * bsz
+        pts = [prompt_tokens] * bsz
+        pcs = [prompt_codes] * bsz
+        tts.batch_synthesize(texts, pts, pcs)            # compile
+        t0 = time.perf_counter()
+        results = tts.batch_synthesize(texts, pts, pcs)
+        wall_b = time.perf_counter() - t0
+        total = sum(len(r.waveform) for r in results) / 24000
+        batch_rtf = wall_b / max(total, 1e-9)
+        log(f'E2E TTS batched (B={bsz}): {total:.1f}s audio in {wall_b:.2f}s '
+            f'-> aggregate RTF {batch_rtf:.4f} ({total / wall_b:.0f}s audio/s/chip)')
+    except Exception as exc:
+        log(f'batched e2e failed: {exc!r}')
+
     # Staged path for the component breakdown.
     try:
         staged = tts.synthesize(text, prompt_tokens, prompt_codes)
@@ -112,7 +130,7 @@ def bench_e2e_rtf(steps: int = 384) -> dict:
             + f' (staged RTF {staged.rtf:.4f})')
     except Exception as exc:
         log(f'staged breakdown failed: {exc!r}')
-    return {'rtf': rtf, 'audio_secs': audio_secs}
+    return {'rtf': rtf, 'audio_secs': audio_secs, 'batch_rtf': batch_rtf}
 
 
 def bench_train(batch: int = 32, frames: int = 512) -> dict:
@@ -178,6 +196,8 @@ def main():
     if e2e is not None:
         extra.update({'tts_rtf': round(e2e['rtf'], 4), 'rtf_target': 0.05,
                       'rtf_vs_target': round(0.05 / max(e2e['rtf'], 1e-9), 2)})
+        if e2e.get('batch_rtf'):
+            extra['tts_batch8_rtf'] = round(e2e['batch_rtf'], 4)
     if trn is not None:
         extra['train_frames_per_sec'] = round(trn['frames_per_sec'])
     if ar.get('marginal_tokens_per_sec'):

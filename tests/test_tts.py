@@ -90,3 +90,16 @@ class TestFusedPipeline:
                                    rs.randint(0, 1024, (5, 8)))
         assert res.waveform.ndim == 1
         assert res.codes.shape[1] == 8
+
+    def test_batch_synthesize_matches_singles(self):
+        tts = ValleTTS(tiny_cfg())
+        rs = np.random.RandomState(9)
+        texts = ['one.', 'two two.', 'three.']
+        pts = [rs.randint(0, 70, (n,)) for n in (4, 7, 3)]
+        pcs = [rs.randint(0, 1024, (n, 8)) for n in (5, 8, 4)]
+        batch = tts.batch_synthesize(texts, pts, pcs)
+        assert len(batch) == 3
+        for text, pt, pc, got in zip(texts, pts, pcs, batch):
+            solo = tts.synthesize_fused(text, pt, pc)
+            np.testing.assert_array_equal(got.codes, solo.codes)
+            np.testing.assert_allclose(got.waveform, solo.waveform, atol=2e-5)

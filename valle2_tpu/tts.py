@@ -30,45 +30,47 @@ from .models import nar as nar_mod
 from .utils import log_info, normalize_audio
 
 
-def _fused_tts_fn(ar_params, nar_params, codec_dec_params, tokens, tokens_len,
-                  prompt_codes, p_len, rng, config: ConfigValle):
+def _fused_tts_fn(ar_params, nar_params, codec_dec_params, tokens, tokens_lens,
+                  prompt_codes, p_lens, rng, config: ConfigValle):
     """The whole TTS pipeline as one XLA program: AR while_loop decode → NAR 7-stage
-    refinement → codec waveform synthesis.  ONE dispatch, ONE host fetch.
+    refinement → codec waveform synthesis.  ONE dispatch, ONE host fetch — and
+    batched: B utterances (padded, true lengths given) synthesize together.
 
     Rationale: on the target runtime a host↔device round trip costs ~80 ms — more
     than the entire device-side compute of the pipeline.  The staged path
-    (ValleTTS.synthesize) pays 3 fetches; this pays 1 (north-star: no host round
-    trips inside the pipeline).
+    (ValleTTS.synthesize) pays 3+ fetches; this pays 1 (north-star: no host round
+    trips inside the pipeline), and batching amortizes it across utterances.
 
-    tokens: (Ttm,) padded, true len tokens_len; prompt_codes: (Pm, nq) padded, true
-    len p_len.  Returns (waveform (max_new*320,), gen_len, codes (max_new, nq));
-    slice wav[:gen_len*320] and codes[:gen_len] on host.
+    tokens: (B, Ttm), true lens tokens_lens (B,); prompt_codes: (B, Pm, nq), true
+    lens p_lens (B,).  Returns (waveforms (B, max_new*320), gen_lens (B,),
+    codes (B, max_new, nq)); slice wav[i, :gen_lens[i]*320] on host.
     """
     eos = config.eos_token
     bos = config.bos_token
     max_new = config.max_audio_len
-    pm = prompt_codes.shape[0]
+    b, pm = prompt_codes.shape[0], prompt_codes.shape[1]
     rng_ar, rng_nar = jax.random.split(rng)
 
-    # AR first-codebook decode (BOS-prefixed prompt; valid length p_len + 1).
-    codes0 = jnp.concatenate([jnp.array([bos], jnp.int32), prompt_codes[:, 0]])
+    # AR first-codebook decode (BOS-prefixed prompts; valid length p_len + 1).
+    codes0 = jnp.concatenate(
+        [jnp.full((b, 1), bos, jnp.int32), prompt_codes[:, :, 0]], axis=1)
     codes_buf, _, best = ar_mod._decode_fn(
-        ar_params, tokens[None], tokens_len[None], codes0[None],
-        (p_len + 1)[None], rng_ar, config)
-    row = codes_buf[0, best[0]]                       # (Pm+1+max_new,)
-    gen_region = row[pm + 1:]                         # (max_new,)
+        ar_params, tokens, tokens_lens, codes0, p_lens + 1, rng_ar, config)
+    rows = jnp.take_along_axis(codes_buf, best[:, None, None].astype(jnp.int32),
+                               axis=1)[:, 0]            # (B, Pm+1+max_new)
+    gen_region = rows[:, pm + 1:]                       # (B, max_new)
     is_eos = gen_region == eos
-    gen_len = jnp.where(jnp.any(is_eos), jnp.argmax(is_eos), max_new)
-    first_layer = jnp.where(is_eos, 0, gen_region)    # keep ids in-vocab past EOS
+    gen_lens = jnp.where(jnp.any(is_eos, axis=1), jnp.argmax(is_eos, axis=1), max_new)
+    first_layer = jnp.where(is_eos, 0, gen_region)      # keep ids in-vocab past EOS
 
-    # NAR refinement over the padded buffer (per-length masks keep valid rows exact).
-    codes = nar_mod._generate_fn(nar_params, tokens, tokens_len, prompt_codes,
-                                 p_len, first_layer, gen_len, rng_nar, config)
+    # NAR refinement over the padded buffers (per-length masks keep valid rows exact).
+    codes = nar_mod._generate_fn(nar_params, tokens, tokens_lens, prompt_codes,
+                                 p_lens, first_layer, gen_lens, rng_nar, config)
 
     # Waveform synthesis; codec is causal, so frames past gen_len cannot affect
     # earlier samples — slice on host.
-    wav = codec_mod.decode(codec_dec_params, codes.T[None])[0]
-    return wav.astype(jnp.float32), gen_len, codes
+    wavs = codec_mod.decode(codec_dec_params, codes.transpose(0, 2, 1))
+    return wavs.astype(jnp.float32), gen_lens, codes
 
 
 @dataclass
@@ -109,6 +111,51 @@ class ValleTTS:
         tokens = self.tokenizer(prompt_text)
         return tokens, codes
 
+    def batch_synthesize(self, texts: list, prompt_tokens_list: list,
+                         prompt_codes_list: list, rng: jax.Array | None = None,
+                         bucket: bool = True) -> list[TTSResult]:
+        """Batched fused pipeline: B utterances synthesize in one XLA dispatch with
+        one host fetch (the serving-throughput path; per-item outputs equal the
+        single-utterance greedy results thanks to per-length masking throughout)."""
+        if rng is None:
+            rng = jax.random.key(self.config.seed)
+        t0 = time.perf_counter()
+        bsz = len(texts)
+        tokens_list = []
+        for text, pt in zip(texts, prompt_tokens_list):
+            tokens_list.append(np.concatenate([np.asarray(pt, np.int32),
+                                               self.tokenizer(text)]))
+        codes_list = [np.asarray(c, np.int32) for c in prompt_codes_list]
+        ttm = max(len(t) for t in tokens_list)
+        pm = max(len(c) for c in codes_list)
+        if bucket:
+            bkt = lambda n: next((b for b in self.config.bucket_sizes if n <= b), n)
+            ttm, pm = bkt(ttm), bkt(pm)
+        tokens = np.stack([np.pad(t, (0, ttm - len(t))) for t in tokens_list])
+        codes = np.stack([np.pad(c, ((0, pm - len(c)), (0, 0))) for c in codes_list])
+        tokens_lens = np.asarray([len(t) for t in tokens_list], np.int32)
+        p_lens = np.asarray([len(c) for c in codes_list], np.int32)
+
+        wavs, gen_lens, out_codes = self._fused_jit(
+            self.ar.params, self.nar.params, self.codec._dec_params,
+            jnp.asarray(tokens), jnp.asarray(tokens_lens), jnp.asarray(codes),
+            jnp.asarray(p_lens), rng)
+        wavs = np.asarray(wavs)                  # the single host fetch
+        gen_lens = np.asarray(gen_lens)
+        out_codes = np.asarray(out_codes)
+        wall = time.perf_counter() - t0
+        results = []
+        total_secs = 0.0
+        for i in range(bsz):
+            n = int(gen_lens[i])
+            wav = wavs[i, :n * 320]
+            total_secs += len(wav) / self.codec.sampling_rate
+            results.append(TTSResult(wav, out_codes[i, :n], 0.0, {'batched': wall}))
+        rtf = wall / max(total_secs, 1e-9)
+        for r in results:
+            r.rtf = rtf                          # aggregate RTF across the batch
+        return results
+
     def synthesize_fused(self, text: str, prompt_tokens, prompt_codes,
                          rng: jax.Array | None = None,
                          bucket: bool = True) -> TTSResult:
@@ -118,32 +165,8 @@ class ValleTTS:
         stage sampling consumes rng in padded-buffer layout, so sampled codes differ
         from the staged path in rng stream only (same distribution).
         """
-        if rng is None:
-            rng = jax.random.key(self.config.seed)
-        t0 = time.perf_counter()
-        target_tokens = self.tokenizer(text)
-        tokens = np.concatenate([np.asarray(prompt_tokens, np.int32),
-                                 np.asarray(target_tokens, np.int32)])
-        prompt_codes = np.asarray(prompt_codes, np.int32)
-        tl, pl = len(tokens), len(prompt_codes)
-        ttm, pm = tl, pl
-        if bucket:
-            bkt = lambda n: next((b for b in self.config.bucket_sizes if n <= b), n)
-            ttm, pm = bkt(tl), bkt(pl)
-        tokens = np.pad(tokens, (0, ttm - tl))
-        prompt_codes = np.pad(prompt_codes, ((0, pm - pl), (0, 0)))
-        wav, gen_len, codes = self._fused_jit(
-            self.ar.params, self.nar.params, self.codec._dec_params,
-            jnp.asarray(tokens), jnp.int32(tl), jnp.asarray(prompt_codes),
-            jnp.int32(pl), rng)
-        wav = np.asarray(wav)                    # the single host fetch
-        n = int(gen_len)
-        wav = wav[:n * 320]
-        codes = np.asarray(codes)[:n]
-        wall = time.perf_counter() - t0
-        audio_secs = len(wav) / self.codec.sampling_rate
-        rtf = wall / max(audio_secs, 1e-9)
-        return TTSResult(wav, codes, rtf, {'fused': wall})
+        return self.batch_synthesize([text], [prompt_tokens], [prompt_codes],
+                                     rng=rng, bucket=bucket)[0]
 
     def synthesize(self, text: str, prompt_tokens, prompt_codes,
                    rng: jax.Array | None = None) -> TTSResult:
