@@ -35,13 +35,24 @@ DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
-                sm_scale: float, seq_len: int, n_heads: int, tokens_total: int,
-                causal: bool):
+def _attend_block(q_ids, k_ids, tokens_valid, kv_end, tokens_total: int,
+                  causal: bool):
+    """The prefix-LM visibility formula, shared by forward and backward kernels."""
+    if causal:
+        audio_vis = (k_ids >= tokens_total) & (k_ids <= q_ids)
+    else:
+        audio_vis = k_ids >= tokens_total
+    return ((k_ids < tokens_valid) | audio_vis) & (k_ids < kv_end)
+
+
+def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q: int,
+                block_k: int, sm_scale: float, seq_len: int, n_heads: int,
+                tokens_total: int, causal: bool):
     """One (batch*head, q-block) program.
 
     meta_ref: SMEM (b, 2) int32 — [tokens_valid, kv_end] per batch row (prefetched).
-    q_ref: (1, block_q, hd); k_ref/v_ref: (1, seq_len, hd); o_ref: (1, block_q, hd).
+    q_ref: (1, block_q, hd); k_ref/v_ref: (1, seq_len, hd); o_ref: (1, block_q, hd);
+    lse_ref: (1, block_q) row logsumexp of the scaled+masked scores (for the bwd).
     """
     bh_idx = pl.program_id(0)
     q_blk = pl.program_id(1)
@@ -60,11 +71,8 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: 
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)   # (bq, bk)
         k_ids = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)
-        if causal:
-            audio_vis = (k_ids >= tokens_total) & (k_ids <= q_ids)
-        else:
-            audio_vis = k_ids >= tokens_total
-        attend = ((k_ids < tokens_valid) | audio_vis) & (k_ids < kv_end)
+        attend = _attend_block(q_ids, k_ids, tokens_valid, kv_end,
+                               tokens_total, causal)
         s = jnp.where(attend, s, NEG_INF)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))  # (bq, 1)
         alpha = jnp.exp(m_prev - m_cur)
@@ -76,9 +84,13 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: 
     acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l_f = jax.lax.fori_loop(0, pl.cdiv(seq_len, block_k), body,
-                                    (acc, m0, l0))
+    acc, m_f, l_f = jax.lax.fori_loop(0, pl.cdiv(seq_len, block_k), body,
+                                      (acc, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
+    # lse block is the full (1, seq_len) row (Mosaic requires the trailing dims of a
+    # block to be lane/sublane aligned or full); write just this program's slice.
+    lse_ref[0, 0, pl.ds(q_blk * block_q, block_q)] = \
+        (m_f + jnp.log(jnp.maximum(l_f, 1e-30)))[:, 0]
 
 
 def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
@@ -98,7 +110,7 @@ def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
                                sm_scale=sm_scale, seq_len=s_pad, n_heads=h,
                                tokens_total=tokens_total, causal=causal)
     interpret = jax.default_backend() != 'tpu'   # CPU tests run the interpreter
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -108,13 +120,17 @@ def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
                 pl.BlockSpec((1, s_pad, hd), lambda bi, qi, meta: (bi, 0, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda bi, qi, meta: (bi, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, hd),
-                                   lambda bi, qi, meta: (bi, qi, 0)),
+            out_specs=(
+                pl.BlockSpec((1, block_q, hd), lambda bi, qi, meta: (bi, qi, 0)),
+                pl.BlockSpec((1, 1, s_pad), lambda bi, qi, meta: (bi, 0, 0)),
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b * h, 1, s_pad), jnp.float32)),
         interpret=interpret,
     )(meta, qf, kf, vf)
-    return out.reshape(b, h, s_pad, hd)[:, :, :s]
+    return (out.reshape(b, h, s_pad, hd)[:, :, :s],
+            lse.reshape(b, h, s_pad)[:, :, :s])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -126,11 +142,12 @@ def flash_attention(q, k, v, meta, tokens_total: int, causal: bool = True,
     tokens_total: static width of the source block; causal=False for the NAR's
     bidirectional audio block.
     """
-    return _flash_fwd(q, k, v, meta, tokens_total, causal, block_q, block_k)
+    out, _ = _flash_fwd(q, k, v, meta, tokens_total, causal, block_q, block_k)
+    return out
 
 
 def reference_attention(q, k, v, meta, tokens_total: int, causal: bool = True):
-    """jnp reference with the same mask semantics (tests + recompute-VJP)."""
+    """jnp reference with the same mask semantics (tests)."""
     s = q.shape[2]
     scale = 1.0 / math.sqrt(q.shape[-1])
     scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
@@ -152,17 +169,175 @@ def reference_attention(q, k, v, meta, tokens_total: int, causal: bool = True):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Backward: blockwise recomputation using the saved logsumexp — no (s, s)
+# residual in HBM in either direction.
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, block_q: int, block_k: int, sm_scale: float,
+                   seq_len: int, n_heads: int, tokens_total: int, causal: bool):
+    """dq for one (batch*head, q-block): loop over kv blocks.
+
+    ds = p * (dout·vᵀ − delta);  dq = scale · ds·k.
+    """
+    bh_idx = pl.program_id(0)
+    q_blk = pl.program_id(1)
+    b_idx = bh_idx // n_heads
+    tokens_valid = meta_ref[b_idx, 0]
+    kv_end = meta_ref[b_idx, 1]
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale                      # (bq, hd)
+    do = do_ref[0].astype(jnp.float32)                               # (bq, hd)
+    lse = lse_ref[0, 0, pl.ds(q_blk * block_q, block_q)][:, None]    # (bq, 1)
+    delta = delta_ref[0, 0, pl.ds(q_blk * block_q, block_q)][:, None]
+    q_ids = q_blk * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        sc = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_ids = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        attend = _attend_block(q_ids, k_ids, tokens_valid, kv_end,
+                               tokens_total, causal)
+        p = jnp.where(attend, jnp.exp(sc - lse), 0.0)                # (bq, bk)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, pl.cdiv(seq_len, block_k), body,
+                           jnp.zeros((block_q, q.shape[-1]), jnp.float32))
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, block_q: int, block_k: int, sm_scale: float,
+                    seq_len: int, n_heads: int, tokens_total: int, causal: bool):
+    """dk, dv for one (batch*head, kv-block): loop over q blocks.
+
+    dv = pᵀ·dout;  dk = scale · dsᵀ·q.
+    """
+    bh_idx = pl.program_id(0)
+    k_blk_idx = pl.program_id(1)
+    b_idx = bh_idx // n_heads
+    tokens_valid = meta_ref[b_idx, 0]
+    kv_end = meta_ref[b_idx, 1]
+
+    k_blk = k_ref[0].astype(jnp.float32)                             # (bk, hd)
+    v_blk = v_ref[0].astype(jnp.float32)                             # (bk, hd)
+    k_ids = k_blk_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_k), 1)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * sm_scale
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        q_ids = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        sc = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        attend = _attend_block(q_ids, k_ids, tokens_valid, kv_end,
+                               tokens_total, causal)
+        p = jnp.where(attend, jnp.exp(sc - lse), 0.0)                # (bq, bk)
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    hd = k_blk.shape[-1]
+    dk, dv = jax.lax.fori_loop(
+        0, pl.cdiv(seq_len, block_q), body,
+        (jnp.zeros((block_k, hd), jnp.float32), jnp.zeros((block_k, hd), jnp.float32)))
+    # dk gradient w.r.t. unscaled k: scores used q*scale, so d/dk carries no extra
+    # scale beyond the q already being scaled inside `q` — but `q` here IS scaled,
+    # so dsᵀ·(q·scale)/scale... we multiplied q by scale up front, therefore
+    # dsᵀ·q_scaled already includes the factor once; no further scaling needed.
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, meta, out, lse, dout, tokens_total: int, causal: bool,
+               block_q: int, block_k: int):
+    b, h, s, hd = q.shape
+    sm_scale = 1.0 / math.sqrt(hd)
+    blk = max(block_q, block_k)
+    s_pad = -(-s // blk) * blk
+    if s_pad != s:
+        pad4 = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        pad3 = ((0, 0), (0, 0), (0, s_pad - s))
+        q, k, v = jnp.pad(q, pad4), jnp.pad(k, pad4), jnp.pad(v, pad4)
+        out, dout = jnp.pad(out, pad4), jnp.pad(dout, pad4)
+        lse = jnp.pad(lse, pad3)
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    qf, kf, vf = (a.reshape(b * h, s_pad, hd) for a in (q, k, v))
+    dof = dout.reshape(b * h, s_pad, hd)
+    lsef = lse.reshape(b * h, 1, s_pad)
+    deltaf = delta.reshape(b * h, 1, s_pad)
+    interpret = jax.default_backend() != 'tpu'
+    common = dict(block_q=block_q, block_k=block_k, sm_scale=sm_scale,
+                  seq_len=s_pad, n_heads=h, tokens_total=tokens_total,
+                  causal=causal)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, s_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, hd), lambda bi, qi, meta: (bi, qi, 0)),
+                pl.BlockSpec((1, s_pad, hd), lambda bi, qi, meta: (bi, 0, 0)),
+                pl.BlockSpec((1, s_pad, hd), lambda bi, qi, meta: (bi, 0, 0)),
+                pl.BlockSpec((1, block_q, hd), lambda bi, qi, meta: (bi, qi, 0)),
+                pl.BlockSpec((1, 1, s_pad), lambda bi, qi, meta: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, s_pad), lambda bi, qi, meta: (bi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, hd),
+                                   lambda bi, qi, meta: (bi, qi, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+        interpret=interpret,
+    )(meta, qf, kf, vf, dof, lsef, deltaf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, s_pad // block_k),
+            in_specs=[
+                pl.BlockSpec((1, s_pad, hd), lambda bi, ki, meta: (bi, 0, 0)),
+                pl.BlockSpec((1, block_k, hd), lambda bi, ki, meta: (bi, ki, 0)),
+                pl.BlockSpec((1, block_k, hd), lambda bi, ki, meta: (bi, ki, 0)),
+                pl.BlockSpec((1, s_pad, hd), lambda bi, ki, meta: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, s_pad), lambda bi, ki, meta: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, s_pad), lambda bi, ki, meta: (bi, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_k, hd), lambda bi, ki, meta: (bi, ki, 0)),
+                pl.BlockSpec((1, block_k, hd), lambda bi, ki, meta: (bi, ki, 0)),
+            ),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b * h, s_pad, hd), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, s_pad, hd), v.dtype)),
+        interpret=interpret,
+    )(meta, qf, kf, vf, dof, lsef, deltaf)
+
+    unpad = lambda a: a.reshape(b, h, s_pad, hd)[:, :, :s]
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
 def _fwd_rule(q, k, v, meta, tokens_total, causal, block_q, block_k):
-    return (_flash_fwd(q, k, v, meta, tokens_total, causal, block_q, block_k),
-            (q, k, v, meta))
+    out, lse = _flash_fwd(q, k, v, meta, tokens_total, causal, block_q, block_k)
+    return out, (q, k, v, meta, out, lse)
 
 
 def _bwd_rule(tokens_total, causal, block_q, block_k, residuals, g):
-    q, k, v, meta = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: reference_attention(q_, k_, v_, meta, tokens_total, causal),
-        q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, meta, out, lse = residuals
+    dq, dk, dv = _flash_bwd(q, k, v, meta, out, lse, g, tokens_total, causal,
+                            block_q, block_k)
     return dq, dk, dv, None
 
 
