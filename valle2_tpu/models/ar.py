@@ -1,0 +1,400 @@
+"""ValleAR — autoregressive first-codebook codec LM, TPU-native.
+
+Re-design of the reference ValleAR (``/root/reference/valle/models/valle_ar.py``):
+
+- **Training** (reference valle_ar.py:43-90): one jitted pure function
+  ``loss_fn(params, batch, rng)`` — embed phoneme + code streams with per-stream
+  sinusoidal positions, prefix-LM attention over the concatenation, slice the audio
+  block, project, masked cross-entropy.  Loss masks padded positions by length
+  (reference includes pads — SURVEY Q6; controlled by ``config.mask_loss_pads``).
+
+- **Decode** (reference valle_ar.py:92-180): the reference drives a Python loop with a
+  host round-trip per token.  Here the whole thing — prefill, best-of-N sampling
+  replicas, top-k/top-p sampling, per-beam EOS freezing, logprob accumulation and
+  length-penalized beam pick — is ONE jitted function: prefill fills a preallocated KV
+  cache, then ``lax.while_loop`` advances a token per iteration entirely on device
+  (north-star item #2).  Buffer slots past the generated tokens hold EOS so the beam
+  statistics equal the reference's dynamic-length math.
+
+- **Direction**: 'tts' (phonemes → codes) or 'asr' (codes → phonemes) is a config
+  switch; the architecture is direction-symmetric (source stream = prefix, target
+  stream = causal LM).  The reference only ships TTS; ASR uses the same layout with the
+  vocabularies swapped (README.md:2 claims ASR; no code exists in the snapshot).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ConfigValle
+from ..ops import (KVCache, add_positional, best_beam_index, embedding,
+                   embedding_init, linear, linear_init, mask_to_bias,
+                   prefix_lm_bias, sinusoidal_table, topk_sampling, transformer,
+                   transformer_decode_step, transformer_init, transformer_prefill)
+from ..ops.masks import build_pad_mask
+
+Params = dict[str, Any]
+
+MAX_POS = 5000  # sinusoidal table length (reference modules.py:56)
+
+
+def _dims(config: ConfigValle) -> tuple[int, int]:
+    """(source_vocab, target_vocab_with_specials) for the configured direction."""
+    if config.direction == 'asr':
+        # source = audio codes (first codebook), target = phonemes (+EOS/BOS slots)
+        return config.num_audio_tokens, config.vocab_size + 2
+    return config.vocab_size, config.num_audio_tokens + 2
+
+
+def _specials(config: ConfigValle) -> tuple[int, int]:
+    """(eos, bos) of the *target* stream: last two ids of the target vocab
+    (reference config.py:83-89 for TTS; same rule applied to phonemes for ASR)."""
+    _, tgt_vocab = _dims(config)
+    return tgt_vocab - 2, tgt_vocab - 1
+
+
+def init_params(key: jax.Array, config: ConfigValle) -> Params:
+    src_vocab, tgt_vocab = _dims(config)
+    dtype = jnp.dtype(config.param_dtype)
+    k_tok, k_aud, k_tr, k_proj = jax.random.split(key, 4)
+    return {
+        'tokens_emb': embedding_init(k_tok, src_vocab, config.d_model, dtype),
+        'audio_emb': embedding_init(k_aud, tgt_vocab, config.d_model, dtype),
+        'transformer': transformer_init(
+            k_tr, config.num_layers, config.d_model, config.n_heads,
+            config.dim_feedforward, adaptive_norm=False, dtype=dtype),
+        # num_audio_tokens + 1 outputs (codes + EOS), bias-free — valle_ar.py:29
+        'proj': linear_init(k_proj, config.d_model, tgt_vocab - 1, use_bias=False,
+                            dtype=dtype),
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.Array,
+            tokens_lens: jax.Array | None, codes_lens: jax.Array | None,
+            rng: jax.Array | None = None) -> jax.Array:
+    """Logits over the audio block: (b, codes_len, num_audio_tokens + 1).
+
+    ``tokens``: (b, Tt) source ids; ``codes``: (b, Tc) BOS-prefixed target ids.
+    """
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    drop = config.dropout if rng is not None else 0.0
+    rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+
+    # Mixed precision: cast the (f32 master) params to the compute dtype here; the
+    # cast is differentiable so grads/optimizer state stay f32.  Without this, f32
+    # params promote bf16 activations straight back to f32.
+    cdtype = jnp.dtype(config.dtype)
+    if cdtype != jnp.dtype(config.param_dtype):
+        params = jax.tree.map(
+            lambda a: a.astype(cdtype) if a.dtype == jnp.dtype(config.param_dtype)
+            else a, params)
+
+    x_tok = embedding(params['tokens_emb'], tokens)
+    x_tok = add_positional(pe, x_tok, dropout_rate=drop, rng=rngs[0])
+    x_aud = embedding(params['audio_emb'], codes)
+    x_aud = add_positional(pe, x_aud, dropout_rate=drop, rng=rngs[1])
+
+    tt, tc = tokens.shape[1], codes.shape[1]
+    b = tokens.shape[0]
+    bias, flash = None, None
+    tv = tokens_lens if tokens_lens is not None else jnp.full((b,), tt)
+    ce = (tt + codes_lens) if codes_lens is not None else jnp.full((b,), tt + tc)
+    if config.use_flash_attention:
+        # Pallas kernel derives the mask from [tokens_valid, kv_end] per row.
+        flash = {'meta': jnp.stack([tv, ce], axis=1).astype(jnp.int32),
+                 'tokens_total': tt, 'causal': True}
+    else:
+        bias = prefix_lm_bias(tt, tc, codes_lens)
+        if tokens_lens is not None:
+            # Mask padded source keys too (deviation from the reference, which attends
+            # pad tokens — SURVEY §7 'replicate intent'; needed for bucket batching).
+            tok_pad = jnp.pad(build_pad_mask(tokens_lens, tt), ((0, 0), (0, tc)))
+            bias = bias + mask_to_bias(tok_pad)[:, None, None, :]
+
+    x = jnp.concatenate([x_tok, x_aud], axis=1).astype(jnp.dtype(config.dtype))
+    y = transformer(params['transformer'], x, config.n_heads, bias,
+                    dropout_rate=drop, rng=rngs[2], remat=config.remat, flash=flash)
+    return linear(params['proj'], y[:, tt:]).astype(jnp.float32)
+
+
+def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
+            rng: jax.Array | None = None) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Masked cross-entropy over the target stream (reference valle_ar.py:86)."""
+    logits = forward(params, config, batch['tokens'], batch['codes'],
+                     batch.get('tokens_lens'), batch.get('codes_lens'), rng)
+    target = batch['target']
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, target[..., None], axis=-1)[..., 0]
+    if config.mask_loss_pads and 'codes_lens' in batch:
+        valid = ~build_pad_mask(batch['codes_lens'], target.shape[1])
+        loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
+            jnp.sum(valid), 1)
+    else:
+        loss = jnp.mean(nll)
+        acc = jnp.mean(jnp.argmax(logits, -1) == target)
+    return loss, {'loss': loss, 'acc': acc}
+
+
+# ---------------------------------------------------------------------------
+# Decode — on-device while_loop (north-star item #2)
+# ---------------------------------------------------------------------------
+
+class DecodeState(NamedTuple):
+    step: jax.Array          # int32: tokens generated so far
+    codes: jax.Array         # (rows, Pm + max_new) int32, EOS-filled pads/tail
+    logits: jax.Array        # (rows, V+1) logits for the next position
+    cache: KVCache
+    sum_logprobs: jax.Array  # (rows,)
+    finished: jax.Array      # (rows,) bool: row's previous token was EOS
+    rng: jax.Array
+
+
+def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
+               codes: jax.Array, codes_lens: jax.Array, rng: jax.Array,
+               config: ConfigValle):
+    """Batched on-device decode with per-item lengths.
+
+    tokens: (B, Ttm) padded source ids;  tokens_lens: (B,) true lengths.
+    codes: (B, Pm) padded BOS-prefixed first-codebook prompts; codes_lens: (B,).
+    Returns (codes_buf (B, beams, Pm+max_new), sum_logprobs (B, beams), best (B,)).
+
+    Cache slot layout per item: [0, Ttm) source | [Ttm, Ttm+Pm) prompt codes |
+    [Ttm+Pm, +max_new) generated.  Per-item masks derived from (tokens_len, p_len)
+    make padded rows attend exactly the set the unpadded single-utterance decode
+    would — batched results are bit-identical per item, which also makes
+    bucket-padding the single-utterance path free (bounded compile count).
+    Generated token s takes audio-stream position p_len + s (true continuation).
+    """
+    eos, _ = _specials(config)
+    beams = config.num_beams
+    max_new = config.max_audio_len
+    b, ttm = tokens.shape
+    pm = codes.shape[1]
+    unroll = max(1, config.decode_unroll)
+    max_new_pad = -(-max_new // unroll) * unroll
+    total_max = ttm + pm + max_new_pad
+    rows = b * beams
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    n_heads = config.n_heads
+    dtype = jnp.dtype(config.dtype)
+    # Decode compute dtype (bfloat16 for serving; float32 + matmul_precision
+    # 'highest' for the greedy parity gate).  Logits/sampling stay float32.
+    tparams = jax.tree.map(lambda a: a.astype(dtype), params['transformer'])
+
+    # ---- Prefill (batch B; beams share the prefix) ----
+    x_tok = add_positional(pe, embedding(params['tokens_emb'], tokens))
+    x_aud = add_positional(pe, embedding(params['audio_emb'], codes))
+    # Per-item prefix-LM bias: attend = (k < tokens_len) | (audio block, causal),
+    # with padded token/audio keys masked (same formula as the flash kernel meta).
+    s_pre = ttm + pm
+    q_ids = jnp.arange(s_pre)[None, :, None]
+    k_ids = jnp.arange(s_pre)[None, None, :]
+    tl = tokens_lens[:, None, None]
+    ke = (ttm + codes_lens)[:, None, None]
+    attend = ((k_ids < tl) | ((k_ids >= ttm) & (k_ids <= q_ids))) & (k_ids < ke)
+    bias = jnp.where(attend, 0.0, jnp.float32(-1e30))[:, None]
+    x = jnp.concatenate([x_tok, x_aud], axis=1).astype(dtype)
+    cache_dtype = jnp.dtype(config.kv_cache_dtype)
+    y, cache = transformer_prefill(tparams, x, n_heads, total_max, bias,
+                                   cache_dtype=cache_dtype)
+    # Logits at each item's last valid prompt position (ttm + p_len - 1).
+    last_idx = (ttm + codes_lens - 1)[:, None, None]
+    y_last = jnp.take_along_axis(y, jnp.broadcast_to(last_idx, (b, 1, y.shape[-1])),
+                                 axis=1)[:, 0]
+    first_logits = linear(params['proj'], y_last.astype(jnp.float32))   # (B, V+1)
+
+    # Tile to beams: (L, B, h, s, hd) -> (L, B*beams, h, s, hd).
+    cache = jax.tree.map(lambda a: jnp.repeat(a, beams, axis=1), cache)
+    logits = jnp.repeat(first_logits, beams, axis=0)                    # (rows, V+1)
+    tl_f = jnp.repeat(tokens_lens, beams)
+    pl_f = jnp.repeat(codes_lens, beams)
+
+    # Codes buffer: valid prompt, EOS elsewhere (keeps the reference's non-EOS
+    # length statistic intact under padding).
+    prompt_valid = jnp.arange(pm)[None, :] < codes_lens[:, None]
+    codes_row = jnp.where(prompt_valid, codes, eos)
+    # Buffer padded to a whole number of unroll chunks; slots past max_new absorb
+    # the (EOS-only) overshoot of the final chunk.
+    codes_buf = jnp.full((rows, pm + max_new_pad), eos, jnp.int32)
+    codes_buf = codes_buf.at[:, :pm].set(jnp.repeat(codes_row, beams, axis=0))
+
+    # Static per-row slot-validity template for decode attention (prompt part).
+    slots = jnp.arange(total_max)[None, :]
+    base_valid = ((slots < tl_f[:, None])
+                  | ((slots >= ttm) & (slots < ttm + pl_f[:, None])))
+
+    state = DecodeState(
+        step=jnp.int32(0), codes=codes_buf, logits=logits, cache=cache,
+        sum_logprobs=jnp.zeros((rows,), jnp.float32),
+        finished=jnp.zeros((rows,), bool), rng=rng)
+
+    def cond(s: DecodeState):
+        return (s.step < max_new) & ~jnp.all(s.finished)
+
+    def one_step(s: DecodeState) -> DecodeState:
+        active = s.step < max_new          # chunk overshoot guard (exact semantics)
+        rng, sample_rng = jax.random.split(s.rng)
+        samples, logprobs = topk_sampling(
+            sample_rng, s.logits, top_k=config.top_k, tok_p=config.tok_p,
+            temperature=config.temperature)
+        # Reference valle_ar.py:167-168: accumulate while the beam was alive, then
+        # freeze beams whose previous token was EOS.
+        sum_logprobs = s.sum_logprobs + logprobs * (~s.finished & active)
+        samples = jnp.where(s.finished | ~active, eos, samples).astype(jnp.int32)
+        if config.ignore_eos:        # benchmarking: fixed-length decode
+            finished = s.finished | ~active
+        else:
+            finished = s.finished | (samples == eos)
+        codes_new = jax.lax.dynamic_update_slice_in_dim(
+            s.codes, samples[:, None], pm + s.step, axis=1)
+        # Embed at per-row audio position p_len + step; write cache slot
+        # ttm + pm + step (static across rows).
+        x = embedding(params['audio_emb'], samples[:, None])
+        x = (x + jnp.take(pe, pl_f + s.step, axis=0)[:, None]).astype(dtype)
+        attend = base_valid | ((slots >= ttm + pm) & (slots <= ttm + pm + s.step))
+        y, cache = transformer_decode_step(
+            tparams, x, n_heads, s.cache, ttm + pm + s.step, attend_mask=attend,
+            attn_buckets=config.decode_attn_buckets)
+        logits = linear(params['proj'], y[:, 0].astype(jnp.float32))
+        return DecodeState(s.step + 1, codes_new, logits, cache, sum_logprobs,
+                           finished, rng)
+
+    def body(s: DecodeState) -> DecodeState:
+        # K sequential steps per loop turn: loop-turn overhead (~120 us on the
+        # target runtime) amortizes K-fold; straight-line bodies are ~free.
+        # Past-EOS / past-max_new steps are exact no-ops via the guards above.
+        for _ in range(unroll):
+            s = one_step(s)
+        return s
+
+    final = jax.lax.while_loop(cond, body, state)
+    codes_out = final.codes[:, :pm + max_new].reshape(b, beams, pm + max_new)
+    lp_out = final.sum_logprobs.reshape(b, beams)
+    best = jax.vmap(lambda c, lp: best_beam_index(c, lp, eos, config.length_penalty))(
+        codes_out, lp_out)
+    return codes_out, lp_out, best
+
+
+class ValleAR:
+    """Stateful wrapper: holds config + params, jit-caches the pure functions.
+
+    Public surface mirrors the reference LightningModule (training_step / generate /
+    eos_token / bos_token) minus Lightning.
+    """
+
+    def __init__(self, config: ConfigValle, params: Params | None = None,
+                 seed: int | None = None):
+        self.config = config
+        key = jax.random.key(config.seed if seed is None else seed)
+        self.params = params if params is not None else init_params(key, config)
+        prec = config.matmul_precision
+
+        def _decode_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
+            with jax.default_matmul_precision(prec):
+                return _decode_fn(p, tokens, tokens_lens, codes, codes_lens, rng,
+                                  config)
+
+        def _loss_wrapped(p, b, r):
+            with jax.default_matmul_precision(prec):
+                return loss_fn(p, config, b, r)
+
+        self._decode_jit = jax.jit(_decode_wrapped)
+        self._loss_jit = jax.jit(_loss_wrapped)
+
+    @property
+    def eos_token(self) -> int:
+        return _specials(self.config)[0]
+
+    @property
+    def bos_token(self) -> int:
+        return _specials(self.config)[1]
+
+    def training_step(self, batch: dict[str, jax.Array], rng: jax.Array | None = None):
+        loss, metrics = self._loss_jit(self.params, batch, rng)
+        return loss, metrics
+
+    def save(self, path) -> None:
+        """Orbax save of the model params."""
+        from pathlib import Path
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(Path(path).resolve(), self.params, force=True)
+
+    def load(self, path) -> None:
+        from pathlib import Path
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            self.params = ckptr.restore(Path(path).resolve(), item=self.params)
+
+    def _bucket(self, n: int) -> int:
+        for bkt in self.config.bucket_sizes:
+            if n <= bkt:
+                return bkt
+        return n
+
+    def generate(self, prompt_tokens, prompt_codes, target_tokens=None,
+                 rng: jax.Array | None = None, bucket: bool = False) -> jax.Array:
+        """Generate first-codebook codes.  Mirrors reference valle_ar.py:92-180.
+
+        prompt_tokens: (Tt,) source ids; prompt_codes: (Tp, num_quantizers) codes;
+        target_tokens: optional (Tn,) ids appended to the source stream.
+        ``bucket=True`` pads prompt shapes to config.bucket_sizes so repeated calls
+        share compilations (masking keeps outputs identical to unpadded).
+        Returns a 1-D array of generated codes (prompt and EOS stripped).
+        """
+        prompt_tokens = jnp.asarray(prompt_tokens, jnp.int32)
+        prompt_codes = jnp.asarray(prompt_codes, jnp.int32)
+        assert prompt_tokens.ndim == 1, 'Prompt tokens should be 1D.'
+        assert prompt_codes.ndim == 2, 'Prompt codes should be 2D (T, num_quantizers).'
+        if target_tokens is not None:
+            tokens = jnp.concatenate([prompt_tokens, jnp.asarray(target_tokens, jnp.int32)])
+        else:
+            tokens = prompt_tokens
+        return self.generate_batch([tokens], [prompt_codes], rng=rng,
+                                   bucket=bucket)[0]
+
+    def generate_batch(self, tokens_list, prompt_codes_list,
+                       rng: jax.Array | None = None,
+                       bucket: bool = True) -> list[jax.Array]:
+        """Batched decode: a list of (tokens_i, prompt_codes_i) utterances decoded in
+        one on-device loop; per-item masks keep each result identical to its
+        single-utterance decode.  (The reference has no batched inference at all;
+        BASELINE config #5 requires it for ASR.)"""
+        import numpy as np
+        tokens_list = [jnp.asarray(t, jnp.int32) for t in tokens_list]
+        codes0_list = [jnp.concatenate([jnp.array([self.bos_token], jnp.int32),
+                                        jnp.asarray(c, jnp.int32)[:, 0]])
+                       for c in prompt_codes_list]
+        bsz = len(tokens_list)
+        ttm = max(t.shape[0] for t in tokens_list)
+        pm = max(c.shape[0] for c in codes0_list)
+        if bucket:
+            ttm, pm = self._bucket(ttm), self._bucket(pm)
+        tokens = jnp.stack([jnp.pad(t, (0, ttm - t.shape[0])) for t in tokens_list])
+        codes = jnp.stack([jnp.pad(c, (0, pm - c.shape[0])) for c in codes0_list])
+        tokens_lens = jnp.asarray([t.shape[0] for t in tokens_list], jnp.int32)
+        codes_lens = jnp.asarray([c.shape[0] for c in codes0_list], jnp.int32)
+        if rng is None:
+            rng = jax.random.key(self.config.seed)
+        codes_buf, _, best = self._decode_jit(self.params, tokens, tokens_lens,
+                                              codes, codes_lens, rng)
+        # Host-side strip (dynamic shapes): best beam per item, drop prompt + EOS.
+        codes_buf = np.asarray(codes_buf)
+        best = np.asarray(best)
+        out = []
+        for i in range(bsz):
+            row = codes_buf[i, int(best[i])][pm:]
+            out.append(jnp.asarray(row[row != self.eos_token]))
+        return out
