@@ -39,16 +39,20 @@ def bench_ar_decode(steps: int = 512, repeats: int = 3) -> dict:
     prompt_tokens = jnp.asarray(np.random.RandomState(0).randint(0, 256, (64,)))
     prompt_codes = np.random.RandomState(1).randint(0, 1024, (150, 8)).astype(np.int32)
 
-    # Warmup / compile.
+    # Warmup / compile.  bucket=False: measure the exact prompt shapes (the
+    # serving default bucket=True pads prompts up, trading decode bandwidth for a
+    # bounded compile count — not what this capability metric is about).
     t0 = time.perf_counter()
-    out = model.generate(prompt_tokens, prompt_codes, rng=jax.random.key(0))
+    out = model.generate(prompt_tokens, prompt_codes, rng=jax.random.key(0),
+                         bucket=False)
     compile_time = time.perf_counter() - t0
     log(f'AR decode compile+first run: {compile_time:.1f}s, generated {len(out)} tokens')
 
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        out = model.generate(prompt_tokens, prompt_codes, rng=jax.random.key(i + 1))
+        out = model.generate(prompt_tokens, prompt_codes, rng=jax.random.key(i + 1),
+                             bucket=False)
         times.append(time.perf_counter() - t0)
     best = min(times)
     tokens_per_sec = steps / best
@@ -63,10 +67,10 @@ def bench_ar_decode(steps: int = 512, repeats: int = 3) -> dict:
         short = ValleAR(dataclasses.replace(config, max_audio_len=steps // 4),
                         params=model.params)
         t_short = []
-        short.generate(prompt_tokens, prompt_codes, rng=jax.random.key(0))
+        short.generate(prompt_tokens, prompt_codes, rng=jax.random.key(0), bucket=False)
         for i in range(repeats):
             t0 = time.perf_counter()
-            short.generate(prompt_tokens, prompt_codes, rng=jax.random.key(i + 1))
+            short.generate(prompt_tokens, prompt_codes, rng=jax.random.key(i + 1), bucket=False)
             t_short.append(time.perf_counter() - t0)
         delta = best - min(t_short)
         # Only meaningful when the length difference dominates the noise floor.
@@ -133,11 +137,14 @@ def bench_e2e_rtf(steps: int = 384) -> dict:
     return {'rtf': rtf, 'audio_secs': audio_secs, 'batch_rtf': batch_rtf}
 
 
-def bench_train(batch: int = 32, frames: int = 512) -> dict:
+def bench_train(batch: int = 32, frames: int = 512, tag: str = 'default',
+                **config_kwargs) -> dict:
     from valle2_tpu.config import ConfigValle
+    from valle2_tpu.profiling import V5E_PEAK_BF16_FLOPS, train_step_flops
     from valle2_tpu.train import init_state, make_train_step
 
-    config = ConfigValle(dropout=0.1, batch_size=batch, dtype='bfloat16')
+    config = ConfigValle(dropout=0.1, batch_size=batch, dtype='bfloat16',
+                         **config_kwargs)
     state = init_state(config, 'ValleAR', jax.random.key(0))
     step = make_train_step(config, 'ValleAR')
     rs = np.random.RandomState(0)
@@ -159,9 +166,12 @@ def bench_train(batch: int = 32, frames: int = 512) -> dict:
         times.append(time.perf_counter() - t0)
     best = min(times)
     fps = batch * frames / best
-    log(f'train step (AR, b={batch}x{frames} frames, bf16): {best * 1e3:.1f} ms '
-        f'-> {fps:.0f} codec frames/s')
-    return {'frames_per_sec': fps, 'step_ms': best * 1e3}
+    flops = train_step_flops(config, batch, frames // 4, frames)
+    mfu = flops / best / V5E_PEAK_BF16_FLOPS
+    log(f'train step ({tag}: AR, b={batch}x{frames} frames, bf16, '
+        f'flash={config.flash_enabled}): {best * 1e3:.1f} ms -> {fps:.0f} codec '
+        f'frames/s, {flops / best / 1e12:.1f} TFLOP/s, MFU {mfu:.1%}')
+    return {'frames_per_sec': fps, 'step_ms': best * 1e3, 'mfu': mfu}
 
 
 def main():
@@ -184,6 +194,14 @@ def main():
     except Exception as exc:
         log(f'train bench failed: {exc!r}')
         trn = None
+    try:
+        # 204M-param scale (BENCHMARKS.md §Scaling): MFU is the metric that matters
+        # here — the default config is far too small to fill the MXU.
+        trn_large = bench_train(batch=16, frames=512, tag='204M', d_model=1024,
+                                num_layers=16, n_heads=16, dim_feedforward=4096)
+    except Exception as exc:
+        log(f'204M train bench failed: {exc!r}')
+        trn_large = None
 
     result = {
         'metric': 'ar_codec_tokens_per_sec_per_chip',
@@ -200,6 +218,10 @@ def main():
             extra['tts_batch8_rtf'] = round(e2e['batch_rtf'], 4)
     if trn is not None:
         extra['train_frames_per_sec'] = round(trn['frames_per_sec'])
+        extra['train_mfu'] = round(trn['mfu'], 4)
+    if trn_large is not None:
+        extra['train_mfu_204m'] = round(trn_large['mfu'], 4)
+        extra['train_frames_per_sec_204m'] = round(trn_large['frames_per_sec'])
     if ar.get('marginal_tokens_per_sec'):
         extra['ar_marginal_tokens_per_sec'] = round(ar['marginal_tokens_per_sec'])
     if extra:

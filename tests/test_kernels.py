@@ -89,6 +89,27 @@ class TestFlashAttention:
         l_flash, _ = ar_mod.loss_fn(params, cfg_f, batch, None)
         np.testing.assert_allclose(float(l_bias), float(l_flash), atol=1e-5)
 
+    def test_decode_with_flash_prefill_matches_bias_path(self):
+        """Greedy AR decode with the flash-routed prefill (the TPU default) must be
+        token-identical to the materialized-bias prefill path."""
+        from valle2_tpu.config import ConfigValle
+        from valle2_tpu.models.ar import ValleAR
+        import dataclasses
+        cfg = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                          dropout=0.0, norm='LayerNorm', max_audio_len=12,
+                          num_beams=2, temperature=0.0, use_flash_attention=False,
+                          matmul_precision='highest')
+        model = ValleAR(cfg, seed=0)
+        model_f = ValleAR(dataclasses.replace(cfg, use_flash_attention=True),
+                          params=model.params)
+        rs = np.random.RandomState(7)
+        tokens = rs.randint(0, 255, (9,))
+        codes = rs.randint(0, 1024, (6, 8))
+        rng = jax.random.key(3)
+        got = np.asarray(model_f.generate(tokens, codes, rng=rng))
+        want = np.asarray(model.generate(tokens, codes, rng=rng))
+        np.testing.assert_array_equal(got, want)
+
 
 class TestRVQKernel:
     def test_matches_jnp_rvq_exactly(self):
@@ -122,6 +143,26 @@ class TestAdaLNKernel:
         want = adaln(p, x, cond)
         got = adaln_fused(p, x, cond)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    def test_fused_adaln_is_differentiable(self, monkeypatch):
+        """VALLE2_FUSED_ADALN=1 must not break jax.grad (the NAR loss trains
+        through AdaLN): the custom VJP runs the jnp formula's backward."""
+        from valle2_tpu.ops import adaln, adaln_init
+        monkeypatch.setenv('VALLE2_FUSED_ADALN', '1')
+        d = 32
+        p = adaln_init(jax.random.key(6), d)
+        x = jax.random.normal(jax.random.key(7), (2, 8, d))
+        cond = jax.random.normal(jax.random.key(8), (1, d))
+
+        def loss(p, x, cond):
+            return jnp.sum(adaln(p, x, cond) ** 2)
+
+        g_fused = jax.grad(loss, argnums=(0, 1, 2))(p, x, cond)
+        monkeypatch.setenv('VALLE2_FUSED_ADALN', '0')
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(p, x, cond)
+        for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-4)
 
     def test_bf16_input(self):
         from valle2_tpu.ops import adaln, adaln_init

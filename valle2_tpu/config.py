@@ -88,8 +88,11 @@ class ConfigValle:
         default=True,
         metadata={'help': 'Mask padded positions out of the loss (reference includes them, Q6)'},
     )
-    use_flash_attention: bool = field(
-        default=False, metadata={'help': 'Use the Pallas flash-attention kernel (training path)'}
+    use_flash_attention: bool | str = field(
+        default='auto',
+        metadata={'help': "Pallas flash-attention kernel for training and AR prefill: "
+                          "True | False | 'auto' (on when the backend is TPU; the jnp "
+                          'materialized-bias path is the fallback elsewhere)'},
     )
     remat: bool = field(
         default=False, metadata={'help': 'jax.checkpoint each transformer layer (saves HBM)'}
@@ -173,6 +176,19 @@ class ConfigValle:
     @property
     def head_dim(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def flash_enabled(self) -> bool:
+        """Resolve ``use_flash_attention``.  'auto' = on iff the backend is TPU AND
+        the model is wide enough for the kernel to win: measured on v5e
+        (BENCHMARKS.md r2), at d=256 the XLA bias path is ~15% faster (86 vs
+        100 ms/step) while at d=1024 the bias path fails to compile (materialized
+        (b, h, s, s) scores) and the flash kernel is the only working path.
+        Elsewhere the kernel only falls back to the slow interpreter."""
+        if self.use_flash_attention == 'auto':
+            import jax
+            return jax.default_backend() == 'tpu' and self.d_model >= 512
+        return bool(self.use_flash_attention)
 
     @classmethod
     def from_dict(cls, hparams_dict: dict) -> 'ConfigValle':

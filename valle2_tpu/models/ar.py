@@ -110,7 +110,7 @@ def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.A
     bias, flash = None, None
     tv = tokens_lens if tokens_lens is not None else jnp.full((b,), tt)
     ce = (tt + codes_lens) if codes_lens is not None else jnp.full((b,), tt + tc)
-    if config.use_flash_attention:
+    if config.flash_enabled:
         # Pallas kernel derives the mask from [tokens_valid, kv_end] per row.
         flash = {'meta': jnp.stack([tv, ce], axis=1).astype(jnp.int32),
                  'tokens_total': tt, 'causal': True}
@@ -196,19 +196,27 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     # ---- Prefill (batch B; beams share the prefix) ----
     x_tok = add_positional(pe, embedding(params['tokens_emb'], tokens))
     x_aud = add_positional(pe, embedding(params['audio_emb'], codes))
-    # Per-item prefix-LM bias: attend = (k < tokens_len) | (audio block, causal),
-    # with padded token/audio keys masked (same formula as the flash kernel meta).
+    # Per-item prefix-LM mask: attend = (k < tokens_len) | (audio block, causal),
+    # with padded token/audio keys dropped.  On TPU the Pallas flash kernel derives
+    # it in-kernel from [tokens_valid, kv_end]; the fallback materializes the
+    # (b, 1, s, s) bias (at 1k+ prompt lengths that is ~2.8M floats per item).
     s_pre = ttm + pm
-    q_ids = jnp.arange(s_pre)[None, :, None]
-    k_ids = jnp.arange(s_pre)[None, None, :]
-    tl = tokens_lens[:, None, None]
-    ke = (ttm + codes_lens)[:, None, None]
-    attend = ((k_ids < tl) | ((k_ids >= ttm) & (k_ids <= q_ids))) & (k_ids < ke)
-    bias = jnp.where(attend, 0.0, jnp.float32(-1e30))[:, None]
+    bias, flash = None, None
+    if config.flash_enabled:
+        flash = {'meta': jnp.stack([tokens_lens, ttm + codes_lens],
+                                   axis=1).astype(jnp.int32),
+                 'tokens_total': ttm, 'causal': True}
+    else:
+        q_ids = jnp.arange(s_pre)[None, :, None]
+        k_ids = jnp.arange(s_pre)[None, None, :]
+        tl = tokens_lens[:, None, None]
+        ke = (ttm + codes_lens)[:, None, None]
+        attend = ((k_ids < tl) | ((k_ids >= ttm) & (k_ids <= q_ids))) & (k_ids < ke)
+        bias = jnp.where(attend, 0.0, jnp.float32(-1e30))[:, None]
     x = jnp.concatenate([x_tok, x_aud], axis=1).astype(dtype)
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
     y, cache = transformer_prefill(tparams, x, n_heads, total_max, bias,
-                                   cache_dtype=cache_dtype)
+                                   cache_dtype=cache_dtype, flash=flash)
     # Logits at each item's last valid prompt position (ttm + p_len - 1).
     last_idx = (ttm + codes_lens - 1)[:, None, None]
     y_last = jnp.take_along_axis(y, jnp.broadcast_to(last_idx, (b, 1, y.shape[-1])),
@@ -295,8 +303,12 @@ class ValleAR:
     """
 
     def __init__(self, config: ConfigValle, params: Params | None = None,
-                 seed: int | None = None):
+                 seed: int | None = None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — batched decode shards utterance
+        rows over the 'data' axis (params replicated); serving scales over ICI with
+        no code change (the reference has no multi-device inference at all)."""
         self.config = config
+        self.mesh = mesh
         key = jax.random.key(config.seed if seed is None else seed)
         self.params = params if params is not None else init_params(key, config)
         prec = config.matmul_precision
@@ -345,13 +357,17 @@ class ValleAR:
         return n
 
     def generate(self, prompt_tokens, prompt_codes, target_tokens=None,
-                 rng: jax.Array | None = None, bucket: bool = False) -> jax.Array:
+                 rng: jax.Array | None = None, bucket: bool = True) -> jax.Array:
         """Generate first-codebook codes.  Mirrors reference valle_ar.py:92-180.
 
         prompt_tokens: (Tt,) source ids; prompt_codes: (Tp, num_quantizers) codes;
         target_tokens: optional (Tn,) ids appended to the source stream.
-        ``bucket=True`` pads prompt shapes to config.bucket_sizes so repeated calls
-        share compilations (masking keeps outputs identical to unpadded).
+        ``bucket=True`` (default) pads prompt shapes to config.bucket_sizes so
+        repeated calls share compilations — at most len(bucket_sizes)² programs
+        total instead of one per (prompt_len, code_len) pair, which matters on
+        runtimes where each compile costs minutes (NOTES.md).  Masking keeps
+        outputs identical to the unpadded decode (tested); pass bucket=False to
+        compile the exact shape.
         Returns a 1-D array of generated codes (prompt and EOS stripped).
         """
         prompt_tokens = jnp.asarray(prompt_tokens, jnp.int32)
@@ -371,13 +387,23 @@ class ValleAR:
         """Batched decode: a list of (tokens_i, prompt_codes_i) utterances decoded in
         one on-device loop; per-item masks keep each result identical to its
         single-utterance decode.  (The reference has no batched inference at all;
-        BASELINE config #5 requires it for ASR.)"""
+        BASELINE config #5 requires it for ASR.)
+
+        With a ``mesh``, utterance rows are sharded over the 'data' axis (batch
+        padded to a multiple of the axis size by repeating row 0; the pad rows'
+        outputs are dropped) and params are replicated — GSPMD runs the whole decode
+        loop data-parallel over ICI.
+        """
         import numpy as np
         tokens_list = [jnp.asarray(t, jnp.int32) for t in tokens_list]
         codes0_list = [jnp.concatenate([jnp.array([self.bos_token], jnp.int32),
                                         jnp.asarray(c, jnp.int32)[:, 0]])
                        for c in prompt_codes_list]
         bsz = len(tokens_list)
+        if self.mesh is not None:
+            pad_rows = (-bsz) % self.mesh.shape['data']
+            tokens_list = tokens_list + [tokens_list[0]] * pad_rows
+            codes0_list = codes0_list + [codes0_list[0]] * pad_rows
         ttm = max(t.shape[0] for t in tokens_list)
         pm = max(c.shape[0] for c in codes0_list)
         if bucket:
@@ -388,7 +414,13 @@ class ValleAR:
         codes_lens = jnp.asarray([c.shape[0] for c in codes0_list], jnp.int32)
         if rng is None:
             rng = jax.random.key(self.config.seed)
-        codes_buf, _, best = self._decode_jit(self.params, tokens, tokens_lens,
+        params = self.params
+        if self.mesh is not None:
+            from ..parallel import replicated, shard_batch
+            params = jax.device_put(params, replicated(self.mesh))
+            tokens, tokens_lens, codes, codes_lens = shard_batch(
+                self.mesh, (tokens, tokens_lens, codes, codes_lens))
+        codes_buf, _, best = self._decode_jit(params, tokens, tokens_lens,
                                               codes, codes_lens, rng)
         # Host-side strip (dynamic shapes): best beam per item, drop prompt + EOS.
         codes_buf = np.asarray(codes_buf)

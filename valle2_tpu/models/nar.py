@@ -68,10 +68,17 @@ def _embed_codes_all(tables: jax.Array, codes: jax.Array) -> jax.Array:
     return jax.vmap(lambda tbl, ids: tbl[ids], in_axes=(0, -1), out_axes=-2)(tables, codes)
 
 
-def prefix_length(config: ConfigValle, codes_len: int) -> int:
+def prefix_length(config: ConfigValle, codes_len):
     """min(T//3, 3 s of frames) — reference valle_nar.py:179 (and quirk Q1: the
-    'seconds' use quantization_factor=50, not the codec's true 75 fps)."""
-    return min(codes_len // 3, 3 * config.quantization_factor)
+    'seconds' use quantization_factor=50, not the codec's true 75 fps).
+
+    ``codes_len`` is the batch's **max true length** (reference semantics: its
+    padded width IS the batch max since its collate pads to max).  Accepts a traced
+    scalar so the training loss is independent of the bucket width it was padded to.
+    """
+    if isinstance(codes_len, (int,)):
+        return min(codes_len // 3, 3 * config.quantization_factor)
+    return jnp.minimum(codes_len // 3, 3 * config.quantization_factor)
 
 
 def prepare_audio_embedding(params: Params, codes: jax.Array, stage: jax.Array,
@@ -118,7 +125,12 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     codes_lens, tokens_lens = batch.get('codes_lens'), batch.get('tokens_lens')
     b, t_codes, nq = codes.shape
     t_tok = tokens.shape[1]
-    prefix_len = prefix_length(config, t_codes)
+    # Reference valle_nar.py:179 derives the acoustic-prefix length from the
+    # batch's max length.  Under bucket padding the width exceeds the batch max,
+    # so compute it from the true lengths (traced) — the objective must not shift
+    # with the bucket the batch landed in.
+    max_true = codes_lens.max() if codes_lens is not None else t_codes
+    prefix_len = prefix_length(config, max_true)
 
     stage_rng, drop_rng = jax.random.split(rng)
     stage = jax.random.randint(stage_rng, (), 1, nq)                # uniform 1..nq-1
@@ -140,7 +152,7 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
 
     # Padding bias: audio pads + token pads (see ar.forward note on the deviation).
     bias, flash = None, None
-    if config.use_flash_attention:
+    if config.flash_enabled:
         tv = tokens_lens if tokens_lens is not None else jnp.full((b,), t_tok)
         ce = (t_tok + codes_lens) if codes_lens is not None \
             else jnp.full((b,), t_tok + t_codes)
@@ -154,21 +166,21 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
         bias = mask_to_bias(pad)[:, None, None, :]
 
     logits = forward_stage(params, config, x_tok, codes_emb, stage, bias, rngs[1],
-                           flash=flash)
-    logits = logits[:, prefix_len:]                                  # suffix positions
-    # target = codes[:, prefix_len:, stage] with a traced stage index
-    target = jax.lax.dynamic_index_in_dim(codes, stage, 2, keepdims=False)[:, prefix_len:]
+                           flash=flash)                              # (b, T, V)
+    # CE over the suffix positions of codebook ``stage`` — masked (not sliced):
+    # prefix_len is traced, so the suffix is selected by weight, keeping shapes
+    # static and the loss independent of the bucket width.
+    target = jax.lax.dynamic_index_in_dim(codes, stage, 2, keepdims=False)
 
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logprobs, target[..., None], axis=-1)[..., 0]
+    pos = jnp.arange(t_codes)[None, :]
+    valid = pos >= prefix_len
     if config.mask_loss_pads and codes_lens is not None:
-        valid = (jnp.arange(prefix_len, t_codes)[None, :] < codes_lens[:, None])
-        loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
-        acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
-            jnp.sum(valid), 1)
-    else:
-        loss = jnp.mean(nll)
-        acc = jnp.mean(jnp.argmax(logits, -1) == target)
+        valid = valid & (pos < codes_lens[:, None])
+    loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+    acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
+        jnp.sum(valid), 1)
     return loss, {'loss': loss, 'acc': acc, 'stage': stage}
 
 
@@ -292,12 +304,14 @@ class ValleNAR:
 
     def generate(self, prompt_tokens, prompt_codes, target_tokens,
                  target_codes_first_layer, rng: jax.Array | None = None,
-                 bucket: bool = False) -> jax.Array:
+                 bucket: bool = True) -> jax.Array:
         """Refine first-layer codes into all ``num_quantizers`` codebooks.
 
         Mirrors reference valle_nar.py:107-165 (with its shape bugs fixed — Q5).
-        ``bucket=True`` pads widths to config.bucket_sizes to bound compilations
-        (masking keeps greedy outputs identical).  Returns (T, num_quantizers) codes.
+        ``bucket=True`` (default) pads widths to config.bucket_sizes to bound
+        compilations to at most len(bucket_sizes)³ programs (each compile costs
+        minutes on this runtime — NOTES.md); masking keeps greedy outputs
+        identical (tested).  Returns (T, num_quantizers) codes.
         """
         tokens = jnp.concatenate([jnp.asarray(prompt_tokens, jnp.int32),
                                   jnp.asarray(target_tokens, jnp.int32)])

@@ -132,19 +132,22 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
 def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
                         bias: jax.Array | None = None,
                         cond: jax.Array | None = None,
-                        cache_dtype=None):
+                        cache_dtype=None, flash: dict | None = None):
     """Forward pass that also fills a KV cache padded to ``max_len``.
 
     Returns (y, KVCache) where cache slots [0, seq_len) hold the prefix keys/values.
     Replaces the reference's first cached iteration (modules.py:340-351).
     ``cache_dtype``: None (activation dtype) | a float dtype | jnp.int8 (quantized).
+    ``flash``: optional flash-attention meta (see ops.attention.mha) — avoids
+    materializing the (b, 1, s, s) prefill bias.
     """
     seq_len = x.shape[1]
     pad = max_len - seq_len
     quant = cache_dtype is not None and jnp.dtype(cache_dtype) == jnp.int8
 
     def body(carry, layer_p):
-        y, k, v = encoder_layer(layer_p, carry, n_heads, bias, cond, return_kv=True)
+        y, k, v = encoder_layer(layer_p, carry, n_heads, bias, cond, return_kv=True,
+                                flash=flash)
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         if quant:

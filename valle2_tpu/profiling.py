@@ -43,6 +43,27 @@ def log_compiles(enable: bool = True) -> None:
     jax.config.update('jax_log_compiles', enable)
 
 
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16 matmul throughput per chip
+
+
+def train_step_flops(config, batch: int, tokens_len: int, codes_len: int) -> float:
+    """Analytic matmul FLOPs for one AR train step (fwd + bwd ≈ 3 × fwd).
+
+    Counts the transformer matmuls (fused QKV, output proj, FFN), the attention
+    score/value dots over the full (causal-masked) sequence — what the kernels
+    actually compute — and the output head.  Embedding gathers and elementwise ops
+    are excluded (MFU convention).  Divide by wall time and the chip's peak
+    (``V5E_PEAK_BF16_FLOPS``) for MFU.
+    """
+    s = tokens_len + codes_len
+    d, layers, dff = config.d_model, config.num_layers, config.dim_feedforward
+    mm_per_tok = layers * 2 * (4 * d * d + 2 * d * dff)   # qkv(3d²)+out(d²)+ffn(2·d·dff)
+    attn_per_tok = layers * 4 * s * d                     # QKᵀ + PV over s keys
+    head_per_code = 2 * d * (config.num_audio_tokens + 1)
+    fwd = batch * (s * (mm_per_tok + attn_per_tok) + codes_len * head_per_code)
+    return 3.0 * fwd
+
+
 def memory_stats(device=None) -> dict:
     """Live/peak HBM usage for the given (default first) device."""
     device = device or jax.devices()[0]
