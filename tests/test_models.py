@@ -172,6 +172,32 @@ class TestValleNAR:
 
 
 class TestNARBucketing:
+    def test_nar_loss_invariant_to_bucket_width(self):
+        """The training objective must not shift with the bucket a batch lands in:
+        prefix_len derives from the batch-max TRUE length (reference
+        valle_nar.py:179 semantics), not the padded width (round-1 bug)."""
+        cfg = tiny_cfg(norm='AdaptiveLayerNorm', dropout=0.0)
+        m = ValleNAR(cfg)
+        rs = np.random.RandomState(5)
+        b, t_tok, t_codes = 2, 5, 12
+
+        base_codes = rs.randint(0, 1024, (b, t_codes, 8)).astype(np.int32)
+        base_tokens = rs.randint(0, 255, (b, t_tok)).astype(np.int32)
+
+        def batch(wc, wt):
+            codes = np.zeros((b, wc, 8), np.int32)
+            codes[:, :t_codes] = base_codes
+            tokens = np.zeros((b, wt), np.int32)
+            tokens[:, :t_tok] = base_tokens
+            return {'codes': jnp.asarray(codes), 'tokens': jnp.asarray(tokens),
+                    'codes_lens': jnp.asarray([t_codes, t_codes - 2]),
+                    'tokens_lens': jnp.asarray([t_tok, t_tok - 1])}
+
+        rng = jax.random.key(3)
+        loss_a, _ = m.training_step(batch(t_codes, t_tok), rng=rng)
+        loss_b, _ = m.training_step(batch(t_codes + 20, t_tok + 7), rng=rng)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), atol=1e-5)
+
     def test_nar_generate_bucket_invariant(self):
         cfg = tiny_cfg(norm='AdaptiveLayerNorm', temperature=0.0,
                        bucket_sizes=(16, 32))
