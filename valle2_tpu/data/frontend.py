@@ -5,10 +5,13 @@ The reference builds its vocab from ``g2p_en.G2p().phonemes`` plus space/comma/p
 ARPAbet set (stressed vowels + consonants) with 4 special tokens — reproduced here as a
 constant so token IDs are stable whether or not ``g2p_en`` is installed.
 
-When ``g2p_en`` is importable we use it (exact reference behaviour).  Otherwise a
-deterministic rule-based letter-to-phoneme fallback keeps the pipeline runnable
-(synthetic data, tests, zero-egress environments); it is NOT linguistically accurate
-and is clearly flagged.
+When ``g2p_en`` is importable we use it (exact reference behaviour).  Otherwise the
+fallback is a two-tier G2P: (1) the bundled pronunciation lexicon
+(``data/lexicon.py`` — hand-checked CMUdict-notation entries for high-frequency
+English words, with -s/-ed/-ing/-ly/-er suffix morphology), then (2) a
+deterministic letter-to-sound rule engine for out-of-vocabulary words (magic-e,
+vowel/consonant digraphs, common suffixes).  Tier 2 is approximate by nature and
+flagged as such.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ PHONEMES = (_SPECIALS
 # The reference appends ' ', ',', '.' after the phoneme list (data.py:20-22).
 PUNCTUATION = [' ', ',', '.']
 
-# Crude letter→ARPAbet rules for the no-g2p_en fallback.
+# Letter→ARPAbet rules for out-of-lexicon words (tier-2 fallback).
 _LETTER_RULES: dict[str, list[str]] = {
     'a': ['AE1'], 'b': ['B'], 'c': ['K'], 'd': ['D'], 'e': ['EH1'], 'f': ['F'],
     'g': ['G'], 'h': ['HH'], 'i': ['IH1'], 'j': ['JH'], 'k': ['K'], 'l': ['L'],
@@ -38,8 +41,21 @@ _LETTER_RULES: dict[str, list[str]] = {
     's': ['S'], 't': ['T'], 'u': ['AH1'], 'v': ['V'], 'w': ['W'], 'x': ['K', 'S'],
     'y': ['Y'], 'z': ['Z'],
 }
-_DIGRAPHS = {'ch': ['CH'], 'sh': ['SH'], 'th': ['TH'], 'ph': ['F'], 'ng': ['NG'],
-             'ee': ['IY1'], 'oo': ['UW1'], 'ay': ['EY1'], 'qu': ['K', 'W']}
+# Long (tense) vowels for the magic-e rule: 'make' -> M EY1 K.
+_LONG_VOWELS = {'a': 'EY1', 'e': 'IY1', 'i': 'AY1', 'o': 'OW1', 'u': 'UW1'}
+# Multi-letter graphemes, longest-match-first (4, 3, then 2 letters).
+_DIGRAPHS: dict[str, list[str]] = {
+    'tion': ['SH', 'AH0', 'N'], 'sion': ['ZH', 'AH0', 'N'],
+    'ough': ['AO1'], 'augh': ['AO1'],
+    'igh': ['AY1'], 'eau': ['OW1'], 'dge': ['JH'], 'tch': ['CH'],
+    'ch': ['CH'], 'sh': ['SH'], 'th': ['TH'], 'ph': ['F'], 'ng': ['NG'],
+    'wh': ['W'], 'wr': ['R'], 'kn': ['N'], 'gn': ['N'], 'ck': ['K'],
+    'qu': ['K', 'W'],
+    'ee': ['IY1'], 'ea': ['IY1'], 'oo': ['UW1'], 'ou': ['AW1'], 'ow': ['OW1'],
+    'oa': ['OW1'], 'ai': ['EY1'], 'ay': ['EY1'], 'ey': ['EY1'], 'oi': ['OY1'],
+    'oy': ['OY1'], 'au': ['AO1'], 'aw': ['AO1'], 'ar': ['AA1', 'R'],
+    'or': ['AO1', 'R'], 'er': ['ER0'], 'ir': ['ER1'], 'ur': ['ER1'],
+}
 
 
 class PhonemeTokenizer:
@@ -82,24 +98,51 @@ class PhonemeTokenizer:
         return [self.idx2sym.get(int(i), '<unk>') for i in ids]
 
 
+_CONS_LETTERS = set('bcdfghjklmnpqrstvwxz')
+
+
 @lru_cache(maxsize=4096)
 def _word_to_phonemes(word: str) -> tuple[str, ...]:
+    """Tier 1: bundled lexicon (+suffix morphology).  Tier 2: letter-to-sound rules
+    with magic-e, multi-letter graphemes (longest match first), and double-letter
+    collapsing.  Tier 2 is approximate by design."""
+    from .lexicon import lookup
+    hit = lookup(word)
+    if hit is not None:
+        return hit
+
     out: list[str] = []
     i = 0
-    while i < len(word):
-        pair = word[i:i + 2]
-        if pair in _DIGRAPHS:
-            out.extend(_DIGRAPHS[pair])
-            i += 2
+    n = len(word)
+    while i < n:
+        # Magic-e: single vowel + single consonant + final silent 'e'.
+        if (i + 2 == n - 1 and word[i] in _LONG_VOWELS
+                and word[i + 1] in _CONS_LETTERS and word[i + 1] not in 'wxy'
+                and word[n - 1] == 'e'):
+            out.append(_LONG_VOWELS[word[i]])
+            out.extend(_LETTER_RULES.get(word[i + 1], []))
+            break
+        matched = False
+        for size in (4, 3, 2):
+            piece = word[i:i + size]
+            if len(piece) == size and piece in _DIGRAPHS:
+                out.extend(_DIGRAPHS[piece])
+                i += size
+                matched = True
+                break
+        if matched:
             continue
         ch = word[i]
+        if i + 1 < n and word[i + 1] == ch and ch in _CONS_LETTERS:
+            i += 1                                     # collapse double consonants
+            continue
         out.extend(_LETTER_RULES.get(ch, []))
         i += 1
     return tuple(out)
 
 
 def _fallback_phonemize(text: str) -> list[str]:
-    """Deterministic rule-based G2P substitute (NOT linguistically accurate)."""
+    """Deterministic no-g2p_en G2P: lexicon first, letter-to-sound rules for OOV."""
     tokens: list[str] = []
     for piece in re.findall(r"[a-zA-Z']+|[,.]|\s+", text):
         if piece.isspace():
@@ -107,5 +150,5 @@ def _fallback_phonemize(text: str) -> list[str]:
         elif piece in (',', '.'):
             tokens.append(piece)
         else:
-            tokens.extend(_word_to_phonemes(piece.lower().replace("'", '')))
+            tokens.extend(_word_to_phonemes(piece.lower()))
     return tokens

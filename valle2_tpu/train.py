@@ -155,13 +155,20 @@ class Trainer:
         log_info('Saved checkpoint at step %d → %s', int(state.step), path)
 
     def restore_checkpoint(self, state: TrainState, path: str | Path) -> TrainState:
+        """Mesh-agnostic restore: the checkpoint is read back as host arrays (so a
+        checkpoint written on one mesh topology restores on any other — or on no
+        mesh at all), then placed under this trainer's mesh sharding rules."""
         import orbax.checkpoint as ocp
+        host_item = jax.tree.map(np.asarray,
+                                 {'params': state.params, 'opt_state': state.opt_state,
+                                  'step': state.step})
         with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(
-                Path(path).resolve(),
-                item={'params': state.params, 'opt_state': state.opt_state,
-                      'step': state.step})
-        return TrainState(restored['params'], restored['opt_state'], restored['step'])
+            restored = ckptr.restore(Path(path).resolve(), item=host_item)
+        params, opt_state = restored['params'], restored['opt_state']
+        if self.mesh is not None:
+            params = shard_params(self.mesh, params)
+            opt_state = shard_params(self.mesh, opt_state)
+        return TrainState(params, opt_state, jnp.asarray(restored['step']))
 
     def latest_checkpoint(self) -> Path | None:
         root = Path(self.config.ckpt_path) / self.model_name
@@ -181,8 +188,10 @@ class Trainer:
                 state = self.restore_checkpoint(state, latest)
                 log_info('Resumed from %s (step %d)', latest, int(state.step))
         if self.mesh is not None:
+            # Optimizer-state leaves mirror the param tree (adam mu/nu), so the same
+            # path-suffix sharding rules apply; unmatched leaves replicate.
             state = TrainState(shard_params(self.mesh, state.params),
-                               state.opt_state, state.step)
+                               shard_params(self.mesh, state.opt_state), state.step)
 
         t_start = time.time()
         frames = 0
@@ -216,7 +225,10 @@ class Trainer:
     def validate(self, state: TrainState, valid_loader, step: int, rng: jax.Array):
         losses = []
         for i, batch in enumerate(valid_loader):
-            batch = jax.tree.map(jnp.asarray, batch)
+            # Shard eval batches like train ones — on a mesh an unsharded batch
+            # would replicate the whole eval pass on every device.
+            batch = (shard_batch(self.mesh, batch) if self.mesh is not None
+                     else jax.tree.map(jnp.asarray, batch))
             metrics = self.eval_step(state.params, batch, jax.random.fold_in(rng, i))
             losses.append(float(metrics['loss']))
         if losses:
