@@ -54,6 +54,49 @@ class TestBatchedDecode:
         assert model._decode_jit._cache_size() == n0
 
 
+class TestShardedDecode:
+    def test_mesh_sharded_batch_matches_single_device(self):
+        """8-way data-parallel batched decode (rows sharded over 'data', params
+        replicated) must be token-identical per item to the unmeshed solo decode —
+        the multi-chip serving path (VERDICT r1 item 4)."""
+        from valle2_tpu.parallel import make_mesh
+        mesh = make_mesh(data=8, model=1)
+        c = cfg()
+        solo_model = ValleAR(c)
+        mesh_model = ValleAR(c, params=solo_model.params, mesh=mesh)
+        rs = np.random.RandomState(7)
+        # 5 items: exercises the pad-to-axis-multiple path (5 -> 8 rows).
+        items = [(rs.randint(0, 24, (3 + i,)), rs.randint(0, 96, (2 + i, 8)))
+                 for i in range(5)]
+        batched = mesh_model.generate_batch([t for t, _ in items],
+                                            [c_ for _, c_ in items])
+        assert len(batched) == 5
+        for (t, c_), got in zip(items, batched):
+            solo = solo_model.generate(jnp.asarray(t), jnp.asarray(c_))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(solo))
+
+    def test_mesh_fused_tts_matches_unmeshed(self):
+        """Fused TTS over the mesh == unmeshed fused TTS (same params, greedy)."""
+        import dataclasses
+        from valle2_tpu.parallel import make_mesh
+        from valle2_tpu.tts import ValleTTS
+        mesh = make_mesh(data=8, model=1)
+        c = dataclasses.replace(cfg(), max_audio_len=8)
+        plain = ValleTTS(c)
+        meshed = ValleTTS(c, ar=ValleAR(c, params=plain.ar.params, mesh=mesh),
+                          nar=plain.nar, codec=plain.codec, mesh=mesh)
+        rs = np.random.RandomState(8)
+        texts = ['ab', 'cd', 'efg']
+        pts = [rs.randint(0, 24, (3,)) for _ in texts]
+        pcs = [rs.randint(0, 96, (4, 8)) for _ in texts]
+        want = plain.batch_synthesize(texts, pts, pcs)
+        got = meshed.batch_synthesize(texts, pts, pcs)
+        assert len(got) == len(want) == 3
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(g.codes, w.codes)
+            np.testing.assert_allclose(g.waveform, w.waveform, atol=1e-5)
+
+
 class TestChunkedDecode:
     def test_unroll_factors_identical_outputs(self):
         """decode_unroll ∈ {1, 3, 4, 8}: outputs bit-identical (greedy and sampled)."""

@@ -86,9 +86,13 @@ class ValleTTS:
 
     def __init__(self, config: ConfigValle, ar: ValleAR | None = None,
                  nar: ValleNAR | None = None, codec: EncodecTPU | None = None,
-                 tokenizer: PhonemeTokenizer | None = None):
+                 tokenizer: PhonemeTokenizer | None = None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — batch_synthesize shards utterance
+        rows over the 'data' axis (params replicated), scaling fused serving
+        throughput across chips over ICI."""
         self.config = config
-        self.ar = ar if ar is not None else ValleAR(config)
+        self.mesh = mesh
+        self.ar = ar if ar is not None else ValleAR(config, mesh=mesh)
         self.nar = nar if nar is not None else ValleNAR(config)
         # Waveform synthesis follows the model compute dtype; codec *encode* stays f32.
         self.codec = codec if codec is not None else EncodecTPU(decode_dtype=config.dtype)
@@ -126,6 +130,12 @@ class ValleTTS:
             tokens_list.append(np.concatenate([np.asarray(pt, np.int32),
                                                self.tokenizer(text)]))
         codes_list = [np.asarray(c, np.int32) for c in prompt_codes_list]
+        if self.mesh is not None:
+            # Pad the batch to a multiple of the 'data' axis (repeat row 0; the
+            # extra rows' outputs are dropped below).
+            pad_rows = (-bsz) % self.mesh.shape['data']
+            tokens_list = tokens_list + [tokens_list[0]] * pad_rows
+            codes_list = codes_list + [codes_list[0]] * pad_rows
         ttm = max(len(t) for t in tokens_list)
         pm = max(len(c) for c in codes_list)
         if bucket:
@@ -136,10 +146,17 @@ class ValleTTS:
         tokens_lens = np.asarray([len(t) for t in tokens_list], np.int32)
         p_lens = np.asarray([len(c) for c in codes_list], np.int32)
 
-        wavs, gen_lens, out_codes = self._fused_jit(
-            self.ar.params, self.nar.params, self.codec._dec_params,
-            jnp.asarray(tokens), jnp.asarray(tokens_lens), jnp.asarray(codes),
-            jnp.asarray(p_lens), rng)
+        ar_p, nar_p, cod_p = (self.ar.params, self.nar.params,
+                              self.codec._dec_params)
+        inputs = (jnp.asarray(tokens), jnp.asarray(tokens_lens),
+                  jnp.asarray(codes), jnp.asarray(p_lens))
+        if self.mesh is not None:
+            from .parallel import replicated, shard_batch
+            ar_p, nar_p, cod_p = jax.device_put((ar_p, nar_p, cod_p),
+                                                replicated(self.mesh))
+            inputs = shard_batch(self.mesh, inputs)
+        wavs, gen_lens, out_codes = self._fused_jit(ar_p, nar_p, cod_p,
+                                                    *inputs, rng)
         wavs = np.asarray(wavs)                  # the single host fetch
         gen_lens = np.asarray(gen_lens)
         out_codes = np.asarray(out_codes)
