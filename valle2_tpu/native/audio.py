@@ -98,6 +98,8 @@ def mono_mix(interleaved: np.ndarray) -> np.ndarray:
     lib = _load()
     if interleaved.ndim == 1:
         return interleaved.astype(np.float32)
+    if lib is None:   # pure-Python fallback (module docstring contract)
+        return np.ascontiguousarray(interleaved, np.float32).mean(axis=1)
     frames, ch = interleaved.shape
     src = np.ascontiguousarray(interleaved, np.float32)
     out = np.empty(frames, np.float32)
@@ -108,6 +110,9 @@ def mono_mix(interleaved: np.ndarray) -> np.ndarray:
 def peak_normalize(samples: np.ndarray) -> np.ndarray:
     lib = _load()
     out = np.ascontiguousarray(samples, np.float32).copy()
+    if lib is None:
+        peak = np.abs(out).max() if out.size else 0.0
+        return out / peak if peak > 0 else out
     lib.valle_peak_normalize(_fptr(out), out.size)
     return out
 
@@ -115,6 +120,9 @@ def peak_normalize(samples: np.ndarray) -> np.ndarray:
 def resample(samples: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     lib = _load()
     src = np.ascontiguousarray(samples, np.float32)
+    if lib is None:
+        from .. import utils
+        return np.asarray(utils.resample(src, sr_in, sr_out), np.float32)
     n_out = lib.valle_resample_out_len(src.size, sr_in, sr_out)
     out = np.empty(n_out, np.float32)
     n = lib.valle_resample(_fptr(src), src.size, sr_in, sr_out, _fptr(out), n_out)
