@@ -252,6 +252,46 @@ class TestPrecompute:
             np.testing.assert_array_equal(a['tokens'], b['tokens'])
 
 
+class TestHFPathEndToEnd:
+    def test_audio_dataset_to_train_step(self):
+        """The full HF-shaped data path minus the network: raw audio items ->
+        ValleDataset (on-device codec encode + phonemize) -> DataLoader ->
+        AR collate -> jitted train step.  Only load_dataset() itself is
+        untestable in a zero-egress image."""
+        from valle2_tpu.codec import EncodecTPU
+        from valle2_tpu.data.dataset import ValleDataset
+
+        class FakeHF:
+            def __init__(self, n):
+                rs = np.random.RandomState(3)
+                self.items = [{'audio': {'array': rs.randn(rs.randint(4000, 9000)),
+                                         'sampling_rate': 24000},
+                               'text': t}
+                              for t, _ in zip(['the dog.', 'one two three.',
+                                               'hello world.', 'a good day.'],
+                                              range(n))]
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, i):
+                return self.items[i]
+
+        cfg = tiny_cfg(batch_size=2, vocab_size=80)
+        ds = ValleDataset(FakeHF(4), cfg, EncodecTPU(seed=0))
+        loader = DataLoader(ds, cfg.batch_size, get_collate('ValleAR')(cfg),
+                            shuffle=True, seed=0)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        step = make_train_step(cfg, 'ValleAR')
+        n_batches = 0
+        for batch in loader:
+            assert batch['codes'].shape[0] == 2
+            state, m = step(state, batch, jax.random.key(1))
+            assert np.isfinite(float(m['loss']))
+            n_batches += 1
+        assert n_batches == 2
+
+
 class TestASRTraining:
     def test_asr_collate_and_loss(self):
         import dataclasses
