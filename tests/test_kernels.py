@@ -111,6 +111,60 @@ class TestFlashAttention:
         np.testing.assert_array_equal(got, want)
 
 
+class TestFusedDecode:
+    def test_fused_step_matches_unfused(self):
+        """Single fused whole-stack step == transformer_decode_step numerics."""
+        from valle2_tpu.ops.transformer import KVCache, transformer_decode_step, \
+            transformer_init
+        from valle2_tpu.kernels.fused_decode import fused_decode_step
+        L, rows, h, hd, dff, S = 2, 3, 2, 16, 64, 40
+        d = h * hd
+        ttm, pm = 6, 8
+        p = transformer_init(jax.random.key(0), L, d, h, dff, adaptive_norm=False)
+        cache = KVCache(jax.random.normal(jax.random.key(1), (L, rows, h, S, hd)),
+                        jax.random.normal(jax.random.key(2), (L, rows, h, S, hd)))
+        x = jax.random.normal(jax.random.key(3), (rows, 1, d))
+        tl = jnp.asarray([6, 4, 5])
+        plen = jnp.asarray([8, 6, 3])
+        index = jnp.int32(ttm + pm + 5)
+
+        got_y, got_cache = fused_decode_step(p, x, h, cache, index, tl, plen, ttm, pm)
+
+        slots = jnp.arange(S)[None, :]
+        attend = ((slots < tl[:, None])
+                  | ((slots >= ttm) & (slots < ttm + plen[:, None]))
+                  | ((slots >= ttm + pm) & (slots <= index)))
+        want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
+                                                     attend_mask=attend)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_cache.k), np.asarray(want_cache.k),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_cache.v), np.asarray(want_cache.v),
+                                   atol=1e-5)
+
+    def test_fused_decode_greedy_token_parity(self):
+        """Full greedy decode with use_fused_decode=True is token-identical to the
+        unfused path."""
+        from valle2_tpu.config import ConfigValle
+        from valle2_tpu.models.ar import ValleAR
+        import dataclasses
+        cfg = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                          dropout=0.0, norm='LayerNorm', max_audio_len=10,
+                          num_beams=2, temperature=0.0, use_fused_decode=False,
+                          matmul_precision='highest', bucket_sizes=(16,))
+        model = ValleAR(cfg, seed=0)
+        model_f = ValleAR(dataclasses.replace(cfg, use_fused_decode=True),
+                          params=model.params)
+        rs = np.random.RandomState(11)
+        tokens = rs.randint(0, 255, (7,))
+        codes = rs.randint(0, 1024, (5, 8))
+        rng = jax.random.key(5)
+        want = np.asarray(model.generate(tokens, codes, rng=rng))
+        got = np.asarray(model_f.generate(tokens, codes, rng=rng))
+        np.testing.assert_array_equal(got, want)
+
+
 class TestRVQKernel:
     def test_matches_jnp_rvq_exactly(self):
         from valle2_tpu.codec.rvq import rvq_encode, rvq_init

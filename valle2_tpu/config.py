@@ -138,6 +138,14 @@ class ConfigValle:
                           'for any K; amortizes loop-turn overhead on runtimes '
                           'where that dominates — benchmark per target)'},
     )
+    use_fused_decode: bool | str = field(
+        default='auto',
+        metadata={'help': "Pallas fused whole-stack decode step: True | False | "
+                          "'auto' (on for TPU serving — requires per-layer KV "
+                          "block to fit VMEM, non-int8 cache, and matmul_precision "
+                          "!= 'highest' so parity-gate runs keep the exact unfused "
+                          'path). Measured +12-16% decode tok/s (BENCHMARKS.md r2)'},
+    )
 
     def __post_init__(self):
         if self.dataset is None:

@@ -243,6 +243,21 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     base_valid = ((slots < tl_f[:, None])
                   | ((slots >= ttm) & (slots < ttm + pl_f[:, None])))
 
+    # Fused whole-stack decode kernel: gated on backend/cache-dtype/VMEM fit.
+    # 'auto' additionally requires matmul_precision != 'highest': parity-gate
+    # runs (greedy token equality vs the reference) use 'highest' and must take
+    # the unfused path — the kernel's rounding points differ at the bit level
+    # (interpret-mode parity is exact; TPU bf16 parity is distribution-level).
+    cache_block_bytes = (rows * config.n_heads * total_max * config.head_dim
+                         * 2 * jnp.dtype(cache_dtype).itemsize)
+    if config.use_fused_decode == 'auto':
+        use_fused = (jax.default_backend() == 'tpu'
+                     and config.matmul_precision != 'highest'
+                     and cache_dtype != jnp.int8
+                     and cache_block_bytes <= 8 * 1024 * 1024)
+    else:
+        use_fused = bool(config.use_fused_decode) and cache_dtype != jnp.int8
+
     state = DecodeState(
         step=jnp.int32(0), codes=codes_buf, logits=logits, cache=cache,
         sum_logprobs=jnp.zeros((rows,), jnp.float32),
@@ -271,10 +286,15 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
         # ttm + pm + step (static across rows).
         x = embedding(params['audio_emb'], samples[:, None])
         x = (x + jnp.take(pe, pl_f + s.step, axis=0)[:, None]).astype(dtype)
-        attend = base_valid | ((slots >= ttm + pm) & (slots <= ttm + pm + s.step))
-        y, cache = transformer_decode_step(
-            tparams, x, n_heads, s.cache, ttm + pm + s.step, attend_mask=attend,
-            attn_buckets=config.decode_attn_buckets)
+        if use_fused:
+            from ..kernels.fused_decode import fused_decode_step
+            y, cache = fused_decode_step(tparams, x, n_heads, s.cache,
+                                         ttm + pm + s.step, tl_f, pl_f, ttm, pm)
+        else:
+            attend = base_valid | ((slots >= ttm + pm) & (slots <= ttm + pm + s.step))
+            y, cache = transformer_decode_step(
+                tparams, x, n_heads, s.cache, ttm + pm + s.step, attend_mask=attend,
+                attn_buckets=config.decode_attn_buckets)
         logits = linear(params['proj'], y[:, 0].astype(jnp.float32))
         return DecodeState(s.step + 1, codes_new, logits, cache, sum_logprobs,
                            finished, rng)
