@@ -155,7 +155,7 @@ def bench_train(batch: int = 32, frames: int = 512, tag: str = 'default',
         'codes_lens': jnp.asarray([frames] * batch),
         'target': jnp.asarray(rs.randint(0, 1024, (batch, frames)), jnp.int32),
     }
-    rng = jax.random.key(1)
+    rng = jax.random.key(1, impl=config.train_rng_impl)
     state, m = step(state, data, rng)
     _ = np.asarray(m['loss'])
     times = []

@@ -181,7 +181,9 @@ class Trainer:
     def fit(self, state: TrainState, train_loader, valid_loader=None,
             resume: bool = False) -> TrainState:
         cfg = self.config
-        rng = jax.random.key(cfg.seed)
+        # rbg = TPU hardware PRNG for dropout masks / NAR stage draws (threefry
+        # mask generation measured ~12% of the 204M step — BENCHMARKS.md r2).
+        rng = jax.random.key(cfg.seed, impl=cfg.train_rng_impl)
         if resume:
             latest = self.latest_checkpoint()
             if latest is not None:
