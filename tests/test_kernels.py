@@ -143,6 +143,43 @@ class TestFusedDecode:
         np.testing.assert_allclose(np.asarray(got_cache.v), np.asarray(want_cache.v),
                                    atol=1e-5)
 
+    def test_fused_step_int8_matches_unfused_int8(self):
+        """Fused step over an int8 cache (in-kernel dequant) ~= the unfused int8
+        path (both see the same quantize→dequantize roundtrips)."""
+        from valle2_tpu.ops.transformer import (KVCache, quantize_kv,
+                                                transformer_decode_step,
+                                                transformer_init)
+        from valle2_tpu.kernels.fused_decode import fused_decode_step
+        L, rows, h, hd, dff, S = 2, 2, 2, 16, 64, 32
+        d = h * hd
+        ttm, pm = 5, 6
+        p = transformer_init(jax.random.key(0), L, d, h, dff, adaptive_norm=False)
+        kf = jax.random.normal(jax.random.key(1), (L, rows, h, S, hd))
+        vf = jax.random.normal(jax.random.key(2), (L, rows, h, S, hd))
+        kq, ks = quantize_kv(kf)
+        vq, vs = quantize_kv(vf)
+        cache = KVCache(kq, vq, ks, vs)
+        x = jax.random.normal(jax.random.key(3), (rows, 1, d))
+        tl = jnp.asarray([5, 3])
+        plen = jnp.asarray([6, 4])
+        index = jnp.int32(ttm + pm + 3)
+
+        got_y, got_cache = fused_decode_step(p, x, h, cache, index, tl, plen,
+                                             ttm, pm)
+        slots = jnp.arange(S)[None, :]
+        attend = ((slots < tl[:, None])
+                  | ((slots >= ttm) & (slots < ttm + plen[:, None]))
+                  | ((slots >= ttm + pm) & (slots <= index)))
+        want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
+                                                     attend_mask=attend)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=5e-3, atol=5e-3)
+        # Quantized slots may differ by 1 int8 step where x/scale lands exactly
+        # on a rounding boundary (f32 summation-order differences).
+        for got, want in ((got_cache.k, want_cache.k), (got_cache.v, want_cache.v)):
+            diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+            assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
     def test_fused_decode_greedy_token_parity(self):
         """Full greedy decode with use_fused_decode=True is token-identical to the
         unfused path."""

@@ -253,10 +253,9 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     if config.use_fused_decode == 'auto':
         use_fused = (jax.default_backend() == 'tpu'
                      and config.matmul_precision != 'highest'
-                     and cache_dtype != jnp.int8
                      and cache_block_bytes <= 8 * 1024 * 1024)
     else:
-        use_fused = bool(config.use_fused_decode) and cache_dtype != jnp.int8
+        use_fused = bool(config.use_fused_decode)
 
     state = DecodeState(
         step=jnp.int32(0), codes=codes_buf, logits=logits, cache=cache,
