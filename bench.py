@@ -158,12 +158,18 @@ def bench_train(batch: int = 32, frames: int = 512, tag: str = 'default',
     rng = jax.random.key(1, impl=config.train_rng_impl)
     state, m = step(state, data, rng)
     _ = np.asarray(m['loss'])
+    # Steady-state rate: N async dispatches per host fetch — the shape of real
+    # training, which reads metrics every log_every_n_steps, not every step.
+    # Fetching per step would serialize ~35 ms of tunnel dispatch+fetch into
+    # every step (NOTES.md) and understate the device rate by ~15-20%.
+    n_chain = 8
     times = []
-    for _i in range(5):
+    for _i in range(3):
         t0 = time.perf_counter()
-        state, m = step(state, data, rng)
+        for _k in range(n_chain):
+            state, m = step(state, data, rng)
         _ = np.asarray(m['loss'])
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / n_chain)
     best = min(times)
     fps = batch * frames / best
     flops = train_step_flops(config, batch, frames // 4, frames)

@@ -15,11 +15,20 @@ instead of reading an (s, s) tensor from HBM.  Standard flash structure: grid ov
 (batch*heads, q-blocks); per q-block an online-softmax ``fori_loop`` over kv-blocks
 resident in VMEM; running max/sum rescaling in float32.
 
-Training: the custom VJP runs blockwise Pallas backward kernels (dq, and dk/dv) that
-recompute the masked scores from the saved per-row logsumexp — no (s, s) residual is
-materialized in either direction.  ``use_flash_attention`` in the config ('auto' =
-on for TPU backends) routes the AR/NAR training losses and the AR decode prefill
-through this kernel; the jnp materialized-bias path is the fallback.
+Training: the custom VJP runs blockwise Pallas backward kernels that recompute the
+masked scores from the saved per-row logsumexp — no (s, s) residual is materialized
+in either direction.  At whole-row block sizes (the adaptive default for s ≤ 768)
+the backward is ONE fused kernel producing dq/dk/dv with 5 dots; larger sequences
+fall back to the two-kernel (dq, then dk/dv) blockwise form (7 dots, scores
+recomputed twice).  ``use_flash_attention`` in the config ('auto' = on for TPU
+backends) routes the AR/NAR training losses and the AR decode prefill through this
+kernel; the jnp materialized-bias path is the fallback.
+
+MXU dtype discipline: every dot takes the CALLER'S dtype as input (bf16 under the
+bf16 training configs) with ``preferred_element_type=float32`` accumulation —
+pre-upcasting operands to f32 would force f32-rate MXU passes (~4x slower on v5e)
+and is exactly what the jnp bias path does NOT do.  Softmax statistics, rescaling,
+and accumulators stay float32.
 """
 
 from __future__ import annotations
@@ -35,6 +44,16 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
+# Largest whole-row size for the single-pass fused backward: three (s, s) f32
+# temporaries (p, dp, ds) at 768² ≈ 7 MB fit the ~16 MB VMEM budget; 1024² would
+# not alongside the operand rows.
+FUSED_BWD_MAX_SEQ = 768
+
+# dot_general dimension numbers: A (m, d) × B (n, d) → (m, n)  (A @ Bᵀ) and
+# A (q, n) × B (q, d) → (n, d)  (Aᵀ @ B) — expressed without materializing the
+# transpose in VMEM.
+_CONTRACT_LAST = (((1,), (1,)), ((), ()))
+_CONTRACT_FIRST = (((0,), (0,)), ((), ()))
 
 
 def _auto_blocks(s: int, block_q, block_k) -> tuple[int, int]:
@@ -74,15 +93,17 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q: int,
     tokens_valid = meta_ref[b_idx, 0]
     kv_end = meta_ref[b_idx, 1]
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale                       # (bq, hd)
+    q = q_ref[0]                                                      # (bq, hd)
     q_ids = q_blk * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, 1), 0)
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)   # (bq, bk)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        # Input-dtype dot (bf16 MXU passes under bf16 configs), f32 accumulate.
+        s = jax.lax.dot_general(q, k_blk, _CONTRACT_LAST,
+                                preferred_element_type=jnp.float32) * sm_scale
         k_ids = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)
         attend = _attend_block(q_ids, k_ids, tokens_valid, kv_end,
@@ -92,7 +113,8 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q: int,
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur)
         l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                                    preferred_element_type=jnp.float32)
         return acc, m_cur, l_cur
 
     acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
@@ -209,24 +231,26 @@ def _bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     tokens_valid = meta_ref[b_idx, 0]
     kv_end = meta_ref[b_idx, 1]
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale                      # (bq, hd)
-    do = do_ref[0].astype(jnp.float32)                               # (bq, hd)
+    q = q_ref[0]                                                     # (bq, hd)
+    do = do_ref[0]                                                   # (bq, hd)
     lse = lse_ref[0, 0, pl.ds(q_blk * block_q, block_q)][:, None]    # (bq, 1)
     delta = delta_ref[0, 0, pl.ds(q_blk * block_q, block_q)][:, None]
     q_ids = q_blk * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, 1), 0)
 
     def body(kb, dq):
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        sc = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        sc = jax.lax.dot_general(q, k_blk, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32) * sm_scale
         k_ids = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)
         attend = _attend_block(q_ids, k_ids, tokens_valid, kv_end,
                                tokens_total, causal)
         p = jnp.where(attend, jnp.exp(sc - lse), 0.0)                # (bq, bk)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        dp = jax.lax.dot_general(do, v_blk, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, pl.cdiv(seq_len, block_k), body,
@@ -247,39 +271,81 @@ def _bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     tokens_valid = meta_ref[b_idx, 0]
     kv_end = meta_ref[b_idx, 1]
 
-    k_blk = k_ref[0].astype(jnp.float32)                             # (bk, hd)
-    v_blk = v_ref[0].astype(jnp.float32)                             # (bk, hd)
+    k_blk = k_ref[0]                                                 # (bk, hd)
+    v_blk = v_ref[0]                                                 # (bk, hd)
     k_ids = k_blk_idx * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (1, block_k), 1)
 
     def body(qb, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * sm_scale
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         q_ids = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0)
-        sc = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        sc = jax.lax.dot_general(q, k_blk, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32) * sm_scale
         attend = _attend_block(q_ids, k_ids, tokens_valid, kv_end,
                                tokens_total, causal)
         p = jnp.where(attend, jnp.exp(sc - lse), 0.0)                # (bq, bk)
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do, _CONTRACT_FIRST,
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_blk, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk = dk + jax.lax.dot_general(ds, q, _CONTRACT_FIRST,
+                                      preferred_element_type=jnp.float32)
         return dk, dv
 
     hd = k_blk.shape[-1]
     dk, dv = jax.lax.fori_loop(
         0, pl.cdiv(seq_len, block_q), body,
         (jnp.zeros((block_k, hd), jnp.float32), jnp.zeros((block_k, hd), jnp.float32)))
-    # dk gradient w.r.t. unscaled k: scores used q*scale, so d/dk carries no extra
-    # scale beyond the q already being scaled inside `q` — but `q` here IS scaled,
-    # so dsᵀ·(q·scale)/scale... we multiplied q by scale up front, therefore
-    # dsᵀ·q_scaled already includes the factor once; no further scaling needed.
-    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, *, sm_scale: float, seq_len: int,
+                      n_heads: int, tokens_total: int, causal: bool):
+    """Whole-row single-pass backward: dq, dk, dv for one (batch*head) row.
+
+    Recomputes the masked scores ONCE and shares p/ds across all three grads —
+    5 dots total vs 7 for the two-kernel blockwise form (which recomputes sc and
+    dp in each pass).  Only used when one kv block covers the row (s ≤
+    FUSED_BWD_MAX_SEQ): p/dp/ds are (s, s) f32 temporaries in VMEM.
+    """
+    bh_idx = pl.program_id(0)
+    b_idx = bh_idx // n_heads
+    tokens_valid = meta_ref[b_idx, 0]
+    kv_end = meta_ref[b_idx, 1]
+
+    q = q_ref[0]                                                     # (s, hd)
+    kk = k_ref[0]
+    vv = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0, pl.ds(0, seq_len)][:, None]                  # (s, 1)
+    delta = delta_ref[0, 0, pl.ds(0, seq_len)][:, None]
+    q_ids = jax.lax.broadcasted_iota(jnp.int32, (seq_len, 1), 0)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, seq_len), 1)
+
+    sc = jax.lax.dot_general(q, kk, _CONTRACT_LAST,
+                             preferred_element_type=jnp.float32) * sm_scale
+    attend = _attend_block(q_ids, k_ids, tokens_valid, kv_end,
+                           tokens_total, causal)
+    p = jnp.where(attend, jnp.exp(sc - lse), 0.0)                    # (s, s)
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, _CONTRACT_FIRST,
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(do, vv, _CONTRACT_LAST,
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(q.dtype)                          # (s, s)
+    dq_ref[0] = (jnp.dot(ds, kk, preferred_element_type=jnp.float32)
+                 * sm_scale).astype(dq_ref.dtype)
+    dk_ref[0] = (jax.lax.dot_general(ds, q, _CONTRACT_FIRST,
+                                     preferred_element_type=jnp.float32)
+                 * sm_scale).astype(dk_ref.dtype)
 
 
 def _flash_bwd(q, k, v, meta, out, lse, dout, tokens_total: int, causal: bool,
@@ -300,6 +366,28 @@ def _flash_bwd(q, k, v, meta, out, lse, dout, tokens_total: int, causal: bool,
     lsef = lse.reshape(b * h, 1, s_pad)
     deltaf = delta.reshape(b * h, 1, s_pad)
     interpret = jax.default_backend() != 'tpu'
+
+    if block_q == block_k == s_pad and s_pad <= FUSED_BWD_MAX_SEQ:
+        full_spec = pl.BlockSpec((1, s_pad, hd), lambda bi, meta: (bi, 0, 0))
+        row_spec = pl.BlockSpec((1, 1, s_pad), lambda bi, meta: (bi, 0, 0))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, sm_scale=sm_scale, seq_len=s_pad,
+                              n_heads=h, tokens_total=tokens_total, causal=causal),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b * h,),
+                in_specs=[full_spec, full_spec, full_spec, full_spec,
+                          row_spec, row_spec],
+                out_specs=(full_spec, full_spec, full_spec),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((b * h, s_pad, hd), q.dtype),
+                       jax.ShapeDtypeStruct((b * h, s_pad, hd), k.dtype),
+                       jax.ShapeDtypeStruct((b * h, s_pad, hd), v.dtype)),
+            interpret=interpret,
+        )(meta, qf, kf, vf, dof, lsef, deltaf)
+        unpad = lambda a: a.reshape(b, h, s_pad, hd)[:, :, :s]
+        return unpad(dq), unpad(dk), unpad(dv)
+
     common = dict(block_q=block_q, block_k=block_k, sm_scale=sm_scale,
                   seq_len=s_pad, n_heads=h, tokens_total=tokens_total,
                   causal=causal)
