@@ -68,6 +68,57 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
 
+    def test_gradients_flow_blockwise_bwd(self):
+        """blocks < seq routes the two-kernel (dq, dk/dv) backward; the whole-row
+        single-pass fused backward is covered by test_gradients_flow."""
+        b, h, s, hd = 1, 2, 128, 16
+        q, k, v = make_qkv(4, b, h, s, hd)
+        meta = jnp.asarray([[32, s]], jnp.int32)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, meta, 32, True,
+                                           block_q=64, block_k=64) ** 2)
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(reference_attention(q, k, v, meta, 32, True) ** 2)
+
+        rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
+
+    def test_bf16_inputs_fwd_and_grad(self):
+        """bf16 q/k/v (the training dtype) run bf16-input dots with f32
+        accumulation — outputs/grads must track the f32 reference within bf16
+        resolution."""
+        b, h, s, hd = 2, 2, 96, 32
+        qf, kf, vf = make_qkv(5, b, h, s, hd)
+        q, k, v = (a.astype(jnp.bfloat16) for a in (qf, kf, vf))
+        meta = jnp.asarray([[24, s], [24, 80]], jnp.int32)
+        out = flash_attention(q, k, v, meta, 24, True, block_q=96, block_k=96)
+        assert out.dtype == jnp.bfloat16
+        want = reference_attention(qf, kf, vf, meta, 24, True)
+        np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(want),
+                                   atol=0.04)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, meta, 24, True,
+                                           block_q=96, block_k=96)
+                           .astype(jnp.float32) ** 2)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(reference_attention(q, k, v, meta, 24, True)
+                           .astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        r = jax.grad(ref_loss, argnums=(0, 1, 2))(qf, kf, vf)
+        for a, b_ in zip(g, r):
+            assert a.dtype == jnp.bfloat16
+            np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b_),
+                                       atol=0.5, rtol=0.1)
+
     def test_model_loss_with_flash_matches_bias_path(self):
         """AR loss with use_flash_attention == the materialized-bias path."""
         from valle2_tpu.config import ConfigValle
@@ -142,6 +193,39 @@ class TestFusedDecode:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(got_cache.v), np.asarray(want_cache.v),
                                    atol=1e-5)
+
+    def test_fused_step_chunked_matches_unfused(self, monkeypatch):
+        """VALLE2_FUSED_CHUNK routes the chunked online-softmax path with the
+        clamped chunk index map (prefix skip, opt-in — measured negative on the
+        target runtime); results must match the unfused step for an index in
+        the FIRST chunk (later chunks skipped) and in the last."""
+        from valle2_tpu.ops.transformer import KVCache, transformer_decode_step, \
+            transformer_init
+        from valle2_tpu.kernels.fused_decode import _pick_chunk, fused_decode_step
+        monkeypatch.setenv('VALLE2_FUSED_CHUNK', '128')
+        L, rows, h, hd, dff, S = 2, 2, 2, 16, 64, 256
+        assert _pick_chunk(S) == 128 and S // 128 == 2
+        d = h * hd
+        ttm, pm = 8, 16
+        p = transformer_init(jax.random.key(0), L, d, h, dff, adaptive_norm=False)
+        cache = KVCache(jax.random.normal(jax.random.key(1), (L, rows, h, S, hd)),
+                        jax.random.normal(jax.random.key(2), (L, rows, h, S, hd)))
+        x = jax.random.normal(jax.random.key(3), (rows, 1, d))
+        tl = jnp.asarray([8, 5])
+        plen = jnp.asarray([16, 11])
+        slots = jnp.arange(S)[None, :]
+        for index in (jnp.int32(ttm + pm + 3), jnp.int32(S - 2)):
+            got_y, got_cache = fused_decode_step(p, x, h, cache, index, tl, plen,
+                                                 ttm, pm)
+            attend = ((slots < tl[:, None])
+                      | ((slots >= ttm) & (slots < ttm + plen[:, None]))
+                      | ((slots >= ttm + pm) & (slots <= index)))
+            want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
+                                                         attend_mask=attend)
+            np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(got_cache.k),
+                                       np.asarray(want_cache.k), atol=1e-5)
 
     def test_fused_step_int8_matches_unfused_int8(self):
         """Fused step over an int8 cache (in-kernel dequant) ~= the unfused int8

@@ -97,6 +97,12 @@ class ConfigValle:
     remat: bool = field(
         default=False, metadata={'help': 'jax.checkpoint each transformer layer (saves HBM)'}
     )
+    train_scan_unroll: int = field(
+        default=1,
+        metadata={'help': 'lax.scan unroll factor for the training-time layer stack '
+                          '(trades compile time for less per-layer scan overhead; '
+                          'inference paths always fully unroll)'},
+    )
     train_rng_impl: Literal['threefry2x32', 'rbg'] = field(
         default='rbg',
         metadata={'help': "PRNG for training randomness (dropout masks, NAR stage "

@@ -9,21 +9,30 @@ default-scale weights VMEM-resident across while_loop iterations) and attention
 transformer stack into one kernel removes that overhead class entirely.
 
 Design:
-- grid = (num_layers,): sequential on TPU; Pallas pipelines layer l+1's weight and
-  cache blocks into VMEM while layer l computes.
+- grid = (num_layers, n_chunks): sequential on TPU; Pallas pipelines the next
+  grid step's weight and cache blocks into VMEM while the current one computes.
 - The hidden state x lives in the output block (constant index map → stays resident
   in VMEM across grid steps; written back once at the end).
-- The KV cache streams in per layer as full (rows, h, S, hd) blocks; the new
-  token's k/v are merged IN REGISTER (scores/probs for slot ``index`` are patched
-  via iota masks), and the kernel emits per-layer k_new/v_new which the caller
-  writes into the cache with two ``dynamic_update_slice`` ops for the whole stack.
-  The kernel itself is read-only on the cache (no aliasing, no manual DMA).
+- The KV cache streams in per (layer, chunk) as (rows, h, chunk, hd) blocks and the
+  attention is an **online softmax over chunks** (running max/denominator in SMEM,
+  f32 accumulator in VMEM scratch).  The chunk index map CLAMPS at the last chunk
+  containing ``index`` — Pallas skips the DMA when consecutive grid steps map to
+  the same block, so slots past the valid prefix are neither fetched from HBM nor
+  computed on (``@pl.when`` gates the arithmetic).  This is the kernel-level analog
+  of the jnp path's bucketed prefix attention (``ops.transformer`` attn_buckets),
+  with per-step rather than per-bucket granularity.
+- The new token's k/v are merged IN REGISTER (the score/value for slot ``index``
+  is patched via iota masks in the chunk that contains it), and the kernel emits
+  per-layer k_new/v_new which the caller writes into the cache with two
+  ``dynamic_update_slice`` ops for the whole stack.  The kernel itself is read-only
+  on the cache (no aliasing, no manual DMA).
 - The prefix-LM slot validity is computed in-kernel from per-row
   [tokens_len, prompt_len] scalars (SMEM prefetch) + the static [ttm, pm] layout,
   exactly mirroring ``ar._decode_fn``'s ``attend`` formula.
 
 Numerics match ``ops.transformer.transformer_decode_step`` (f32 softmax and
-accumulation); parity is tested in tests/test_kernels.py.
+accumulation; the online-softmax chunking reorders the reduction within f32);
+parity is tested in tests/test_kernels.py.
 """
 
 from __future__ import annotations
@@ -37,6 +46,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+DEFAULT_CHUNK = 256  # cache slots per grid step (lane-aligned)
+
+
+def env_chunk() -> int | None:
+    """``VALLE2_FUSED_CHUNK`` opt-in chunk size (see _pick_chunk)."""
+    import os
+    val = os.environ.get('VALLE2_FUSED_CHUNK')
+    return int(val) if val else None
+
+
+def _pick_chunk(seq: int) -> int:
+    """Cache slots per grid step.  Default: whole-``seq`` (single chunk).
+
+    Chunking with a clamped index map skips the DMA + compute of slots past the
+    current index — but MEASURED NEGATIVE on the target runtime (BENCHMARKS.md
+    r2: 339 vs 322 µs/step unfused vs 272 whole-S fused; the ~3x extra grid
+    steps cost more than the skipped cache bytes save at this scale).  The
+    machinery stays opt-in via ``VALLE2_FUSED_CHUNK`` for runtimes with cheaper
+    grid sequencing or much longer caches; callers must pad the cache length to
+    a multiple of the requested chunk (ar._decode_fn does)."""
+    forced = env_chunk()
+    if forced is not None and 0 < forced < seq and seq % forced == 0:
+        return forced
+    return seq
 
 
 def _erf(x):
@@ -56,20 +89,14 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _fake_quant(x2d, n_heads: int):
-    """quantize→dequantize roundtrip per (row, head) slot — the int8 cache's view
+def _fake_quant_slot(xs):
+    """quantize→dequantize roundtrip for one (1, hd) slot — the int8 cache's view
     of a freshly written slot (ops.transformer.quantize_kv semantics: per-slot
-    max-abs scale over the head dim, bf16 scale storage)."""
-    d = x2d.shape[-1]
-    hd = d // n_heads
-    outs = []
-    for hh in range(n_heads):
-        xs = x2d[:, hh * hd:(hh + 1) * hd]
-        amax = jnp.max(jnp.abs(xs), axis=1, keepdims=True)
-        sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
-        q = jnp.clip(jnp.round(xs / sc), -127, 127)
-        outs.append(q * sc)
-    return jnp.concatenate(outs, axis=1)
+    max-abs scale, bf16 scale storage)."""
+    amax = jnp.max(jnp.abs(xs), axis=1, keepdims=True)
+    sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
+    q = jnp.clip(jnp.round(xs / sc), -127, 127)
+    return q * sc
 
 
 def _layernorm(x, scale, bias, eps=1e-5):
@@ -82,93 +109,122 @@ def _layernorm(x, scale, bias, eps=1e-5):
 def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
             n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref, ck_ref, cv_ref,
             *rest, n_heads: int, ttm: int, pm: int, rows: int, seq: int,
-            quant: bool):
+            chunk: int, quant: bool):
     if quant:
-        cks_ref, cvs_ref, y_ref, knew_ref, vnew_ref = rest
+        (cks_ref, cvs_ref, y_ref, knew_ref, vnew_ref,
+         q_s, acc_s, m_s, l_s) = rest
     else:
         cks_ref = cvs_ref = None
-        y_ref, knew_ref, vnew_ref = rest
+        y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest
     l = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = seq // chunk
     idx = meta_ref[0]
+    maxc = idx // chunk
 
-    @pl.when(l == 0)
-    def _seed():
-        y_ref[...] = x_ref[...]
-
-    x = y_ref[...].astype(jnp.float32)                       # (rows, d)
-    d = x.shape[-1]
+    d = x_ref.shape[-1]
     hd = d // n_heads
     scale = 1.0 / math.sqrt(hd)
 
-    # --- attention ---  (1-D per-layer params arrive as (1, 1, d) blocks)
-    h1 = _layernorm(x, n1s_ref[0, 0].astype(jnp.float32),
-                    n1b_ref[0, 0].astype(jnp.float32))
-    qkv = jnp.dot(h1.astype(x_ref.dtype), qkv_ref[0],
-                  preferred_element_type=jnp.float32)        # (rows, 3d)
-    q2d, k_new2d, v_new2d = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
-    knew_ref[0] = k_new2d.astype(knew_ref.dtype)
-    vnew_ref[0] = v_new2d.astype(vnew_ref.dtype)
-    if quant:
-        # The caller quantizes the new slot into the cache; future steps will see
-        # the quantize→dequantize roundtrip of k/v_new, so the self-attention
-        # contribution must too (matches ops.transformer's int8 semantics).
-        k_new2d = _fake_quant(k_new2d, n_heads)
-        v_new2d = _fake_quant(v_new2d, n_heads)
+    @pl.when((l == 0) & (c == 0))
+    def _seed():
+        y_ref[...] = x_ref[...]
 
+    # --- once per layer: LN1 + fused QKV; q and the running softmax state live
+    # in scratch, k_new/v_new in this layer's (VMEM-resident) output blocks ---
+    @pl.when(c == 0)
+    def _project():
+        x = y_ref[...].astype(jnp.float32)                   # (rows, d)
+        h1 = _layernorm(x, n1s_ref[0, 0].astype(jnp.float32),
+                        n1b_ref[0, 0].astype(jnp.float32))
+        qkv = jnp.dot(h1.astype(x_ref.dtype), qkv_ref[0],
+                      preferred_element_type=jnp.float32)    # (rows, 3d)
+        q_s[...] = qkv[:, :d] * scale
+        knew_ref[0] = qkv[:, d:2 * d].astype(knew_ref.dtype)
+        vnew_ref[0] = qkv[:, 2 * d:].astype(vnew_ref.dtype)
+        acc_s[...] = jnp.zeros_like(acc_s)
+        for r in range(rows):
+            for hh in range(n_heads):
+                m_s[r, hh] = NEG_INF
+                l_s[r, hh] = 0.0
+
+    # --- per valid chunk: online-softmax attention over its cache slots ---
     # All math stays 2-D: this runtime's Mosaic crashes on partial reductions of
     # >2-D values (sum/max over one axis of a (r, h, S, hd) tensor), so the
     # attention is unrolled into per-(row, head) 2-D matmuls + lane softmaxes.
-    slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, seq), 1)
     contract_last = (((1,), (1,)), ((), ()))                 # A @ Bᵀ
     contract_inner = (((1,), (0,)), ((), ()))                # A @ B
-    out_rows = []
-    for r in range(rows):
-        tl_r = meta_ref[1 + r]
-        pl_r = meta_ref[1 + rows + r]
-        attend = ((slot_row < tl_r)
-                  | ((slot_row >= ttm) & (slot_row < ttm + pl_r))
-                  | ((slot_row >= ttm + pm) & (slot_row <= idx)))    # (1, S)
+
+    @pl.when(c <= maxc)
+    def _attend():
+        slot_row = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         is_idx = slot_row == idx
-        head_outs = []
-        for hh in range(n_heads):
-            sl = slice(hh * hd, (hh + 1) * hd)
-            q_rh = q2d[r:r + 1, sl] * scale                  # (1, hd)
-            k2 = ck_ref[0, r, hh].astype(jnp.float32)        # (S, hd)
-            v2 = cv_ref[0, r, hh].astype(jnp.float32)
-            if quant:
-                # int8 cache: dequantize in VMEM (per-slot scales) — this is the
-                # fusion XLA would not do (it materialized the cache in HBM,
-                # BENCHMARKS.md r1 negative result).
-                k2 = k2 * cks_ref[0, r, hh].astype(jnp.float32)
-                v2 = v2 * cvs_ref[0, r, hh].astype(jnp.float32)
-            s = jax.lax.dot_general(q_rh, k2, contract_last,
-                                    preferred_element_type=jnp.float32)  # (1, S)
-            s_new = jnp.sum(q_rh * k_new2d[r:r + 1, sl])     # scalar
-            # Slot ``idx`` holds a stale cache value — patch in-register.
-            s = jnp.where(attend, jnp.where(is_idx, s_new, s), NEG_INF)
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)        # (1, S)
-            p_idx = jnp.sum(jnp.where(is_idx, p, 0.0))       # scalar
-            p_old = jnp.where(is_idx, 0.0, p)
-            o = jax.lax.dot_general(p_old, v2, contract_inner,
-                                    preferred_element_type=jnp.float32)  # (1, hd)
-            head_outs.append(o + p_idx * v_new2d[r:r + 1, sl])
-        out_rows.append(jnp.concatenate(head_outs, axis=1))  # (1, d)
-    attn = jnp.concatenate(out_rows, axis=0)                 # (rows, d)
-    x = x + (jnp.dot(attn.astype(x_ref.dtype), outw_ref[0],
-                     preferred_element_type=jnp.float32) + outb_ref[0, 0])
+        k_new2d = knew_ref[0].astype(jnp.float32)
+        v_new2d = vnew_ref[0].astype(jnp.float32)
+        for r in range(rows):
+            tl_r = meta_ref[1 + r]
+            pl_r = meta_ref[1 + rows + r]
+            attend = ((slot_row < tl_r)
+                      | ((slot_row >= ttm) & (slot_row < ttm + pl_r))
+                      | ((slot_row >= ttm + pm) & (slot_row <= idx)))   # (1, chunk)
+            for hh in range(n_heads):
+                sl = slice(hh * hd, (hh + 1) * hd)
+                q_rh = q_s[r:r + 1, sl]                      # (1, hd) f32, scaled
+                k2 = ck_ref[0, r, hh].astype(jnp.float32)    # (chunk, hd)
+                v2 = cv_ref[0, r, hh].astype(jnp.float32)
+                if quant:
+                    # int8 cache: dequantize in VMEM (per-slot scales) — the
+                    # fusion XLA would not do (it materialized the cache in HBM,
+                    # BENCHMARKS.md r1 negative result).
+                    k2 = k2 * cks_ref[0, r, hh].astype(jnp.float32)
+                    v2 = v2 * cvs_ref[0, r, hh].astype(jnp.float32)
+                kn = k_new2d[r:r + 1, sl]
+                vn = v_new2d[r:r + 1, sl]
+                if quant:
+                    # Future steps will see the quantize→dequantize roundtrip of
+                    # the new slot, so the self contribution must too.
+                    kn = _fake_quant_slot(kn)
+                    vn = _fake_quant_slot(vn)
+                s = jax.lax.dot_general(q_rh, k2, contract_last,
+                                        preferred_element_type=jnp.float32)
+                s_new = jnp.sum(q_rh * kn)                   # scalar
+                # Slot ``idx`` holds a stale cache value — patch in-register.
+                s = jnp.where(attend, jnp.where(is_idx, s_new, s), NEG_INF)
+                m_prev = m_s[r, hh]
+                m_cur = jnp.maximum(m_prev, jnp.max(s))
+                alpha = jnp.exp(m_prev - m_cur)
+                p = jnp.exp(s - m_cur)                       # (1, chunk)
+                p_idx = jnp.sum(jnp.where(is_idx, p, 0.0))   # scalar
+                p_old = jnp.where(is_idx, 0.0, p)
+                o = jax.lax.dot_general(p_old, v2, contract_inner,
+                                        preferred_element_type=jnp.float32)
+                acc_s[r:r + 1, sl] = acc_s[r:r + 1, sl] * alpha + o + p_idx * vn
+                m_s[r, hh] = m_cur
+                l_s[r, hh] = l_s[r, hh] * alpha + jnp.sum(p)
 
-    # --- FFN ---
-    h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
-                    n2b_ref[0, 0].astype(jnp.float32))
-    hmid = jnp.dot(h2.astype(x_ref.dtype), f1w_ref[0],
-                   preferred_element_type=jnp.float32) + f1b_ref[0, 0]
-    hmid = _gelu_exact(hmid)
-    x = x + (jnp.dot(hmid.astype(x_ref.dtype), f2w_ref[0],
-                     preferred_element_type=jnp.float32) + f2b_ref[0, 0])
-
-    y_ref[...] = x.astype(y_ref.dtype)
+    # --- once per layer, after the last chunk: normalize, project, FFN ---
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        x = y_ref[...].astype(jnp.float32)
+        rows_out = []
+        for r in range(rows):
+            head_outs = []
+            for hh in range(n_heads):
+                sl = slice(hh * hd, (hh + 1) * hd)
+                head_outs.append(acc_s[r:r + 1, sl]
+                                 / jnp.maximum(l_s[r, hh], 1e-30))
+            rows_out.append(jnp.concatenate(head_outs, axis=1))
+        attn = jnp.concatenate(rows_out, axis=0)             # (rows, d)
+        x = x + (jnp.dot(attn.astype(x_ref.dtype), outw_ref[0],
+                         preferred_element_type=jnp.float32) + outb_ref[0, 0])
+        h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
+                        n2b_ref[0, 0].astype(jnp.float32))
+        hmid = jnp.dot(h2.astype(x_ref.dtype), f1w_ref[0],
+                       preferred_element_type=jnp.float32) + f1b_ref[0, 0]
+        hmid = _gelu_exact(hmid)
+        x = x + (jnp.dot(hmid.astype(x_ref.dtype), f2w_ref[0],
+                         preferred_element_type=jnp.float32) + f2b_ref[0, 0])
+        y_ref[...] = x.astype(y_ref.dtype)
 
 
 def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
@@ -188,16 +244,24 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     num_layers, rows, h, seq, hd = cache.k.shape
     d = x.shape[-1]
     quant = cache.k_scale is not None
+    chunk = _pick_chunk(seq)
+    n_chunks = seq // chunk
     x2 = x[:, 0, :]
     meta = jnp.concatenate([jnp.asarray(index, jnp.int32).reshape(1),
                             jnp.asarray(tokens_lens, jnp.int32).reshape(rows),
                             jnp.asarray(codes_lens, jnp.int32).reshape(rows)])
 
     kernel = functools.partial(_kernel, n_heads=n_heads, ttm=ttm, pm=pm,
-                               rows=rows, seq=seq, quant=quant)
+                               rows=rows, seq=seq, chunk=chunk, quant=quant)
     interpret = jax.default_backend() != 'tpu'
-    layer_spec = lambda *shape: pl.BlockSpec((1, *shape), lambda l, meta: (l,) + (0,) * len(shape))
-    const_spec = pl.BlockSpec((rows, d), lambda l, meta: (0, 0))
+    layer_spec = lambda *shape: pl.BlockSpec(
+        (1, *shape), lambda l, c, meta: (l,) + (0,) * len(shape))
+    const_spec = pl.BlockSpec((rows, d), lambda l, c, meta: (0, 0))
+    # Clamp the chunk index at the last one containing ``index``: consecutive
+    # grid steps that map to the same block skip the HBM→VMEM DMA entirely.
+    cache_spec = lambda width: pl.BlockSpec(
+        (1, rows, h, chunk, width),
+        lambda l, c, meta: (l, 0, 0, jnp.minimum(c, meta[0] // chunk), 0))
 
     in_specs = [
         const_spec,                                   # x
@@ -209,8 +273,8 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
         layer_spec(1, p['ffn']['lin1']['w'].shape[-1]),  # ffn1 b
         layer_spec(p['ffn']['lin2']['w'].shape[-2], d),  # ffn2 w
         layer_spec(1, d),                             # ffn2 b
-        layer_spec(rows, h, seq, hd),                 # cache k
-        layer_spec(rows, h, seq, hd),                 # cache v
+        cache_spec(hd),                               # cache k
+        cache_spec(hd),                               # cache v
     ]
     inputs = [meta, x2,
               p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
@@ -221,7 +285,7 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
               p['ffn']['lin2']['w'], p['ffn']['lin2']['b'][:, None],
               cache.k, cache.v]
     if quant:
-        in_specs += [layer_spec(rows, h, seq, 1), layer_spec(rows, h, seq, 1)]
+        in_specs += [cache_spec(1), cache_spec(1)]
         inputs += [cache.k_scale, cache.v_scale]
     new_dtype = x.dtype if quant else cache.k.dtype
 
@@ -229,13 +293,19 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(num_layers,),
+            grid=(num_layers, n_chunks),
             in_specs=in_specs,
             out_specs=(
                 const_spec,                                   # y (VMEM-resident)
-                layer_spec(rows, d),                          # k_new per layer
-                layer_spec(rows, d),                          # v_new per layer
+                pl.BlockSpec((1, rows, d), lambda l, c, meta: (l, 0, 0)),  # k_new
+                pl.BlockSpec((1, rows, d), lambda l, c, meta: (l, 0, 0)),  # v_new
             ),
+            scratch_shapes=[
+                pltpu.VMEM((rows, d), jnp.float32),           # q (pre-scaled)
+                pltpu.VMEM((rows, d), jnp.float32),           # attention accum
+                pltpu.SMEM((rows, h), jnp.float32),           # running max
+                pltpu.SMEM((rows, h), jnp.float32),           # running denom
+            ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows, d), x.dtype),

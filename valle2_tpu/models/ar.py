@@ -124,7 +124,8 @@ def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.A
 
     x = jnp.concatenate([x_tok, x_aud], axis=1).astype(jnp.dtype(config.dtype))
     y = transformer(params['transformer'], x, config.n_heads, bias,
-                    dropout_rate=drop, rng=rngs[2], remat=config.remat, flash=flash)
+                    dropout_rate=drop, rng=rngs[2], remat=config.remat, flash=flash,
+                    unroll=config.train_scan_unroll)
     return linear(params['proj'], y[:, tt:]).astype(jnp.float32)
 
 
@@ -186,6 +187,29 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     max_new_pad = -(-max_new // unroll) * unroll
     total_max = ttm + pm + max_new_pad
     rows = b * beams
+
+    # Fused whole-stack decode kernel: gated on backend/cache-dtype/VMEM fit.
+    # 'auto' additionally requires matmul_precision != 'highest': parity-gate
+    # runs (greedy token equality vs the reference) use 'highest' and must take
+    # the unfused path — the kernel's rounding points differ at the bit level
+    # (interpret-mode parity is exact; TPU bf16 parity is distribution-level).
+    cache_dtype = jnp.dtype(config.kv_cache_dtype)
+    from ..kernels.fused_decode import env_chunk
+    chunk_est = min(total_max, env_chunk() or total_max)
+    cache_block_bytes = (rows * config.n_heads * chunk_est * config.head_dim
+                         * 2 * cache_dtype.itemsize)
+    if config.use_fused_decode == 'auto':
+        use_fused = (jax.default_backend() == 'tpu'
+                     and config.matmul_precision != 'highest'
+                     and cache_block_bytes <= 8 * 1024 * 1024)
+    else:
+        use_fused = bool(config.use_fused_decode)
+    if use_fused and env_chunk():
+        # Opt-in chunked prefix skip (VALLE2_FUSED_CHUNK, measured negative on
+        # this runtime — kernels/fused_decode._pick_chunk): the kernel needs the
+        # cache length to tile into whole chunks; padded slots are never fetched
+        # (clamped index map) and the attend formula masks them anyway.
+        total_max = -(-total_max // chunk_est) * chunk_est
     pe = sinusoidal_table(MAX_POS, config.d_model)
     n_heads = config.n_heads
     dtype = jnp.dtype(config.dtype)
@@ -214,7 +238,6 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
         attend = ((k_ids < tl) | ((k_ids >= ttm) & (k_ids <= q_ids))) & (k_ids < ke)
         bias = jnp.where(attend, 0.0, jnp.float32(-1e30))[:, None]
     x = jnp.concatenate([x_tok, x_aud], axis=1).astype(dtype)
-    cache_dtype = jnp.dtype(config.kv_cache_dtype)
     y, cache = transformer_prefill(tparams, x, n_heads, total_max, bias,
                                    cache_dtype=cache_dtype, flash=flash)
     # Logits at each item's last valid prompt position (ttm + p_len - 1).
@@ -242,20 +265,6 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     slots = jnp.arange(total_max)[None, :]
     base_valid = ((slots < tl_f[:, None])
                   | ((slots >= ttm) & (slots < ttm + pl_f[:, None])))
-
-    # Fused whole-stack decode kernel: gated on backend/cache-dtype/VMEM fit.
-    # 'auto' additionally requires matmul_precision != 'highest': parity-gate
-    # runs (greedy token equality vs the reference) use 'highest' and must take
-    # the unfused path — the kernel's rounding points differ at the bit level
-    # (interpret-mode parity is exact; TPU bf16 parity is distribution-level).
-    cache_block_bytes = (rows * config.n_heads * total_max * config.head_dim
-                         * 2 * jnp.dtype(cache_dtype).itemsize)
-    if config.use_fused_decode == 'auto':
-        use_fused = (jax.default_backend() == 'tpu'
-                     and config.matmul_precision != 'highest'
-                     and cache_block_bytes <= 8 * 1024 * 1024)
-    else:
-        use_fused = bool(config.use_fused_decode)
 
     state = DecodeState(
         step=jnp.int32(0), codes=codes_buf, logits=logits, cache=cache,

@@ -111,7 +111,8 @@ def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
     cond = jax.lax.dynamic_index_in_dim(params['stage_embs'], stage - 1, 0,
                                         keepdims=True)              # (1, d)
     y = transformer(params['transformer'], x, config.n_heads, bias, cond,
-                    dropout_rate=drop, rng=rngs[1], remat=config.remat, flash=flash)
+                    dropout_rate=drop, rng=rngs[1], remat=config.remat, flash=flash,
+                    unroll=config.train_scan_unroll)
     y = y[:, x_tok.shape[1]:]
     head = jax.lax.dynamic_index_in_dim(params['proj_layers'], stage - 1, 0,
                                         keepdims=False)             # (d, V)
