@@ -34,6 +34,28 @@ def test_layernorm_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=ATOL)
 
 
+def test_layernorm_custom_vjp_matches_torch_grads():
+    """The memory-saving custom VJP (recomputed stats, bf16-input residual) must
+    reproduce torch's LayerNorm gradients."""
+    x = jax.random.normal(jax.random.key(4), (2, 5, 16))
+    p = layernorm_init(16)
+    g = jax.random.normal(jax.random.key(5), (2, 5, 16))
+
+    def loss(p, x):
+        return jnp.sum(layernorm(p, x) * g)
+
+    dp, dx = jax.grad(loss, argnums=(0, 1))(p, x)
+
+    xt = t(x).requires_grad_(True)
+    st = t(p['scale']).requires_grad_(True)
+    bt = t(p['bias']).requires_grad_(True)
+    out = F.layer_norm(xt, (16,), st, bt, eps=1e-5)
+    (out * t(g)).sum().backward()
+    np.testing.assert_allclose(np.asarray(dx), xt.grad.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp['scale']), st.grad.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp['bias']), bt.grad.numpy(), atol=1e-4)
+
+
 def test_adaln_matches_reference_equation():
     # Reference modules.py:93-99: weight, bias = split(proj(embedding)); w*LN(x)+b.
     d = 16
