@@ -200,15 +200,14 @@ class ConfigValle:
 
     @property
     def flash_enabled(self) -> bool:
-        """Resolve ``use_flash_attention``.  'auto' = on iff the backend is TPU AND
-        the model is wide enough for the kernel to win: measured on v5e
-        (BENCHMARKS.md r2), at d=256 the XLA bias path is ~15% faster (86 vs
-        100 ms/step) while at d=1024 the bias path fails to compile (materialized
-        (b, h, s, s) scores) and the flash kernel is the only working path.
+        """Resolve ``use_flash_attention``.  'auto' = on iff the backend is TPU:
+        with bf16-input MXU dots the kernel wins at every scale measured on v5e
+        (BENCHMARKS.md r2: d=256 42.3 → 27.0 ms/step; at d=1024 the bias path
+        fails to compile outright — materialized (b, h, s, s) scores).
         Elsewhere the kernel only falls back to the slow interpreter."""
         if self.use_flash_attention == 'auto':
             import jax
-            return jax.default_backend() == 'tpu' and self.d_model >= 512
+            return jax.default_backend() == 'tpu'
         return bool(self.use_flash_attention)
 
     @classmethod
