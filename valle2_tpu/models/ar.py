@@ -162,21 +162,38 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
-def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
-               codes: jax.Array, codes_lens: jax.Array, rng: jax.Array,
-               config: ConfigValle):
-    """Batched on-device decode with per-item lengths.
+def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
+    """Fused whole-stack decode kernel: gated on backend/cache-dtype/VMEM fit.
 
-    tokens: (B, Ttm) padded source ids;  tokens_lens: (B,) true lengths.
-    codes: (B, Pm) padded BOS-prefixed first-codebook prompts; codes_lens: (B,).
-    Returns (codes_buf (B, beams, Pm+max_new), sum_logprobs (B, beams), best (B,)).
+    'auto' additionally requires matmul_precision != 'highest': parity-gate
+    runs (greedy token equality vs the reference) use 'highest' and must take
+    the unfused path — the kernel's rounding points differ at the bit level
+    (interpret-mode parity is exact; TPU bf16 parity is distribution-level).
+    """
+    from ..kernels.fused_decode import env_chunk
+    cache_dtype = jnp.dtype(config.kv_cache_dtype)
+    chunk_est = min(total_max, env_chunk() or total_max)
+    cache_block_bytes = (rows * config.n_heads * chunk_est * config.head_dim
+                         * 2 * cache_dtype.itemsize)
+    if config.use_fused_decode == 'auto':
+        return (jax.default_backend() == 'tpu'
+                and config.matmul_precision != 'highest'
+                and cache_block_bytes <= 8 * 1024 * 1024)
+    return bool(config.use_fused_decode)
+
+
+def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
+                    codes: jax.Array, codes_lens: jax.Array, rng: jax.Array,
+                    config: ConfigValle):
+    """Prefill phase of the batched decode: embeds the prompt streams, fills the
+    KV cache, tiles to beams.  Returns (DecodeState, tl_f, pl_f) ready for
+    ``_decode_advance``.
 
     Cache slot layout per item: [0, Ttm) source | [Ttm, Ttm+Pm) prompt codes |
     [Ttm+Pm, +max_new) generated.  Per-item masks derived from (tokens_len, p_len)
     make padded rows attend exactly the set the unpadded single-utterance decode
     would — batched results are bit-identical per item, which also makes
     bucket-padding the single-utterance path free (bounded compile count).
-    Generated token s takes audio-stream position p_len + s (true continuation).
     """
     eos, _ = _specials(config)
     beams = config.num_beams
@@ -187,28 +204,16 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     max_new_pad = -(-max_new // unroll) * unroll
     total_max = ttm + pm + max_new_pad
     rows = b * beams
-
-    # Fused whole-stack decode kernel: gated on backend/cache-dtype/VMEM fit.
-    # 'auto' additionally requires matmul_precision != 'highest': parity-gate
-    # runs (greedy token equality vs the reference) use 'highest' and must take
-    # the unfused path — the kernel's rounding points differ at the bit level
-    # (interpret-mode parity is exact; TPU bf16 parity is distribution-level).
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
+
     from ..kernels.fused_decode import env_chunk
-    chunk_est = min(total_max, env_chunk() or total_max)
-    cache_block_bytes = (rows * config.n_heads * chunk_est * config.head_dim
-                         * 2 * cache_dtype.itemsize)
-    if config.use_fused_decode == 'auto':
-        use_fused = (jax.default_backend() == 'tpu'
-                     and config.matmul_precision != 'highest'
-                     and cache_block_bytes <= 8 * 1024 * 1024)
-    else:
-        use_fused = bool(config.use_fused_decode)
+    use_fused = _fused_gate(config, rows, total_max)
     if use_fused and env_chunk():
         # Opt-in chunked prefix skip (VALLE2_FUSED_CHUNK, measured negative on
         # this runtime — kernels/fused_decode._pick_chunk): the kernel needs the
         # cache length to tile into whole chunks; padded slots are never fetched
         # (clamped index map) and the attend formula masks them anyway.
+        chunk_est = min(total_max, env_chunk() or total_max)
         total_max = -(-total_max // chunk_est) * chunk_est
     pe = sinusoidal_table(MAX_POS, config.d_model)
     n_heads = config.n_heads
@@ -261,18 +266,39 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     codes_buf = jnp.full((rows, pm + max_new_pad), eos, jnp.int32)
     codes_buf = codes_buf.at[:, :pm].set(jnp.repeat(codes_row, beams, axis=0))
 
+    state = DecodeState(
+        step=jnp.int32(0), codes=codes_buf, logits=logits, cache=cache,
+        sum_logprobs=jnp.zeros((rows,), jnp.float32),
+        finished=jnp.zeros((rows,), bool), rng=rng)
+    return state, tl_f, pl_f
+
+
+def _decode_advance(params: Params, state: DecodeState, tl_f: jax.Array,
+                    pl_f: jax.Array, limit: jax.Array, config: ConfigValle,
+                    ttm: int, pm: int) -> DecodeState:
+    """Advance the decode ``while_loop`` until ``state.step`` reaches ``limit``
+    (traced scalar — one compilation serves any segment bound) or every row is
+    finished.  Token semantics are segment-invariant: the rng chain, EOS
+    freezing, and logprob statistics ride in ``state``, so K calls with partial
+    limits produce bit-identical results to one call with the full limit (the
+    streaming API relies on this; ``tests/test_streaming.py``)."""
+    eos, _ = _specials(config)
+    max_new = config.max_audio_len
+    unroll = max(1, config.decode_unroll)
+    rows, total_max = state.cache.k.shape[1], state.cache.k.shape[3]
+    n_heads = config.n_heads
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    dtype = jnp.dtype(config.dtype)
+    tparams = jax.tree.map(lambda a: a.astype(dtype), params['transformer'])
+    use_fused = _fused_gate(config, rows, total_max)
+
     # Static per-row slot-validity template for decode attention (prompt part).
     slots = jnp.arange(total_max)[None, :]
     base_valid = ((slots < tl_f[:, None])
                   | ((slots >= ttm) & (slots < ttm + pl_f[:, None])))
 
-    state = DecodeState(
-        step=jnp.int32(0), codes=codes_buf, logits=logits, cache=cache,
-        sum_logprobs=jnp.zeros((rows,), jnp.float32),
-        finished=jnp.zeros((rows,), bool), rng=rng)
-
     def cond(s: DecodeState):
-        return (s.step < max_new) & ~jnp.all(s.finished)
+        return (s.step < limit) & ~jnp.all(s.finished)
 
     def one_step(s: DecodeState) -> DecodeState:
         active = s.step < max_new          # chunk overshoot guard (exact semantics)
@@ -315,7 +341,28 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
             s = one_step(s)
         return s
 
-    final = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
+               codes: jax.Array, codes_lens: jax.Array, rng: jax.Array,
+               config: ConfigValle):
+    """Batched on-device decode with per-item lengths: prefill → while_loop →
+    length-penalized beam pick, all one XLA program.
+
+    tokens: (B, Ttm) padded source ids;  tokens_lens: (B,) true lengths.
+    codes: (B, Pm) padded BOS-prefixed first-codebook prompts; codes_lens: (B,).
+    Returns (codes_buf (B, beams, Pm+max_new), sum_logprobs (B, beams), best (B,)).
+    """
+    eos, _ = _specials(config)
+    beams = config.num_beams
+    max_new = config.max_audio_len
+    b, ttm = tokens.shape
+    pm = codes.shape[1]
+    state, tl_f, pl_f = _decode_prefill(params, tokens, tokens_lens, codes,
+                                        codes_lens, rng, config)
+    final = _decode_advance(params, state, tl_f, pl_f, jnp.int32(max_new),
+                            config, ttm, pm)
     codes_out = final.codes[:, :pm + max_new].reshape(b, beams, pm + max_new)
     lp_out = final.sum_logprobs.reshape(b, beams)
     best = jax.vmap(lambda c, lp: best_beam_index(c, lp, eos, config.length_penalty))(
@@ -350,8 +397,23 @@ class ValleAR:
             with jax.default_matmul_precision(prec):
                 return loss_fn(p, config, b, r)
 
+        def _prefill_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
+            with jax.default_matmul_precision(prec):
+                return _decode_prefill(p, tokens, tokens_lens, codes, codes_lens,
+                                       rng, config)
+
+        def _advance_wrapped(p, state, tl_f, pl_f, limit, *, ttm, pm):
+            with jax.default_matmul_precision(prec):
+                return _decode_advance(p, state, tl_f, pl_f, limit, config,
+                                       ttm, pm)
+
         self._decode_jit = jax.jit(_decode_wrapped)
         self._loss_jit = jax.jit(_loss_wrapped)
+        self._prefill_jit = jax.jit(_prefill_wrapped)
+        # Donate the loop state: segments update the (L, rows, h, S, hd) cache
+        # in place instead of copying it per advance() call.
+        self._advance_jit = jax.jit(_advance_wrapped, static_argnames=('ttm', 'pm'),
+                                    donate_argnums=(1,))
 
     @property
     def eos_token(self) -> int:
@@ -457,4 +519,77 @@ class ValleAR:
         for i in range(bsz):
             row = codes_buf[i, int(best[i])][pm:]
             out.append(jnp.asarray(row[row != self.eos_token]))
+        return out
+
+
+class DecodeStream:
+    """Incremental first-codebook decode: prefill once, then ``advance(k)`` in
+    bounded segments with the loop state (codes buffer, KV cache, rng chain,
+    EOS/logprob statistics) held on device between calls.
+
+    Segment boundaries are bit-invisible: ``_decode_advance`` threads everything
+    through ``DecodeState``, so N partial advances produce exactly the tokens one
+    full decode would (tests/test_streaming.py).  The state is donated to each
+    advance, so the cache updates in place rather than copying per segment.
+
+    Requires ``num_beams == 1``: a best-of-N beam pick needs the completed
+    sequences, which defeats streaming.  (The reference has no incremental
+    inference at all — its loop is already host-driven per token,
+    /root/reference/valle/models/valle_ar.py:141-171.)
+    """
+
+    def __init__(self, model: 'ValleAR', tokens, prompt_codes,
+                 rng: jax.Array | None = None, bucket: bool = True):
+        """tokens: (Tt,) full source ids (prompt + target text); prompt_codes:
+        (Tp, num_quantizers) acoustic prompt (may be empty)."""
+        import numpy as np
+        config = model.config
+        assert config.num_beams == 1, 'streaming decode requires num_beams=1'
+        self.model = model
+        self.eos = model.eos_token
+        self.max_new = config.max_audio_len
+
+        tokens = jnp.asarray(tokens, jnp.int32)
+        prompt_codes = jnp.asarray(prompt_codes, jnp.int32).reshape(
+            -1, config.num_quantizers)
+        codes0 = jnp.concatenate([jnp.array([model.bos_token], jnp.int32),
+                                  prompt_codes[:, 0]])
+        ttm, pm = tokens.shape[0], codes0.shape[0]
+        if bucket:
+            ttm, pm = model._bucket(ttm), model._bucket(pm)
+        tokens_pad = jnp.pad(tokens, (0, ttm - tokens.shape[0]))[None]
+        codes_pad = jnp.pad(codes0, (0, pm - codes0.shape[0]))[None]
+        if rng is None:
+            rng = jax.random.key(config.seed)
+        state, tl_f, pl_f = model._prefill_jit(
+            model.params, tokens_pad, jnp.asarray([tokens.shape[0]], jnp.int32),
+            codes_pad, jnp.asarray([codes0.shape[0]], jnp.int32), rng)
+        self._state, self._tl, self._pl = state, tl_f, pl_f
+        self._ttm, self._pm = ttm, pm
+        self.steps_done = 0
+        self.frames_done = 0          # valid (non-EOS) frames so far
+        self.finished = False
+
+    def advance(self, k: int):
+        """Advance the decode by up to ``k`` tokens; returns the NEWLY generated
+        first-codebook ids as a 1-D np.int32 array (EOS stripped).  Sets
+        ``finished`` once every row hit EOS or ``max_audio_len`` was reached."""
+        import numpy as np
+        if self.finished:
+            return np.zeros((0,), np.int32)
+        limit = min(self.steps_done + int(k), self.max_new)
+        self._state = self.model._advance_jit(
+            self.model.params, self._state, self._tl, self._pl,
+            jnp.int32(limit), ttm=self._ttm, pm=self._pm)
+        new_step = int(self._state.step)
+        done = bool(jnp.all(self._state.finished)) or new_step >= self.max_new
+        # Fetch the whole (tiny, int32) codes row and slice on host: a
+        # device-side dynamic slice would compile a new program per distinct
+        # segment length (minutes each on the target runtime, NOTES.md).
+        row = np.asarray(self._state.codes[0])[
+            self._pm + self.steps_done:self._pm + new_step]
+        self.steps_done = new_step
+        self.finished = done
+        out = row[row != self.eos]
+        self.frames_done += len(out)
         return out

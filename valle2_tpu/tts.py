@@ -185,6 +185,90 @@ class ValleTTS:
         return self.batch_synthesize([text], [prompt_tokens], [prompt_codes],
                                      rng=rng, bucket=bucket)[0]
 
+    def synthesize_streaming(self, text: str, prompt_tokens, prompt_codes,
+                             chunk_frames: int = 75, lookahead_frames: int = 38,
+                             rng: jax.Array | None = None, bucket: bool = True):
+        """Generator of 24 kHz float32 waveform chunks while the AR decode runs.
+
+        Streams long-form synthesis: time-to-first-audio drops from the full
+        decode to ~(prefill + (chunk+lookahead) AR steps + one NAR/codec pass).
+        The AR token stream is computed in on-device segments (models.ar
+        .DecodeStream) and is bit-identical to the non-streamed decode; a frame
+        is EMITTED once the stream is ``lookahead_frames`` past it, refined by a
+        NAR pass over the prefix generated so far.
+
+        Approximation bound: the NAR is bidirectional, so a frame's refinement
+        can still change while new context arrives; ``lookahead_frames``
+        (default 38 ≈ 0.5 s) bounds how much future context an emitted frame has
+        seen.  The codec decode itself is causal (LSTM left-to-right + bounded
+        transposed-conv overlap), so emitted samples are exact given their
+        codes.  With ``lookahead_frames >= max_audio_len`` there is a single
+        emission equal to ``synthesize_fused`` bit-for-bit
+        (tests/test_streaming.py).  Requires num_beams == 1 (enforced by
+        swapping the config; params are shared).
+        """
+        import dataclasses
+
+        from .models.ar import DecodeStream
+
+        if rng is None:
+            rng = jax.random.key(self.config.seed)
+        rng_ar, rng_nar = jax.random.split(jnp.asarray(rng))
+        max_new = self.config.max_audio_len
+
+        if getattr(self, '_stream_ar', None) is None:
+            cfg1 = dataclasses.replace(self.config, num_beams=1)
+            self._stream_ar = ValleAR(cfg1, params=self.ar.params)
+            prec = self.config.matmul_precision
+
+            def _nar_wav(nar_p, cod_p, tokens, tl, pcodes, pl, first_layer,
+                         gen_lens, r):
+                with jax.default_matmul_precision(prec):
+                    codes = nar_mod._generate_fn(nar_p, tokens, tl, pcodes, pl,
+                                                 first_layer, gen_lens, r,
+                                                 self.config)
+                    wav = codec_mod.decode(cod_p, codes.transpose(0, 2, 1))
+                return wav.astype(jnp.float32), codes
+
+            self._nar_wav_jit = jax.jit(_nar_wav)
+
+        tokens = np.concatenate([np.asarray(prompt_tokens, np.int32),
+                                 self.tokenizer(text)])
+        pcodes = np.asarray(prompt_codes, np.int32).reshape(
+            -1, self.config.num_quantizers)
+        stream = DecodeStream(self._stream_ar, tokens, pcodes, rng=rng_ar,
+                              bucket=bucket)
+        # Static NAR input shapes (one compile): bucket the prompt dims like
+        # batch_synthesize; the first-layer buffer is max_audio_len wide.
+        ttm, pm = len(tokens), len(pcodes)
+        if bucket:
+            bkt = lambda n: next((b for b in self.config.bucket_sizes if n <= b), n)
+            ttm, pm = bkt(ttm), bkt(pm)
+        tokens_pad = jnp.asarray(np.pad(tokens, (0, ttm - len(tokens)))[None])
+        pcodes_pad = jnp.asarray(
+            np.pad(pcodes, ((0, pm - len(pcodes)), (0, 0)))[None])
+        tl = jnp.asarray([len(tokens)], jnp.int32)
+        pl = jnp.asarray([len(pcodes)], jnp.int32)
+
+        buf = np.zeros((max_new,), np.int32)
+        n_buf = 0
+        emitted = 0
+        while True:
+            new = stream.advance(chunk_frames)
+            buf[n_buf:n_buf + len(new)] = new
+            n_buf += len(new)
+            done = stream.finished
+            finalize = n_buf if done else max(0, n_buf - lookahead_frames)
+            if finalize > emitted:
+                wav, _codes = self._nar_wav_jit(
+                    self.nar.params, self.codec._dec_params, tokens_pad, tl,
+                    pcodes_pad, pl, jnp.asarray(buf[None]),
+                    jnp.asarray([n_buf], jnp.int32), rng_nar)
+                yield np.asarray(wav)[0, emitted * 320:finalize * 320]
+                emitted = finalize
+            if done:
+                return
+
     def synthesize(self, text: str, prompt_tokens, prompt_codes,
                    rng: jax.Array | None = None) -> TTSResult:
         """Full pipeline.  prompt_codes: (T, num_quantizers) from prepare_prompt."""
