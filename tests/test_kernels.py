@@ -140,6 +140,56 @@ class TestFlashAttention:
         l_flash, _ = ar_mod.loss_fn(params, cfg_f, batch, None)
         np.testing.assert_allclose(float(l_bias), float(l_flash), atol=1e-5)
 
+    def test_nar_loss_and_grads_with_flash_match_bias_path(self):
+        """NAR training (bidirectional mask, causal=False, AdaLN) through the
+        flash kernel: loss AND grads must match the materialized-bias path."""
+        from valle2_tpu.config import ConfigValle
+        from valle2_tpu.models import nar as nar_mod
+        import dataclasses
+        cfg = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                          dropout=0.0)
+        params = nar_mod.init_params(jax.random.key(0), cfg)
+        rs = np.random.RandomState(3)
+        batch = {
+            'tokens': jnp.asarray(rs.randint(0, 255, (2, 5))),
+            'tokens_lens': jnp.asarray([5, 3]),
+            'codes': jnp.asarray(rs.randint(0, 1024, (2, 9, 8))),
+            'codes_lens': jnp.asarray([9, 6]),
+        }
+        rng = jax.random.key(1)
+        cfg_f = dataclasses.replace(cfg, use_flash_attention=True)
+
+        def loss(p, c):
+            return nar_mod.loss_fn(p, c, batch, rng)[0]
+
+        l_bias, g_bias = jax.value_and_grad(loss)(params, cfg)
+        l_flash, g_flash = jax.value_and_grad(loss)(params, cfg_f)
+        np.testing.assert_allclose(float(l_bias), float(l_flash), atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_bias), jax.tree.leaves(g_flash)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_nar_generate_with_flash_matches_bias_path(self):
+        """Greedy 7-stage NAR refinement with flash == bias path token IDs."""
+        from valle2_tpu.config import ConfigValle
+        from valle2_tpu.models.nar import ValleNAR
+        import dataclasses
+        cfg = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                          dropout=0.0, temperature=0.0, matmul_precision='highest',
+                          use_flash_attention=False)
+        model = ValleNAR(cfg, seed=0)
+        model_f = ValleNAR(dataclasses.replace(cfg, use_flash_attention=True),
+                           params=model.params)
+        rs = np.random.RandomState(4)
+        tokens = rs.randint(0, 255, (6,))
+        pcodes = rs.randint(0, 1024, (5, 8))
+        first = rs.randint(0, 1024, (7,))
+        rng = jax.random.key(2)
+        tgt = rs.randint(0, 255, (3,))
+        want = np.asarray(model.generate(tokens, pcodes, tgt, first, rng=rng))
+        got = np.asarray(model_f.generate(tokens, pcodes, tgt, first, rng=rng))
+        np.testing.assert_array_equal(got, want)
+
     def test_decode_with_flash_prefill_matches_bias_path(self):
         """Greedy AR decode with the flash-routed prefill (the TPU default) must be
         token-identical to the materialized-bias prefill path."""
