@@ -217,7 +217,8 @@ class TestFusedDecode:
         """Single fused whole-stack step == transformer_decode_step numerics."""
         from valle2_tpu.ops.transformer import KVCache, transformer_decode_step, \
             transformer_init
-        from valle2_tpu.kernels.fused_decode import fused_decode_step
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_decode_step)
         L, rows, h, hd, dff, S = 2, 3, 2, 16, 64, 40
         d = h * hd
         ttm, pm = 6, 8
@@ -229,7 +230,8 @@ class TestFusedDecode:
         plen = jnp.asarray([8, 6, 3])
         index = jnp.int32(ttm + pm + 5)
 
-        got_y, got_cache = fused_decode_step(p, x, h, cache, index, tl, plen, ttm, pm)
+        got_y, got_cache = fused_decode_step(p, x, h, fused_cache_layout(cache),
+                                             index, tl, plen, ttm, pm)
 
         slots = jnp.arange(S)[None, :]
         attend = ((slots < tl[:, None])
@@ -237,6 +239,7 @@ class TestFusedDecode:
                   | ((slots >= ttm + pm) & (slots <= index)))
         want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
                                                      attend_mask=attend)
+        want_cache = fused_cache_layout(want_cache)
         np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(got_cache.k), np.asarray(want_cache.k),
@@ -251,7 +254,9 @@ class TestFusedDecode:
         the FIRST chunk (later chunks skipped) and in the last."""
         from valle2_tpu.ops.transformer import KVCache, transformer_decode_step, \
             transformer_init
-        from valle2_tpu.kernels.fused_decode import _pick_chunk, fused_decode_step
+        from valle2_tpu.kernels.fused_decode import (_pick_chunk,
+                                                     fused_cache_layout,
+                                                     fused_decode_step)
         monkeypatch.setenv('VALLE2_FUSED_CHUNK', '128')
         L, rows, h, hd, dff, S = 2, 2, 2, 16, 64, 256
         assert _pick_chunk(S) == 128 and S // 128 == 2
@@ -265,13 +270,14 @@ class TestFusedDecode:
         plen = jnp.asarray([16, 11])
         slots = jnp.arange(S)[None, :]
         for index in (jnp.int32(ttm + pm + 3), jnp.int32(S - 2)):
-            got_y, got_cache = fused_decode_step(p, x, h, cache, index, tl, plen,
-                                                 ttm, pm)
+            got_y, got_cache = fused_decode_step(p, x, h, fused_cache_layout(cache),
+                                                 index, tl, plen, ttm, pm)
             attend = ((slots < tl[:, None])
                       | ((slots >= ttm) & (slots < ttm + plen[:, None]))
                       | ((slots >= ttm + pm) & (slots <= index)))
             want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
                                                          attend_mask=attend)
+            want_cache = fused_cache_layout(want_cache)
             np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
                                        rtol=1e-4, atol=1e-4)
             np.testing.assert_allclose(np.asarray(got_cache.k),
@@ -283,7 +289,8 @@ class TestFusedDecode:
         from valle2_tpu.ops.transformer import (KVCache, quantize_kv,
                                                 transformer_decode_step,
                                                 transformer_init)
-        from valle2_tpu.kernels.fused_decode import fused_decode_step
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_decode_step)
         L, rows, h, hd, dff, S = 2, 2, 2, 16, 64, 32
         d = h * hd
         ttm, pm = 5, 6
@@ -298,14 +305,15 @@ class TestFusedDecode:
         plen = jnp.asarray([6, 4])
         index = jnp.int32(ttm + pm + 3)
 
-        got_y, got_cache = fused_decode_step(p, x, h, cache, index, tl, plen,
-                                             ttm, pm)
+        got_y, got_cache = fused_decode_step(p, x, h, fused_cache_layout(cache),
+                                             index, tl, plen, ttm, pm)
         slots = jnp.arange(S)[None, :]
         attend = ((slots < tl[:, None])
                   | ((slots >= ttm) & (slots < ttm + plen[:, None]))
                   | ((slots >= ttm + pm) & (slots <= index)))
         want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
                                                      attend_mask=attend)
+        want_cache = fused_cache_layout(want_cache)
         np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
                                    rtol=5e-3, atol=5e-3)
         # Quantized slots may differ by 1 int8 step where x/scale lands exactly

@@ -13,14 +13,21 @@ Design:
   grid step's weight and cache blocks into VMEM while the current one computes.
 - The hidden state x lives in the output block (constant index map → stays resident
   in VMEM across grid steps; written back once at the end).
-- The KV cache streams in per (layer, chunk) as (rows, h, chunk, hd) blocks and the
-  attention is an **online softmax over chunks** (running max/denominator in SMEM,
-  f32 accumulator in VMEM scratch).  The chunk index map CLAMPS at the last chunk
-  containing ``index`` — Pallas skips the DMA when consecutive grid steps map to
-  the same block, so slots past the valid prefix are neither fetched from HBM nor
-  computed on (``@pl.when`` gates the arithmetic).  This is the kernel-level analog
-  of the jnp path's bucketed prefix attention (``ops.transformer`` attn_buckets),
-  with per-step rather than per-bucket granularity.
+- **Head-major cache layout (rows, S, d)** (helper ``fused_cache_layout`` converts
+  once after prefill): all heads of a row compute in TWO dots per chunk —
+  scores = (block-diagonal q) (h, d) × kᵀ (d, S) → (h, S), and the PV product is
+  the full cross (h, S) × (S, d) → (h, d) from which the per-head diagonal blocks
+  are mask-reduced.  The cross terms cost h× redundant MACs (trivial on the MXU)
+  but replace 2·h serialized M=1 dots + h separate softmaxes per row with 2 dots
+  + one row-wise softmax — this runtime's Mosaic cannot reduce >2-D values, so
+  the earlier per-(row, head) formulation was the only alternative.
+- The attention is an **online softmax over cache chunks** (running max/denominator
+  in SMEM, f32 accumulator in VMEM scratch).  The chunk index map CLAMPS at the
+  last chunk containing ``index`` — Pallas skips the DMA when consecutive grid
+  steps map to the same block, so slots past the valid prefix are neither fetched
+  from HBM nor computed on (``@pl.when`` gates the arithmetic).  Chunking is
+  opt-in (VALLE2_FUSED_CHUNK): measured NEGATIVE at default scale (BENCHMARKS.md
+  r2 — grid-step overhead beats the skipped bytes), whole-S is the default.
 - The new token's k/v are merged IN REGISTER (the score/value for slot ``index``
   is patched via iota masks in the chunk that contains it), and the kernel emits
   per-layer k_new/v_new which the caller writes into the cache with two
@@ -29,6 +36,9 @@ Design:
 - The prefix-LM slot validity is computed in-kernel from per-row
   [tokens_len, prompt_len] scalars (SMEM prefetch) + the static [ttm, pm] layout,
   exactly mirroring ``ar._decode_fn``'s ``attend`` formula.
+- int8 cache: values stored (rows, S, d) int8 with per-(slot, head) scales
+  (rows, S, h); dequantized in VMEM (the fusion XLA would not do — it
+  materialized the cache in HBM, BENCHMARKS.md r1 negative result).
 
 Numerics match ``ops.transformer.transformer_decode_step`` (f32 softmax and
 accumulation; the online-softmax chunking reorders the reduction within f32);
@@ -46,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_CHUNK = 256  # cache slots per grid step (lane-aligned)
+DEFAULT_CHUNK = 256  # cache slots per grid step when chunking is forced
 
 
 def env_chunk() -> int | None:
@@ -72,6 +82,37 @@ def _pick_chunk(seq: int) -> int:
     return seq
 
 
+def fused_cache_layout(cache):
+    """Standard KVCache (L, rows, h, S, hd) → fused head-major layout
+    (L, rows, S, h*hd), with int8 scales (L, rows, h, S, 1) → (L, rows, S, h).
+    One device transpose, done ONCE after prefill (ar._decode_prefill)."""
+    from ..ops.transformer import KVCache
+
+    def to_rows(a):                       # (L, r, h, S, hd) -> (L, r, S, h*hd)
+        L, r, h, S, hd = a.shape
+        return a.transpose(0, 1, 3, 2, 4).reshape(L, r, S, h * hd)
+
+    if cache.k_scale is not None:
+        return KVCache(to_rows(cache.k), to_rows(cache.v),
+                       cache.k_scale[..., 0].transpose(0, 1, 3, 2),
+                       cache.v_scale[..., 0].transpose(0, 1, 3, 2))
+    return KVCache(to_rows(cache.k), to_rows(cache.v))
+
+
+def quantize_kv_rowmajor(x: jax.Array, n_heads: int):
+    """Per-(slot, head) symmetric int8 quantization of a head-major (..., d)
+    tensor → (int8 (..., d), scales (..., h)).  Matches
+    ops.transformer.quantize_kv semantics on each head slice."""
+    *lead, d = x.shape
+    hd = d // n_heads
+    xs = x.reshape(*lead, n_heads, hd)
+    amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xs / scale), -127, 127).astype(jnp.int8)
+    return (q.reshape(*lead, d),
+            scale[..., 0].astype(jnp.bfloat16))
+
+
 def _erf(x):
     """Abramowitz & Stegun 7.1.26 rational erf (max abs error 1.5e-7 — below
     bf16 resolution).  This Pallas TPU lowering implements neither erf nor erfc,
@@ -89,21 +130,29 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _fake_quant_slot(xs):
-    """quantize→dequantize roundtrip for one (1, hd) slot — the int8 cache's view
-    of a freshly written slot (ops.transformer.quantize_kv semantics: per-slot
-    max-abs scale, bf16 scale storage)."""
-    amax = jnp.max(jnp.abs(xs), axis=1, keepdims=True)
-    sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
-    q = jnp.clip(jnp.round(xs / sc), -127, 127)
-    return q * sc
-
-
 def _layernorm(x, scale, bias, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _fake_quant_row(x_row, n_heads: int):
+    """quantize→dequantize roundtrip of a (1, d) head-major row, per-head
+    scales (the int8 cache's view of a freshly written slot)."""
+    d = x_row.shape[-1]
+    hd = d // n_heads
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1) // hd   # (1, d)
+    outs = jnp.zeros_like(x_row)
+    for hh in range(n_heads):
+        sel = head_of == hh
+        xs = jnp.where(sel, x_row, 0.0)
+        amax = jnp.max(jnp.abs(xs))
+        sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16).astype(
+            jnp.float32)
+        q = jnp.clip(jnp.round(x_row / sc), -127, 127)
+        outs = jnp.where(sel, q * sc, outs)
+    return outs
 
 
 def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
@@ -125,6 +174,11 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
     d = x_ref.shape[-1]
     hd = d // n_heads
     scale = 1.0 / math.sqrt(hd)
+    # head_mask[i, j] = (feature j belongs to head i) — builds the block-diagonal
+    # q and extracts the per-head diagonal blocks of the PV cross product.
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 1) // hd
+    head_id = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 0)
+    head_mask = (head_of == head_id).astype(jnp.float32)             # (h, d)
 
     @pl.when((l == 0) & (c == 0))
     def _seed():
@@ -148,59 +202,63 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
                 m_s[r, hh] = NEG_INF
                 l_s[r, hh] = 0.0
 
-    # --- per valid chunk: online-softmax attention over its cache slots ---
-    # All math stays 2-D: this runtime's Mosaic crashes on partial reductions of
-    # >2-D values (sum/max over one axis of a (r, h, S, hd) tensor), so the
-    # attention is unrolled into per-(row, head) 2-D matmuls + lane softmaxes.
-    contract_last = (((1,), (1,)), ((), ()))                 # A @ Bᵀ
+    contract_last = (((1,), (1,)), ((), ()))                 # A (m,d) @ B (n,d)ᵀ
     contract_inner = (((1,), (0,)), ((), ()))                # A @ B
 
     @pl.when(c <= maxc)
     def _attend():
         slot_row = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        is_idx = slot_row == idx
-        k_new2d = knew_ref[0].astype(jnp.float32)
-        v_new2d = vnew_ref[0].astype(jnp.float32)
+        is_idx = slot_row == idx                             # (1, chunk)
         for r in range(rows):
             tl_r = meta_ref[1 + r]
             pl_r = meta_ref[1 + rows + r]
             attend = ((slot_row < tl_r)
                       | ((slot_row >= ttm) & (slot_row < ttm + pl_r))
                       | ((slot_row >= ttm + pm) & (slot_row <= idx)))   # (1, chunk)
+            q_row = q_s[r:r + 1, :]                          # (1, d) f32, scaled
+            q_bd = q_row * head_mask                         # (h, d) block-diag
+            k2 = ck_ref[0, r].astype(jnp.float32)            # (chunk, d)
+            v2 = cv_ref[0, r].astype(jnp.float32)
+            if quant:
+                # Per-(slot, head) scales (chunk, h) → broadcast over hd lanes.
+                ks = cks_ref[0, r].astype(jnp.float32)       # (chunk, h)
+                vs = cvs_ref[0, r].astype(jnp.float32)
+                k2 = k2 * jnp.repeat(ks, hd, axis=1)
+                v2 = v2 * jnp.repeat(vs, hd, axis=1)
+            kn = knew_ref[0][r:r + 1].astype(jnp.float32)    # (1, d)
+            vn = vnew_ref[0][r:r + 1].astype(jnp.float32)
+            if quant:
+                # Future steps will see the quantize→dequantize roundtrip of
+                # the new slot, so the self contribution must too.
+                kn = _fake_quant_row(kn, n_heads)
+                vn = _fake_quant_row(vn, n_heads)
+            # All heads at once: scores (h, chunk) in one dot.
+            s = jax.lax.dot_general(q_bd.astype(k2.dtype), k2, contract_last,
+                                    preferred_element_type=jnp.float32)
+            s_new = jnp.sum(q_bd * kn, axis=1, keepdims=True)   # (h, 1)
+            s = jnp.where(attend, jnp.where(is_idx, s_new, s), NEG_INF)
+            m_prev = jnp.concatenate(
+                [m_s[r, hh].reshape(1, 1) for hh in range(n_heads)], axis=0)
+            l_prev = jnp.concatenate(
+                [l_s[r, hh].reshape(1, 1) for hh in range(n_heads)], axis=0)
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_cur)                  # (h, 1)
+            p = jnp.exp(s - m_cur)                           # (h, chunk)
+            p_idx = jnp.sum(jnp.where(is_idx, p, 0.0), axis=1, keepdims=True)
+            p_old = jnp.where(is_idx, 0.0, p)
+            # Full PV cross (h, d); the per-head diagonal blocks are selected by
+            # head_mask below (the off-diagonal MACs are redundant but keep the
+            # MXU fed with ONE (h, chunk)x(chunk, d) dot instead of h serialized
+            # M=1 dots).
+            o_full = jax.lax.dot_general(p_old, v2, contract_inner,
+                                         preferred_element_type=jnp.float32)
+            o_head = (o_full + p_idx * vn) * head_mask       # (h, d) diag blocks
+            alpha_vec = jnp.sum(alpha * head_mask, axis=0, keepdims=True)  # (1, d)
+            contrib = jnp.sum(o_head, axis=0, keepdims=True)               # (1, d)
+            acc_s[r:r + 1, :] = acc_s[r:r + 1, :] * alpha_vec + contrib
             for hh in range(n_heads):
-                sl = slice(hh * hd, (hh + 1) * hd)
-                q_rh = q_s[r:r + 1, sl]                      # (1, hd) f32, scaled
-                k2 = ck_ref[0, r, hh].astype(jnp.float32)    # (chunk, hd)
-                v2 = cv_ref[0, r, hh].astype(jnp.float32)
-                if quant:
-                    # int8 cache: dequantize in VMEM (per-slot scales) — the
-                    # fusion XLA would not do (it materialized the cache in HBM,
-                    # BENCHMARKS.md r1 negative result).
-                    k2 = k2 * cks_ref[0, r, hh].astype(jnp.float32)
-                    v2 = v2 * cvs_ref[0, r, hh].astype(jnp.float32)
-                kn = k_new2d[r:r + 1, sl]
-                vn = v_new2d[r:r + 1, sl]
-                if quant:
-                    # Future steps will see the quantize→dequantize roundtrip of
-                    # the new slot, so the self contribution must too.
-                    kn = _fake_quant_slot(kn)
-                    vn = _fake_quant_slot(vn)
-                s = jax.lax.dot_general(q_rh, k2, contract_last,
-                                        preferred_element_type=jnp.float32)
-                s_new = jnp.sum(q_rh * kn)                   # scalar
-                # Slot ``idx`` holds a stale cache value — patch in-register.
-                s = jnp.where(attend, jnp.where(is_idx, s_new, s), NEG_INF)
-                m_prev = m_s[r, hh]
-                m_cur = jnp.maximum(m_prev, jnp.max(s))
-                alpha = jnp.exp(m_prev - m_cur)
-                p = jnp.exp(s - m_cur)                       # (1, chunk)
-                p_idx = jnp.sum(jnp.where(is_idx, p, 0.0))   # scalar
-                p_old = jnp.where(is_idx, 0.0, p)
-                o = jax.lax.dot_general(p_old, v2, contract_inner,
-                                        preferred_element_type=jnp.float32)
-                acc_s[r:r + 1, sl] = acc_s[r:r + 1, sl] * alpha + o + p_idx * vn
-                m_s[r, hh] = m_cur
-                l_s[r, hh] = l_s[r, hh] * alpha + jnp.sum(p)
+                m_s[r, hh] = m_cur[hh, 0]
+                l_s[r, hh] = l_prev[hh, 0] * alpha[hh, 0] + jnp.sum(p[hh])
 
     # --- once per layer, after the last chunk: normalize, project, FFN ---
     @pl.when(c == n_chunks - 1)
@@ -208,12 +266,11 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
         x = y_ref[...].astype(jnp.float32)
         rows_out = []
         for r in range(rows):
-            head_outs = []
-            for hh in range(n_heads):
-                sl = slice(hh * hd, (hh + 1) * hd)
-                head_outs.append(acc_s[r:r + 1, sl]
-                                 / jnp.maximum(l_s[r, hh], 1e-30))
-            rows_out.append(jnp.concatenate(head_outs, axis=1))
+            inv = jnp.concatenate(
+                [(1.0 / jnp.maximum(l_s[r, hh], 1e-30)).reshape(1, 1)
+                 for hh in range(n_heads)], axis=0)          # (h, 1)
+            inv_vec = jnp.sum(inv * head_mask, axis=0, keepdims=True)   # (1, d)
+            rows_out.append(acc_s[r:r + 1, :] * inv_vec)
         attn = jnp.concatenate(rows_out, axis=0)             # (rows, d)
         x = x + (jnp.dot(attn.astype(x_ref.dtype), outw_ref[0],
                          preferred_element_type=jnp.float32) + outb_ref[0, 0])
@@ -232,17 +289,18 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     """One token step through the whole stacked-layer transformer as one kernel.
 
     p: stacked layer pytree (L, ...) (see ops.transformer.transformer_init);
-    x: (rows, 1, d) current token embedding; cache: KVCache (float or int8 k/v —
-    int8 dequantizes in-kernel, per-slot scales); index: scalar absolute slot;
+    x: (rows, 1, d) current token embedding; cache: KVCache in the FUSED
+    head-major layout — k/v (L, rows, S, d) (``fused_cache_layout``), int8 with
+    per-(slot, head) scales (L, rows, S, h); index: scalar absolute slot;
     tokens_lens/codes_lens: (rows,) per-row true lengths (already repeated per
     beam); ttm/pm: static layout widths.
     Returns (y (rows, 1, d), new_cache) — matches transformer_decode_step under
-    the same mask.
+    the same mask (modulo the layout transform).
     """
-    from ..ops.transformer import KVCache, quantize_kv
+    from ..ops.transformer import KVCache
 
-    num_layers, rows, h, seq, hd = cache.k.shape
-    d = x.shape[-1]
+    num_layers, rows, seq, d = cache.k.shape
+    h = n_heads
     quant = cache.k_scale is not None
     chunk = _pick_chunk(seq)
     n_chunks = seq // chunk
@@ -260,8 +318,8 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     # Clamp the chunk index at the last one containing ``index``: consecutive
     # grid steps that map to the same block skip the HBM→VMEM DMA entirely.
     cache_spec = lambda width: pl.BlockSpec(
-        (1, rows, h, chunk, width),
-        lambda l, c, meta: (l, 0, 0, jnp.minimum(c, meta[0] // chunk), 0))
+        (1, rows, chunk, width),
+        lambda l, c, meta: (l, 0, jnp.minimum(c, meta[0] // chunk), 0))
 
     in_specs = [
         const_spec,                                   # x
@@ -273,8 +331,8 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
         layer_spec(1, p['ffn']['lin1']['w'].shape[-1]),  # ffn1 b
         layer_spec(p['ffn']['lin2']['w'].shape[-2], d),  # ffn2 w
         layer_spec(1, d),                             # ffn2 b
-        cache_spec(hd),                               # cache k
-        cache_spec(hd),                               # cache v
+        cache_spec(d),                                # cache k
+        cache_spec(d),                                # cache v
     ]
     inputs = [meta, x2,
               p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
@@ -285,7 +343,7 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
               p['ffn']['lin2']['w'], p['ffn']['lin2']['b'][:, None],
               cache.k, cache.v]
     if quant:
-        in_specs += [cache_spec(1), cache_spec(1)]
+        in_specs += [cache_spec(h), cache_spec(h)]
         inputs += [cache.k_scale, cache.v_scale]
     new_dtype = x.dtype if quant else cache.k.dtype
 
@@ -316,17 +374,17 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     )(*inputs)
 
     zero = jnp.int32(0)
-    k_new = k_new.reshape(num_layers, rows, h, 1, hd)
-    v_new = v_new.reshape(num_layers, rows, h, 1, hd)
-    idx5 = (zero, zero, zero, index, zero)
+    k_new = k_new[:, :, None, :]                      # (L, rows, 1, d)
+    v_new = v_new[:, :, None, :]
+    idx4 = (zero, zero, index, zero)
     if quant:
-        kq, ks = quantize_kv(k_new)
-        vq, vs = quantize_kv(v_new)
+        kq, ks = quantize_kv_rowmajor(k_new, n_heads)
+        vq, vs = quantize_kv_rowmajor(v_new, n_heads)
         return y[:, None, :], KVCache(
-            jax.lax.dynamic_update_slice(cache.k, kq, idx5),
-            jax.lax.dynamic_update_slice(cache.v, vq, idx5),
-            jax.lax.dynamic_update_slice(cache.k_scale, ks, idx5),
-            jax.lax.dynamic_update_slice(cache.v_scale, vs, idx5))
-    ck = jax.lax.dynamic_update_slice(cache.k, k_new, idx5)
-    cv = jax.lax.dynamic_update_slice(cache.v, v_new, idx5)
+            jax.lax.dynamic_update_slice(cache.k, kq, idx4),
+            jax.lax.dynamic_update_slice(cache.v, vq, idx4),
+            jax.lax.dynamic_update_slice(cache.k_scale, ks, idx4),
+            jax.lax.dynamic_update_slice(cache.v_scale, vs, idx4))
+    ck = jax.lax.dynamic_update_slice(cache.k, k_new, idx4)
+    cv = jax.lax.dynamic_update_slice(cache.v, v_new, idx4)
     return y[:, None, :], KVCache(ck, cv)

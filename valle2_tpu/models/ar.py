@@ -253,6 +253,12 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
 
     # Tile to beams: (L, B, h, s, hd) -> (L, B*beams, h, s, hd).
     cache = jax.tree.map(lambda a: jnp.repeat(a, beams, axis=1), cache)
+    if use_fused:
+        # One-time transform to the fused kernel's head-major (L, rows, S, d)
+        # layout (all heads of a row in one dot — kernels/fused_decode.py).
+        # The layout also tells _decode_advance which path to take (ndim 4 vs 5).
+        from ..kernels.fused_decode import fused_cache_layout
+        cache = fused_cache_layout(cache)
     logits = jnp.repeat(first_logits, beams, axis=0)                    # (rows, V+1)
     tl_f = jnp.repeat(tokens_lens, beams)
     pl_f = jnp.repeat(codes_lens, beams)
@@ -285,12 +291,15 @@ def _decode_advance(params: Params, state: DecodeState, tl_f: jax.Array,
     eos, _ = _specials(config)
     max_new = config.max_audio_len
     unroll = max(1, config.decode_unroll)
-    rows, total_max = state.cache.k.shape[1], state.cache.k.shape[3]
+    # The cache layout encodes the decode path: head-major (L, rows, S, d) means
+    # the prefill chose the fused kernel (no gate re-evaluation to keep in sync).
+    use_fused = state.cache.k.ndim == 4
+    rows = state.cache.k.shape[1]
+    total_max = state.cache.k.shape[2] if use_fused else state.cache.k.shape[3]
     n_heads = config.n_heads
     pe = sinusoidal_table(MAX_POS, config.d_model)
     dtype = jnp.dtype(config.dtype)
     tparams = jax.tree.map(lambda a: a.astype(dtype), params['transformer'])
-    use_fused = _fused_gate(config, rows, total_max)
 
     # Static per-row slot-validity template for decode attention (prompt part).
     slots = jnp.arange(total_max)[None, :]
