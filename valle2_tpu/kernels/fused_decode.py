@@ -220,11 +220,17 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
             k2 = ck_ref[0, r].astype(jnp.float32)            # (chunk, d)
             v2 = cv_ref[0, r].astype(jnp.float32)
             if quant:
-                # Per-(slot, head) scales (chunk, h) → broadcast over hd lanes.
+                # Per-(slot, head) scales (chunk, h), broadcast over each head's
+                # hd lanes via a (chunk, h) x (h, d) dot with the 0/1 head mask
+                # (Mosaic rejects the equivalent repeat as a shape cast).
                 ks = cks_ref[0, r].astype(jnp.float32)       # (chunk, h)
                 vs = cvs_ref[0, r].astype(jnp.float32)
-                k2 = k2 * jnp.repeat(ks, hd, axis=1)
-                v2 = v2 * jnp.repeat(vs, hd, axis=1)
+                k2 = k2 * jax.lax.dot_general(
+                    ks, head_mask, contract_inner,
+                    preferred_element_type=jnp.float32)
+                v2 = v2 * jax.lax.dot_general(
+                    vs, head_mask, contract_inner,
+                    preferred_element_type=jnp.float32)
             kn = knew_ref[0][r:r + 1].astype(jnp.float32)    # (1, d)
             vn = vnew_ref[0][r:r + 1].astype(jnp.float32)
             if quant:
