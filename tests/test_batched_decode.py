@@ -75,6 +75,25 @@ class TestShardedDecode:
             solo = solo_model.generate(jnp.asarray(t), jnp.asarray(c_))
             np.testing.assert_array_equal(np.asarray(got), np.asarray(solo))
 
+    def test_tensor_parallel_decode_matches_single_device(self):
+        """4x2 (data x model) mesh: params sharded by the Megatron TP rules,
+        KV cache split over heads by GSPMD propagation — per-item tokens must
+        equal the unmeshed solo decode (serving scales over ICI with TP too,
+        not just DP)."""
+        from valle2_tpu.parallel import make_mesh
+        mesh = make_mesh(data=4, model=2)
+        c = cfg()
+        solo_model = ValleAR(c)
+        mesh_model = ValleAR(c, params=solo_model.params, mesh=mesh)
+        rs = np.random.RandomState(11)
+        items = [(rs.randint(0, 24, (4,)), rs.randint(0, 96, (3, 8))),
+                 (rs.randint(0, 24, (2,)), rs.randint(0, 96, (5, 8)))]
+        batched = mesh_model.generate_batch([t for t, _ in items],
+                                            [c_ for _, c_ in items])
+        for (t, c_), got in zip(items, batched):
+            solo = solo_model.generate(jnp.asarray(t), jnp.asarray(c_))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(solo))
+
     def test_mesh_fused_tts_matches_unmeshed(self):
         """Fused TTS over the mesh == unmeshed fused TTS (same params, greedy)."""
         import dataclasses

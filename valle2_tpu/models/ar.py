@@ -397,10 +397,18 @@ class ValleAR:
         self.params = params if params is not None else init_params(key, config)
         prec = config.matmul_precision
 
+        decode_config = config
+        if mesh is not None and mesh.size > 1:
+            # A pallas_call does not partition under GSPMD — the fused decode
+            # kernel is a single-chip optimization; multi-device decode takes
+            # the XLA path (GSPMD shards it from the param/batch annotations).
+            import dataclasses
+            decode_config = dataclasses.replace(config, use_fused_decode=False)
+
         def _decode_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
             with jax.default_matmul_precision(prec):
                 return _decode_fn(p, tokens, tokens_lens, codes, codes_lens, rng,
-                                  config)
+                                  decode_config)
 
         def _loss_wrapped(p, b, r):
             with jax.default_matmul_precision(prec):
@@ -409,11 +417,11 @@ class ValleAR:
         def _prefill_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
             with jax.default_matmul_precision(prec):
                 return _decode_prefill(p, tokens, tokens_lens, codes, codes_lens,
-                                       rng, config)
+                                       rng, decode_config)
 
         def _advance_wrapped(p, state, tl_f, pl_f, limit, *, ttm, pm):
             with jax.default_matmul_precision(prec):
-                return _decode_advance(p, state, tl_f, pl_f, limit, config,
+                return _decode_advance(p, state, tl_f, pl_f, limit, decode_config,
                                        ttm, pm)
 
         self._decode_jit = jax.jit(_decode_wrapped)
@@ -515,8 +523,13 @@ class ValleAR:
             rng = jax.random.key(self.config.seed)
         params = self.params
         if self.mesh is not None:
-            from ..parallel import replicated, shard_batch
-            params = jax.device_put(params, replicated(self.mesh))
+            from ..parallel import shard_batch, shard_params
+            # Megatron TP rules on a ('data', 'model') mesh: qkv/ffn1 column-,
+            # out/ffn2 row-parallel, vocab-sharded head; a DP-only mesh
+            # degenerates to replication.  GSPMD propagates the shardings
+            # through the whole decode loop (KV cache splits over heads) and
+            # inserts the per-block psums over ICI.
+            params = shard_params(self.mesh, params)
             tokens, tokens_lens, codes, codes_lens = shard_batch(
                 self.mesh, (tokens, tokens_lens, codes, codes_lens))
         codes_buf, _, best = self._decode_jit(params, tokens, tokens_lens,

@@ -151,9 +151,12 @@ class ValleTTS:
         inputs = (jnp.asarray(tokens), jnp.asarray(tokens_lens),
                   jnp.asarray(codes), jnp.asarray(p_lens))
         if self.mesh is not None:
-            from .parallel import replicated, shard_batch
-            ar_p, nar_p, cod_p = jax.device_put((ar_p, nar_p, cod_p),
-                                                replicated(self.mesh))
+            from .parallel import replicated, shard_batch, shard_params
+            # Transformer params follow the Megatron TP rules (replicated on a
+            # DP-only mesh); the tiny codec decoder replicates.
+            ar_p = shard_params(self.mesh, ar_p)
+            nar_p = shard_params(self.mesh, nar_p)
+            cod_p = jax.device_put(cod_p, replicated(self.mesh))
             inputs = shard_batch(self.mesh, inputs)
         wavs, gen_lens, out_codes = self._fused_jit(ar_p, nar_p, cod_p,
                                                     *inputs, rng)
