@@ -19,6 +19,20 @@ class TestTrainCLI:
         # final checkpoint written by fit()
         assert list((tmp_path / 'ckpt' / 'ValleAR').glob('step_*'))
 
+    def test_train_cli_builds_mesh_from_config(self, tmp_path):
+        """mesh_data/mesh_model in the JSON must build the device mesh — `-c
+        cfg.json` alone scales across chips (8 virtual CPU devices here)."""
+        from valle2_tpu.train import main
+        cfg = dict(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                   batch_size=8, max_steps=2, log_every_n_steps=1, dropout=0.0,
+                   ckpt_every_n_steps=0, bucket_sizes=[64, 128],
+                   mesh_data=4, mesh_model=2,
+                   ckpt_path=str(tmp_path / 'ckpt'), log_path=str(tmp_path / 'logs'))
+        cfg_path = tmp_path / 'cfg.json'
+        cfg_path.write_text(json.dumps(cfg))
+        main(['-c', str(cfg_path), '-m', 'ValleAR', '--synthetic'])
+        assert list((tmp_path / 'ckpt' / 'ValleAR').glob('step_*'))
+
 
 class TestTTSCLI:
     @pytest.fixture()

@@ -202,8 +202,17 @@ class Trainer:
             for batch in train_loader:
                 if step >= cfg.max_steps:
                     break
-                batch = (shard_batch(self.mesh, batch) if self.mesh is not None
-                         else jax.tree.map(jnp.asarray, batch))
+                if self.mesh is not None:
+                    rows = int(jax.tree.leaves(batch)[0].shape[0])
+                    if rows % self.mesh.shape['data'] != 0:
+                        # Trailing partial batch can't shard over 'data' —
+                        # drop it (the DistributedSampler drop_last analog).
+                        log_info('Dropping %d-row batch (not divisible by '
+                                 'data axis %d)', rows, self.mesh.shape['data'])
+                        continue
+                    batch = shard_batch(self.mesh, batch)
+                else:
+                    batch = jax.tree.map(jnp.asarray, batch)
                 state, metrics = self.train_step(state, batch, rng)
                 step += 1
                 frames += int(np.prod(batch['codes'].shape[:2]))
@@ -229,8 +238,13 @@ class Trainer:
         for i, batch in enumerate(valid_loader):
             # Shard eval batches like train ones — on a mesh an unsharded batch
             # would replicate the whole eval pass on every device.
-            batch = (shard_batch(self.mesh, batch) if self.mesh is not None
-                     else jax.tree.map(jnp.asarray, batch))
+            if self.mesh is not None:
+                rows = int(jax.tree.leaves(batch)[0].shape[0])
+                if rows % self.mesh.shape['data'] != 0:
+                    continue            # drop_last analog (see fit)
+                batch = shard_batch(self.mesh, batch)
+            else:
+                batch = jax.tree.map(jnp.asarray, batch)
             metrics = self.eval_step(state.params, batch, jax.random.fold_in(rng, i))
             losses.append(float(metrics['loss']))
         if losses:
@@ -246,6 +260,13 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
           mesh=None, resume: bool = False) -> TrainState:
     """End-to-end training entry (reference train_model.py:13-35)."""
     config = ConfigValle.from_json(hparams_fp)
+    if mesh is None and config.mesh_data * config.mesh_model > 1:
+        # The config's mesh request (mesh_data x mesh_model) builds the device
+        # mesh here so `-c cfg.json` alone scales a run across chips.
+        from .parallel import make_mesh
+        mesh = make_mesh(data=config.mesh_data, model=config.mesh_model)
+        log_info('Mesh from config: %dx%d (data x model)',
+                 config.mesh_data, config.mesh_model)
     log_info('Training %s with %s', model_name, config)
     state = init_state(config, model_name, jax.random.key(config.seed))
     train_loader, valid_loader = get_dataloaders(model_name, config, synthetic=synthetic)
