@@ -117,6 +117,23 @@ class TestFrontend:
         assert ids.dtype == np.int32 and len(ids) > 20
         assert (ids < tok.vocab_size).all()
 
+    def test_number_normalization(self):
+        """Digits must not be silently dropped: the normalize pass expands
+        numbers/currency/percent into words (g2p_en's normalize_numbers
+        analog)."""
+        from valle2_tpu.data.frontend import normalize_text
+        assert normalize_text('i have 3 cats') == 'i have three cats'
+        assert normalize_text('1,250 items') == ('one thousand two hundred '
+                                                 'fifty items')
+        assert normalize_text('3.5 volts') == 'three point five volts'
+        assert normalize_text('$5 and 25%') == 'five dollars and '\
+                                               'twenty five percent'
+        assert normalize_text('state-of-the-art') == 'state of the art'
+        tok = PhonemeTokenizer()
+        # '3' phonemizes as the word 'three'.
+        assert tok.phonemize('3') == tok.phonemize('three')
+        assert len(tok('it costs $1200.')) > len(tok('it costs .'))
+
 
 class TestTrainer:
     def test_loss_decreases_over_steps(self, tmp_path):

@@ -100,6 +100,62 @@ class PhonemeTokenizer:
 
 _CONS_LETTERS = set('bcdfghjklmnpqrstvwxz')
 
+# ---------------------------------------------------------------------------
+# Text normalization (numbers, currency, percent) — g2p_en runs its own
+# ``normalize_numbers`` before phonemizing; the fallback path needs an
+# equivalent or digits silently disappear ("i have 3 cats" → "i have cats").
+# ---------------------------------------------------------------------------
+
+_ONES = ['zero', 'one', 'two', 'three', 'four', 'five', 'six', 'seven', 'eight',
+         'nine', 'ten', 'eleven', 'twelve', 'thirteen', 'fourteen', 'fifteen',
+         'sixteen', 'seventeen', 'eighteen', 'nineteen']
+_TENS = ['', '', 'twenty', 'thirty', 'forty', 'fifty', 'sixty', 'seventy',
+         'eighty', 'ninety']
+_SCALES = [(10 ** 12, 'trillion'), (10 ** 9, 'billion'), (10 ** 6, 'million'),
+           (10 ** 3, 'thousand'), (100, 'hundred')]
+
+
+def _int_to_words(n: int) -> str:
+    """Standard English reading of a non-negative integer (< 10^15)."""
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        tens, rem = divmod(n, 10)
+        return _TENS[tens] + (f' {_ONES[rem]}' if rem else '')
+    for base, name in _SCALES:
+        if n >= base:
+            head, rem = divmod(n, base)
+            out = f'{_int_to_words(head)} {name}'
+            return out + (f' {_int_to_words(rem)}' if rem else '')
+    return _ONES[0]
+
+
+def _number_to_words(token: str) -> str:
+    """'3.5' → 'three point five'; '1,250' → 'one thousand two hundred fifty'."""
+    token = token.replace(',', '')
+    if '.' in token:
+        whole, frac = token.split('.', 1)
+        digits = ' '.join(_ONES[int(c)] for c in frac if c.isdigit())
+        head = _int_to_words(int(whole)) if whole else 'zero'
+        return f'{head} point {digits}' if digits else head
+    return _int_to_words(int(token))
+
+
+def normalize_text(text: str) -> str:
+    """Expand digits/currency/percent into words; break hyphenated compounds.
+
+    Mirrors the intent of g2p_en's ``normalize_numbers`` pre-pass so the
+    no-dependency fallback never drops spoken content."""
+    text = re.sub(r'\$\s*(\d[\d,]*(?:\.\d+)?)',
+                  lambda m: f'{_number_to_words(m.group(1))} dollars', text)
+    text = re.sub(r'(\d[\d,]*(?:\.\d+)?)\s*%',
+                  lambda m: f'{_number_to_words(m.group(1))} percent', text)
+    text = re.sub(r'\d[\d,]*(?:\.\d+)?',
+                  lambda m: _number_to_words(m.group(0)), text)
+    text = re.sub(r'(?<=[a-zA-Z])-(?=[a-zA-Z])', ' ', text)
+    text = text.replace('&', ' and ')
+    return text
+
 
 @lru_cache(maxsize=4096)
 def _word_to_phonemes(word: str) -> tuple[str, ...]:
@@ -142,8 +198,10 @@ def _word_to_phonemes(word: str) -> tuple[str, ...]:
 
 
 def _fallback_phonemize(text: str) -> list[str]:
-    """Deterministic no-g2p_en G2P: lexicon first, letter-to-sound rules for OOV."""
+    """Deterministic no-g2p_en G2P: normalize (numbers → words), then lexicon,
+    then letter-to-sound rules for OOV."""
     tokens: list[str] = []
+    text = normalize_text(text)
     for piece in re.findall(r"[a-zA-Z']+|[,.]|\s+", text):
         if piece.isspace():
             tokens.append(' ')
