@@ -29,7 +29,7 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def bench_ar_decode(steps: int = 512, repeats: int = 3) -> dict:
+def bench_ar_decode(steps: int = 512, repeats: int = 6) -> dict:
     from valle2_tpu.config import ConfigValle
     from valle2_tpu.models.ar import ValleAR
 
