@@ -283,6 +283,39 @@ class TestFusedDecode:
             np.testing.assert_allclose(np.asarray(got_cache.k),
                                        np.asarray(want_cache.k), atol=1e-5)
 
+    @pytest.mark.parametrize('rows,h,hd,S,ttm,pm,idx_off', [
+        (1, 1, 32, 24, 4, 6, 0),       # single row/head, first generated step
+        (2, 4, 16, 50, 7, 9, 10),      # odd S, many heads
+        (5, 2, 32, 33, 3, 5, 24),      # odd everything, index near the end
+    ])
+    def test_fused_step_geometry_sweep(self, rows, h, hd, S, ttm, pm, idx_off):
+        """The head-major kernel must match the unfused step across geometries
+        (odd widths, single row/head, first and late indices)."""
+        from valle2_tpu.ops.transformer import KVCache, transformer_decode_step, \
+            transformer_init
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_decode_step)
+        d = h * hd
+        p = transformer_init(jax.random.key(41), 2, d, h, 2 * d,
+                             adaptive_norm=False)
+        cache = KVCache(jax.random.normal(jax.random.key(42), (2, rows, h, S, hd)),
+                        jax.random.normal(jax.random.key(43), (2, rows, h, S, hd)))
+        x = jax.random.normal(jax.random.key(44), (rows, 1, d))
+        rs = np.random.RandomState(45)
+        tl = jnp.asarray(rs.randint(1, ttm + 1, (rows,)))
+        plen = jnp.asarray(rs.randint(1, pm + 1, (rows,)))
+        index = jnp.int32(ttm + pm + idx_off)
+        got_y, _ = fused_decode_step(p, x, h, fused_cache_layout(cache), index,
+                                     tl, plen, ttm, pm)
+        slots = jnp.arange(S)[None, :]
+        attend = ((slots < tl[:, None])
+                  | ((slots >= ttm) & (slots < ttm + plen[:, None]))
+                  | ((slots >= ttm + pm) & (slots <= index)))
+        want_y, _ = transformer_decode_step(p, x, h, cache, index,
+                                            attend_mask=attend)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_fused_step_int8_matches_unfused_int8(self):
         """Fused step over an int8 cache (in-kernel dequant) ~= the unfused int8
         path (both see the same quantize→dequantize roundtrips)."""
