@@ -175,10 +175,16 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     chunk_est = min(total_max, env_chunk() or total_max)
     cache_block_bytes = (rows * config.n_heads * chunk_est * config.head_dim
                          * 2 * cache_dtype.itemsize)
+    # One layer's weights must be VMEM-resident alongside the cache blocks:
+    # measured at d=1024 (qkv 6M + ffn 16M + out 2M bf16) the kernel exceeds
+    # the 16M scoped-vmem budget regardless of cache chunking (BENCHMARKS.md).
+    d = config.d_model
+    weight_bytes = (4 * d * d + 2 * d * config.dim_feedforward) * 2
     if config.use_fused_decode == 'auto':
         return (jax.default_backend() == 'tpu'
                 and config.matmul_precision != 'highest'
-                and cache_block_bytes <= 8 * 1024 * 1024)
+                and cache_block_bytes <= 8 * 1024 * 1024
+                and weight_bytes <= 6 * 1024 * 1024)
     return bool(config.use_fused_decode)
 
 
