@@ -49,6 +49,28 @@ class TestFlashAttention:
         assert out.shape == (b, h, s, hd)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
 
+    def test_unequal_blocks_not_dividing_seq(self):
+        """block_q=96, block_k=128, s=128: padding must go to a COMMON multiple
+        (384) or the grid floor-division silently drops trailing q rows."""
+        b, h, s, hd = 1, 2, 128, 32
+        q, k, v = make_qkv(9, b, h, s, hd)
+        meta = jnp.asarray([[40, s]], jnp.int32)
+        out = flash_attention(q, k, v, meta, 40, True, block_q=96, block_k=128)
+        want = reference_attention(q, k, v, meta, 40, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, meta, 40, True,
+                                           block_q=96, block_k=128) ** 2)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(reference_attention(q, k, v, meta, 40, True) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        r = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g, r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
     def test_gradients_flow(self):
         b, h, s, hd = 1, 2, 64, 16
         q, k, v = make_qkv(3, b, h, s, hd)

@@ -53,6 +53,24 @@ class TestDecodeStream:
         assert stream.finished
         np.testing.assert_array_equal(got, want)
 
+    def test_segmented_advance_with_decode_unroll(self):
+        """decode_unroll > 1: advance() rounds its limit to unroll multiples and
+        still reproduces the full decode exactly (the loop body runs unroll
+        steps per turn, so an un-rounded limit would overshoot)."""
+        model = ValleAR(tiny_cfg(decode_unroll=4, max_audio_len=11), seed=3)
+        rs = np.random.RandomState(3)
+        tokens = rs.randint(0, 70, (5,))
+        pcodes = rs.randint(0, 1024, (4, 8))
+        rng = jax.random.key(21)
+        want = np.asarray(model.generate(tokens, pcodes, rng=rng))
+        stream = DecodeStream(model, tokens, pcodes, rng=rng)
+        got = []
+        while not stream.finished:
+            new = stream.advance(3)          # rounds up to 4
+            assert stream.steps_done % 4 == 0 or stream.finished
+            got.extend(new)
+        np.testing.assert_array_equal(np.asarray(got, np.int32), want)
+
     def test_requires_single_beam(self):
         model = ValleAR(tiny_cfg(num_beams=2), seed=0)
         with pytest.raises(AssertionError):

@@ -128,6 +128,10 @@ class TestFrontend:
         assert normalize_text('3.5 volts') == 'three point five volts'
         assert normalize_text('$5 and 25%') == 'five dollars and '\
                                                'twenty five percent'
+        assert normalize_text('$1') == 'one dollar'
+        assert normalize_text('$3.50') == 'three dollars fifty cents'
+        assert normalize_text('$1.01') == 'one dollar one cent'
+        assert normalize_text('$0.99') == 'ninety nine cents'
         assert normalize_text('state-of-the-art') == 'state of the art'
         tok = PhonemeTokenizer()
         # '3' phonemizes as the word 'three'.

@@ -141,13 +141,30 @@ def _number_to_words(token: str) -> str:
     return _int_to_words(int(token))
 
 
+def _money_to_words(token: str) -> str:
+    """'$1' → 'one dollar'; '$3.50' → 'three dollars fifty cents';
+    '$1.01' → 'one dollar one cent'."""
+    token = token.replace(',', '')
+    whole, _, frac = token.partition('.')
+    dollars = int(whole) if whole else 0
+    cents = int(frac[:2].ljust(2, '0')) if frac else 0
+    parts = []
+    if dollars or not cents:
+        unit = 'dollar' if dollars == 1 else 'dollars'
+        parts.append(f'{_int_to_words(dollars)} {unit}')
+    if cents:
+        unit = 'cent' if cents == 1 else 'cents'
+        parts.append(f'{_int_to_words(cents)} {unit}')
+    return ' '.join(parts)
+
+
 def normalize_text(text: str) -> str:
     """Expand digits/currency/percent into words; break hyphenated compounds.
 
     Mirrors the intent of g2p_en's ``normalize_numbers`` pre-pass so the
     no-dependency fallback never drops spoken content."""
     text = re.sub(r'\$\s*(\d[\d,]*(?:\.\d+)?)',
-                  lambda m: f'{_number_to_words(m.group(1))} dollars', text)
+                  lambda m: _money_to_words(m.group(1)), text)
     text = re.sub(r'(\d[\d,]*(?:\.\d+)?)\s*%',
                   lambda m: f'{_number_to_words(m.group(1))} percent', text)
     text = re.sub(r'\d[\d,]*(?:\.\d+)?',

@@ -134,7 +134,11 @@ def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
     """q/k/v: (b, h, s, hd); meta: (b, 2) int32 [tokens_valid, kv_end]."""
     b, h, s, hd = q.shape
     sm_scale = 1.0 / math.sqrt(hd)
-    s_pad = -(-s // max(block_q, block_k)) * max(block_q, block_k)
+    # Pad to a COMMON multiple of both block sizes: padding to only the larger
+    # would make the grid floor-division drop trailing q rows when the smaller
+    # block does not divide it (e.g. block_q=96, block_k=128, s=128).
+    blk = math.lcm(block_q, block_k)
+    s_pad = -(-s // blk) * blk
     if s_pad != s:
         pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
@@ -352,7 +356,7 @@ def _flash_bwd(q, k, v, meta, out, lse, dout, tokens_total: int, causal: bool,
                block_q: int, block_k: int):
     b, h, s, hd = q.shape
     sm_scale = 1.0 / math.sqrt(hd)
-    blk = max(block_q, block_k)
+    blk = math.lcm(block_q, block_k)     # see _flash_fwd: common multiple
     s_pad = -(-s // blk) * blk
     if s_pad != s:
         pad4 = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))

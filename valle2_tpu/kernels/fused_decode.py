@@ -139,7 +139,10 @@ def _layernorm(x, scale, bias, eps=1e-5):
 
 def _fake_quant_row(x_row, n_heads: int):
     """quantize→dequantize roundtrip of a (1, d) head-major row, per-head
-    scales (the int8 cache's view of a freshly written slot)."""
+    scales — EXACTLY the int8 cache's view of a freshly written slot:
+    quantize_kv_rowmajor rounds with the f32 scale and later steps dequantize
+    with the bf16-STORED scale, so this must too (rounding with the bf16 scale
+    would drift ±1 int8 step from what step t+1 reads back)."""
     d = x_row.shape[-1]
     hd = d // n_heads
     head_of = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1) // hd   # (1, d)
@@ -148,10 +151,10 @@ def _fake_quant_row(x_row, n_heads: int):
         sel = head_of == hh
         xs = jnp.where(sel, x_row, 0.0)
         amax = jnp.max(jnp.abs(xs))
-        sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16).astype(
-            jnp.float32)
-        q = jnp.clip(jnp.round(x_row / sc), -127, 127)
-        outs = jnp.where(sel, q * sc, outs)
+        sc32 = jnp.maximum(amax, 1e-8) / 127.0
+        sc_stored = sc32.astype(jnp.bfloat16).astype(jnp.float32)
+        q = jnp.clip(jnp.round(x_row / sc32), -127, 127)
+        outs = jnp.where(sel, q * sc_stored, outs)
     return outs
 
 

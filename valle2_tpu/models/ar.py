@@ -293,7 +293,10 @@ def _decode_advance(params: Params, state: DecodeState, tl_f: jax.Array,
     finished.  Token semantics are segment-invariant: the rng chain, EOS
     freezing, and logprob statistics ride in ``state``, so K calls with partial
     limits produce bit-identical results to one call with the full limit (the
-    streaming API relies on this; ``tests/test_streaming.py``)."""
+    streaming API relies on this; ``tests/test_streaming.py``).
+    With ``decode_unroll`` > 1 the loop advances in unroll-sized turns and exits
+    at the first multiple ≥ ``limit`` (DecodeStream.advance rounds its limits to
+    multiples, so streaming never overshoots its reported step count)."""
     eos, _ = _specials(config)
     max_new = config.max_audio_len
     unroll = max(1, config.decode_unroll)
@@ -599,13 +602,19 @@ class DecodeStream:
         self.finished = False
 
     def advance(self, k: int):
-        """Advance the decode by up to ``k`` tokens; returns the NEWLY generated
+        """Advance the decode by ~``k`` tokens; returns the NEWLY generated
         first-codebook ids as a 1-D np.int32 array (EOS stripped).  Sets
-        ``finished`` once every row hit EOS or ``max_audio_len`` was reached."""
+        ``finished`` once every row hit EOS or ``max_audio_len`` was reached.
+
+        Granularity: the while_loop body runs ``config.decode_unroll`` steps per
+        turn, so ``k`` rounds UP to a multiple of it (steps_done is always a
+        multiple too, so the loop exits exactly at the rounded limit)."""
         import numpy as np
         if self.finished:
             return np.zeros((0,), np.int32)
-        limit = min(self.steps_done + int(k), self.max_new)
+        unroll = max(1, self.model.config.decode_unroll)
+        k_eff = -(-int(k) // unroll) * unroll
+        limit = min(self.steps_done + k_eff, self.max_new)
         self._state = self.model._advance_jit(
             self.model.params, self._state, self._tl, self._pl,
             jnp.int32(limit), ttm=self._ttm, pm=self._pm)

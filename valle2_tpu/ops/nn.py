@@ -99,7 +99,6 @@ def _layernorm_vjp_bwd(eps, res, g):
     dscale = jnp.sum(g32 * y, axis=tuple(range(x.ndim - 1)))
     dbias = jnp.sum(g32, axis=tuple(range(x.ndim - 1)))
     gy = g32 * p['scale'].astype(jnp.float32)
-    n = x.shape[-1]
     # dx = rstd * (gy - mean(gy) - y * mean(gy * y))
     dx = rstd * (gy - jnp.mean(gy, axis=-1, keepdims=True)
                  - y * jnp.mean(gy * y, axis=-1, keepdims=True))

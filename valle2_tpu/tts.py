@@ -99,10 +99,17 @@ class ValleTTS:
         self.tokenizer = tokenizer if tokenizer is not None else PhonemeTokenizer()
         prec = config.matmul_precision
 
+        pipe_config = config
+        if mesh is not None and mesh.size > 1:
+            # Mirror ValleAR: a pallas_call does not partition under GSPMD, so
+            # the sharded fused pipeline must take the XLA decode path.
+            import dataclasses
+            pipe_config = dataclasses.replace(config, use_fused_decode=False)
+
         def _fused(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
             with jax.default_matmul_precision(prec):
                 return _fused_tts_fn(ar_p, nar_p, cod_p, tokens, tl, codes, pl,
-                                     rng, config)
+                                     rng, pipe_config)
 
         self._fused_jit = jax.jit(_fused)
 
