@@ -1,0 +1,157 @@
+"""Dynamic-batching TTS server: per-request exactness under batching, batch
+formation, lifecycle, and the stdlib HTTP front end.
+
+The serving layer has no reference counterpart (the reference exposes only
+model.generate — SURVEY §1); the contract tested here is the TPU-first one:
+requests grouped into one fused dispatch must be bit-identical (greedy) to solo
+synthesize_fused calls."""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from valle2_tpu.config import ConfigValle
+from valle2_tpu.serve import TTSServer, serve_http
+from valle2_tpu.tts import ValleTTS
+
+
+def tiny_cfg(**kw):
+    base = dict(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                max_audio_len=12, num_beams=2, dropout=0.0, temperature=0.0,
+                bucket_sizes=(32, 64, 128))
+    base.update(kw)
+    return ConfigValle(**base)
+
+
+def make_requests(n, seed=0):
+    rs = np.random.RandomState(seed)
+    reqs = []
+    for i in range(n):
+        reqs.append((f'request number {i}.',
+                     rs.randint(0, 70, (3 + i % 4,)),
+                     rs.randint(0, 1024, (4 + i % 3, 8))))
+    return reqs
+
+
+@pytest.fixture(scope='module')
+def tts():
+    return ValleTTS(tiny_cfg())
+
+
+class TestTTSServer:
+    def test_batched_requests_match_direct(self, tts):
+        """Requests served together in one padded batch reproduce solo
+        synthesize_fused exactly (greedy; per-length masking)."""
+        reqs = make_requests(3, seed=1)
+        server = TTSServer(tts, max_batch=4, max_wait_ms=200.0)
+        futs = [server.submit(*r) for r in reqs]       # queued before start
+        with server:
+            results = [f.result(timeout=300) for f in futs]
+        stats = server.stats()
+        assert stats['requests'] == 3
+        assert stats['batches'] == 1                   # all pre-queued → one batch
+        for (text, pt, pc), got in zip(reqs, results):
+            want = tts.synthesize_fused(text, pt, pc)
+            np.testing.assert_array_equal(got.codes, want.codes)
+            np.testing.assert_allclose(got.waveform, want.waveform, atol=2e-5)
+
+    def test_padding_to_batch_bucket(self, tts):
+        """3 requests pad to the 4-bucket; outputs and counters ignore pad rows."""
+        server = TTSServer(tts, max_batch=8, max_wait_ms=100.0)
+        assert server.batch_buckets == [1, 2, 4, 8]
+        reqs = make_requests(3, seed=2)
+        futs = [server.submit(*r) for r in reqs]
+        with server:
+            for f in futs:
+                assert f.result(timeout=300).waveform.ndim == 1
+        assert server.stats()['requests'] == 3
+
+    def test_sequential_requests_solo_batches(self, tts):
+        """max_wait_ms=0: each request that arrives alone serves alone."""
+        server = TTSServer(tts, max_batch=4, max_wait_ms=0.0)
+        with server:
+            r = make_requests(1, seed=3)[0]
+            a = server.synthesize(*r, timeout=300)
+            b = server.synthesize(*r, timeout=300)
+        np.testing.assert_array_equal(a.codes, b.codes)
+        stats = server.stats()
+        assert stats['batches'] == 2 and stats['requests'] == 2
+        assert stats['latency_ms_p50'] > 0
+
+    def test_stop_drains_pending(self, tts):
+        server = TTSServer(tts, max_batch=2, max_wait_ms=0.0)
+        futs = [server.submit(*r) for r in make_requests(3, seed=4)]
+        server.start()
+        server.stop(drain=True)
+        for f in futs:
+            assert f.result(timeout=1).waveform.ndim == 1
+
+    def test_submit_after_stop_raises(self, tts):
+        server = TTSServer(tts, max_batch=2)
+        server.start()
+        server.stop()
+        with pytest.raises(RuntimeError):
+            server.submit(*make_requests(1, seed=5)[0])
+
+
+class TestHTTPFrontend:
+    def test_synthesize_health_stats(self, tts):
+        text, pt, pc = make_requests(1, seed=6)[0]
+        with TTSServer(tts, max_batch=2, max_wait_ms=0.0) as server:
+            httpd = serve_http(server, port=0, block=False)
+            port = httpd.server_address[1]
+            base = f'http://127.0.0.1:{port}'
+            try:
+                assert urllib.request.urlopen(f'{base}/healthz').read() == b'ok'
+                body = json.dumps({'text': text,
+                                   'prompt_tokens': pt.tolist(),
+                                   'prompt_codes': pc.tolist()}).encode()
+                req = urllib.request.Request(f'{base}/synthesize', data=body)
+                resp = urllib.request.urlopen(req, timeout=300)
+                assert resp.headers['Content-Type'] == 'audio/wav'
+                with wave.open(io.BytesIO(resp.read()), 'rb') as w:
+                    assert w.getframerate() == tts.codec.sampling_rate
+                    pcm = np.frombuffer(w.readframes(w.getnframes()), '<i2')
+                want = tts.synthesize_fused(text, pt, pc).waveform
+                np.testing.assert_allclose(pcm / 32767.0, want, atol=1e-4)
+                stats = json.loads(
+                    urllib.request.urlopen(f'{base}/stats').read())
+                assert stats['requests'] == 1
+                # malformed request → 400, not a server crash
+                bad = urllib.request.Request(f'{base}/synthesize', data=b'{}')
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(bad, timeout=30)
+                assert ei.value.code == 400
+            finally:
+                httpd.shutdown()
+
+
+class TestConcurrentSubmitters:
+    def test_many_threads_all_served_exactly(self, tts):
+        """8 client threads × greedy: every response equals the solo result,
+        whatever batching the server chose."""
+        reqs = make_requests(8, seed=7)
+        want = {r[0]: tts.synthesize_fused(*r) for r in reqs}
+        out = {}
+        lock = threading.Lock()
+        with TTSServer(tts, max_batch=4, max_wait_ms=20.0) as server:
+            def client(r):
+                res = server.synthesize(*r, timeout=300)
+                with lock:
+                    out[r[0]] = res
+            threads = [threading.Thread(target=client, args=(r,)) for r in reqs]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        assert set(out) == set(want)
+        for text in want:
+            np.testing.assert_array_equal(out[text].codes, want[text].codes)
+        stats = server.stats()
+        assert stats['requests'] == 8
+        assert stats['batches'] <= 8

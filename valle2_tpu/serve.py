@@ -1,0 +1,329 @@
+"""Dynamic-batching TTS serving layer.
+
+The reference ships no serving stack at all — inference is "user code calls
+``model.generate`` directly" (SURVEY §1; /root/reference/valle/train_model.py is
+the only entry point).  On TPU the economics make a server layer essential: one
+fused pipeline dispatch costs ~80 ms of host↔device latency whether it carries 1
+utterance or 16 (NOTES.md), so batching concurrent requests into one XLA program
+multiplies throughput at nearly constant latency.
+
+Design:
+
+- ``TTSServer`` owns a request queue and one worker thread.  The worker pops the
+  first pending request, waits up to ``max_wait_ms`` for more, pads the group to
+  a power-of-two **batch bucket** (recompiles are bounded by
+  log2(max_batch)+1 batch shapes x the config's length buckets), and drives the
+  whole group through ``ValleTTS.batch_synthesize`` — ONE dispatch, ONE fetch.
+- Per-request results are exact: the fused pipeline masks every row by its true
+  lengths, so at temperature 0 a request's waveform is bit-identical to a solo
+  ``synthesize_fused`` call regardless of what it was batched with
+  (tests/test_serve.py).
+- ``serve_http`` exposes the server over stdlib HTTP (JSON in, WAV out) for
+  production use without any extra dependency.
+
+TPU-first notes: the worker thread is the ONLY thread touching the device, so
+there is no cross-thread dispatch contention; padding rows repeat request 0 and
+their outputs are dropped on the host side.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from .tts import TTSResult, ValleTTS
+from .utils import log_info
+
+
+@dataclass
+class ServerStats:
+    """Aggregate serving counters (monotonic since ``start``)."""
+    requests: int = 0
+    batches: int = 0
+    errors: int = 0
+    audio_seconds: float = 0.0
+    busy_seconds: float = 0.0          # wall time inside batch_synthesize
+    latencies_ms: list = field(default_factory=list)   # submit -> result, per req
+
+    def snapshot(self) -> dict:
+        lat = sorted(self.latencies_ms)
+        pct = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+        return {
+            'requests': self.requests,
+            'batches': self.batches,
+            'errors': self.errors,
+            'mean_batch_size': self.requests / max(self.batches, 1),
+            'audio_seconds': self.audio_seconds,
+            'busy_seconds': self.busy_seconds,
+            'latency_ms_p50': pct(0.50),
+            'latency_ms_p95': pct(0.95),
+        }
+
+
+@dataclass
+class _Request:
+    text: str
+    prompt_tokens: np.ndarray
+    prompt_codes: np.ndarray
+    future: Future
+    t_submit: float
+
+
+class TTSServer:
+    """Dynamic-batching front end over a ``ValleTTS`` pipeline.
+
+    Usage::
+
+        server = TTSServer(tts, max_batch=8, max_wait_ms=10.0)
+        with server:                       # starts the worker thread
+            fut = server.submit('hello.', prompt_tokens, prompt_codes)
+            result = fut.result()          # TTSResult
+
+    ``max_wait_ms`` trades first-request latency for batching opportunity; 0
+    serves every request solo (no added latency, no batching).
+    """
+
+    def __init__(self, tts: ValleTTS, max_batch: int = 8,
+                 max_wait_ms: float = 10.0, rng: jax.Array | None = None):
+        assert max_batch >= 1
+        self.tts = tts
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        # Power-of-two batch buckets bound compile count to log2(max_batch)+1.
+        self.batch_buckets: list[int] = []
+        b = 1
+        while b < self.max_batch:
+            self.batch_buckets.append(b)
+            b *= 2
+        self.batch_buckets.append(self.max_batch)
+        self._base_rng = rng if rng is not None else jax.random.key(
+            tts.config.seed)
+        self._queue: queue.Queue = queue.Queue()
+        self._stats = ServerStats()
+        self._stats_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> 'TTSServer':
+        assert self._thread is None, 'server already started'
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name='valle-tts-server')
+        self._thread.start()
+        return self
+
+    def stop(self, drain: bool = True):
+        """Stop the worker.  ``drain=True`` serves queued requests first;
+        otherwise they fail with RuntimeError."""
+        if self._thread is None:
+            return
+        self._drain = drain
+        self._stop.set()
+        self._queue.put(None)             # wake the worker
+        self._thread.join()
+        self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- client API ----------------------------------------------------------
+    def submit(self, text: str, prompt_tokens, prompt_codes) -> Future:
+        """Enqueue one synthesis request; returns a Future[TTSResult].
+
+        Requests may be queued before ``start()`` — they are served as soon as
+        the worker comes up (useful for warm-up batches)."""
+        if self._stop.is_set():
+            raise RuntimeError('server is stopped')
+        req = _Request(text, np.asarray(prompt_tokens, np.int32),
+                       np.asarray(prompt_codes, np.int32), Future(),
+                       time.perf_counter())
+        self._queue.put(req)
+        return req.future
+
+    def synthesize(self, text: str, prompt_tokens, prompt_codes,
+                   timeout: float | None = None) -> TTSResult:
+        """Blocking convenience wrapper around ``submit``."""
+        return self.submit(text, prompt_tokens, prompt_codes).result(timeout)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return self._stats.snapshot()
+
+    # -- worker --------------------------------------------------------------
+    def _collect_batch(self) -> list[_Request]:
+        """Block for the first request, then gather more until ``max_batch`` or
+        the ``max_wait_ms`` deadline."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_ms / 1e3
+        while len(batch) < self.max_batch:
+            remain = deadline - time.perf_counter()
+            try:
+                # Past the deadline, still take whatever is already queued.
+                req = (self._queue.get(timeout=remain) if remain > 0
+                       else self._queue.get_nowait())
+            except queue.Empty:
+                break
+            if req is None:               # stop sentinel: keep flag, finish batch
+                self._queue.put(None)
+                break
+            batch.append(req)
+        return batch
+
+    def _serve_batch(self, batch: list[_Request], batch_idx: int):
+        n = len(batch)
+        bucket_n = next(b for b in self.batch_buckets if b >= n)
+        # Pad with copies of request 0; padded rows' outputs are dropped.
+        padded = batch + [batch[0]] * (bucket_n - n)
+        rng = jax.random.fold_in(self._base_rng, batch_idx)
+        t0 = time.perf_counter()
+        try:
+            results = self.tts.batch_synthesize(
+                [r.text for r in padded],
+                [r.prompt_tokens for r in padded],
+                [r.prompt_codes for r in padded], rng=rng)
+        except Exception as exc:          # noqa: BLE001 — fail the whole batch
+            with self._stats_lock:
+                self._stats.errors += n
+            for r in batch:
+                if not r.future.cancelled():
+                    r.future.set_exception(exc)
+            return
+        busy = time.perf_counter() - t0
+        now = time.perf_counter()
+        secs = 0.0
+        for r, res in zip(batch, results[:n]):
+            secs += len(res.waveform) / self.tts.codec.sampling_rate
+            if not r.future.cancelled():
+                r.future.set_result(res)
+        with self._stats_lock:
+            self._stats.requests += n
+            self._stats.batches += 1
+            self._stats.audio_seconds += secs
+            self._stats.busy_seconds += busy
+            self._stats.latencies_ms += [(now - r.t_submit) * 1e3 for r in batch]
+
+    def _worker(self):
+        batch_idx = 0
+        while True:
+            if self._stop.is_set():
+                if not getattr(self, '_drain', True):
+                    while True:            # fail whatever is left
+                        try:
+                            req = self._queue.get_nowait()
+                        except queue.Empty:
+                            return
+                        if req is not None:
+                            req.future.set_exception(
+                                RuntimeError('server stopped'))
+                elif self._queue.empty() or (
+                        self._queue.qsize() == 1 and self._peek_is_sentinel()):
+                    return
+            batch = self._collect_batch()
+            if not batch:
+                if self._stop.is_set():
+                    return
+                continue
+            self._serve_batch(batch, batch_idx)
+            batch_idx += 1
+
+    def _peek_is_sentinel(self) -> bool:
+        try:
+            item = self._queue.get_nowait()
+        except queue.Empty:
+            return False
+        if item is None:
+            return True
+        self._queue.put(item)
+        return False
+
+
+# ---------------------------------------------------------------------------
+# HTTP front end (stdlib only)
+# ---------------------------------------------------------------------------
+
+def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
+               block: bool = True):
+    """Expose a running ``TTSServer`` over HTTP.
+
+    - ``POST /synthesize`` — JSON body ``{"text": str, "prompt_tokens": [int],
+      "prompt_codes": [[int]*nq]}`` → ``audio/wav`` (24 kHz mono PCM16).
+    - ``GET /healthz`` → 200 ``ok``.
+    - ``GET /stats`` → JSON serving counters.
+
+    Returns the ``ThreadingHTTPServer`` (call ``.shutdown()`` to stop) when
+    ``block=False``; otherwise serves forever.
+    """
+    import io
+    import json
+    import wave
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    sr = server.tts.codec.sampling_rate
+
+    def wav_bytes(waveform: np.ndarray) -> bytes:
+        pcm = np.clip(waveform, -1.0, 1.0)
+        pcm = np.round(pcm * 32767.0).astype('<i2')
+        buf = io.BytesIO()
+        with wave.open(buf, 'wb') as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):      # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._send(200, b'ok', 'text/plain')
+            elif self.path == '/stats':
+                self._send(200, json.dumps(server.stats()).encode(),
+                           'application/json')
+            else:
+                self._send(404, b'not found', 'text/plain')
+
+        def do_POST(self):
+            if self.path != '/synthesize':
+                self._send(404, b'not found', 'text/plain')
+                return
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                payload = json.loads(self.rfile.read(length))
+                result = server.synthesize(
+                    payload['text'],
+                    np.asarray(payload['prompt_tokens'], np.int32),
+                    np.asarray(payload['prompt_codes'], np.int32))
+            except Exception as exc:       # noqa: BLE001 — report to client
+                self._send(400, str(exc).encode(), 'text/plain')
+                return
+            self._send(200, wav_bytes(result.waveform), 'audio/wav')
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    log_info('TTS HTTP server on http://%s:%d', host, port)
+    if block:
+        httpd.serve_forever()
+    else:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd
