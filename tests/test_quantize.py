@@ -1,0 +1,163 @@
+"""int8 weight-only quantization (quantize.py): numerics of the quantized
+matmul, pytree plumbing, and the quantized AR decode path.
+
+No reference counterpart (the reference is pure-f32 torch); the contracts are
+internal: bounded quantization error, bitwise agreement with a host-side
+simulation of the same integer computation, and a decode path that stays close
+to the dense one."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from valle2_tpu.config import ConfigValle
+from valle2_tpu.models import ar as ar_mod
+from valle2_tpu.models.ar import ValleAR
+from valle2_tpu.ops.nn import linear
+from valle2_tpu.quantize import (dequantize_linear, int8_matmul, quantize_linear,
+                                 quantize_decode_params)
+
+
+def cfg(**kw):
+    base = dict(d_model=48, n_heads=2, dim_feedforward=96, num_layers=2,
+                num_audio_tokens=96, vocab_size=24, dropout=0.0, temperature=0.0,
+                num_beams=2, max_audio_len=16, norm='LayerNorm',
+                bucket_sizes=(16, 32), matmul_precision='highest')
+    base.update(kw)
+    return ConfigValle(**base)
+
+
+class TestQuantizeLinear:
+    def test_roundtrip_error_bounded(self):
+        """|w - dequant(quant(w))| <= scale/2 per output channel."""
+        w = jax.random.normal(jax.random.key(0), (64, 32), jnp.float32)
+        qp = quantize_linear({'w': w})
+        assert qp['q'].dtype == jnp.int8 and qp['scale'].shape == (32,)
+        wd = dequantize_linear(qp)['w']
+        err = np.abs(np.asarray(w - wd))
+        bound = np.asarray(qp['scale'])[None, :] * 0.5 + 1e-7
+        assert (err <= bound).all()
+
+    def test_int8_matmul_matches_integer_simulation(self):
+        """The device computation equals a host float32/int32 simulation of the
+        same quantize→s8-dot→rescale pipeline."""
+        kx, kw = jax.random.split(jax.random.key(1))
+        x = jax.random.normal(kx, (5, 24), jnp.float32) * 3.0
+        w = jax.random.normal(kw, (24, 16), jnp.float32)
+        qp = quantize_linear({'w': w})
+        got = np.asarray(int8_matmul(x, qp['q'], qp['scale']))
+
+        xn = np.asarray(x, np.float32)
+        sx = np.maximum(np.max(np.abs(xn), axis=-1, keepdims=True), 1e-8) / 127.0
+        xq = np.clip(np.round(xn / sx), -127, 127).astype(np.int32)
+        yq = xq @ np.asarray(qp['q'], np.int32)
+        want = yq.astype(np.float32) * sx * np.asarray(qp['scale'], np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_quantized_matmul_close_to_dense(self):
+        """End error stays within the analytic quant-noise envelope."""
+        kx, kw = jax.random.split(jax.random.key(2))
+        x = jax.random.normal(kx, (8, 128), jnp.float32)
+        w = jax.random.normal(kw, (128, 64), jnp.float32)
+        qp = quantize_linear({'w': w})
+        got = np.asarray(int8_matmul(x, qp['q'], qp['scale']))
+        want = np.asarray(x @ w)
+        # Relative error ~ (1/127) * sqrt(2) on random gaussians; allow 4 sigma.
+        denom = np.linalg.norm(want)
+        assert np.linalg.norm(got - want) / denom < 0.05
+
+    def test_linear_dispatches_on_quantized_layout(self):
+        kx, kw, kb = jax.random.split(jax.random.key(3), 3)
+        x = jax.random.normal(kx, (4, 32), jnp.float32)
+        p = {'w': jax.random.normal(kw, (32, 8), jnp.float32),
+             'b': jax.random.normal(kb, (8,), jnp.float32)}
+        qp = quantize_linear(p)
+        got = np.asarray(linear(qp, x))
+        want = np.asarray(int8_matmul(x, qp['q'], qp['scale']) + p['b'])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_stacked_layers_slice_consistently(self):
+        """quantize(stacked)[li] == quantize(stacked[li]) — the decode step
+        slices per-layer params out of the scanned stack."""
+        w = jax.random.normal(jax.random.key(4), (3, 16, 8), jnp.float32)
+        q_all = quantize_linear({'w': w})
+        for li in range(3):
+            q_li = quantize_linear({'w': w[li]})
+            np.testing.assert_array_equal(np.asarray(q_all['q'][li]),
+                                          np.asarray(q_li['q']))
+            np.testing.assert_allclose(np.asarray(q_all['scale'][li]),
+                                       np.asarray(q_li['scale']), rtol=1e-7)
+
+
+class TestQuantizedDecode:
+    def test_config_validates_weight_dtype(self):
+        import pytest
+        with pytest.raises(ValueError):
+            cfg(weight_dtype='int4')
+
+    def test_fused_gate_off_for_int8(self):
+        c = cfg(weight_dtype='int8', use_fused_decode=True)
+        assert ar_mod._fused_gate(c, rows=2, total_max=64) is False
+
+    def test_quantized_forward_close_to_dense(self):
+        """Training-shape forward through quantized decode params tracks the
+        dense logits (the same `linear` dispatch the decode loop uses)."""
+        c = cfg()
+        model = ValleAR(c, seed=0)
+        qparams = quantize_decode_params(model.params)
+        rs = np.random.RandomState(0)
+        tokens = jnp.asarray(rs.randint(0, 24, (2, 7)), jnp.int32)
+        codes = jnp.asarray(rs.randint(0, 96, (2, 9)), jnp.int32)
+        dense = np.asarray(ar_mod.forward(model.params, c, tokens, codes,
+                                          None, None))
+        quant = np.asarray(ar_mod.forward(qparams, c, tokens, codes,
+                                          None, None))
+        corr = np.corrcoef(dense.ravel(), quant.ravel())[0, 1]
+        assert corr > 0.98, f'quantized logits decorrelated: {corr}'
+
+    def test_int8_decode_generates(self):
+        """End-to-end greedy decode under weight_dtype='int8' produces a valid
+        in-vocab sequence through the standard generate API."""
+        c = cfg(weight_dtype='int8')
+        model = ValleAR(c, seed=1)
+        assert model.decode_params is model.decode_params   # cached view
+        assert model.decode_params is not model.params
+        rs = np.random.RandomState(1)
+        out = np.asarray(model.generate(rs.randint(0, 24, (5,)),
+                                        rs.randint(0, 96, (4, 8))))
+        assert out.ndim == 1 and len(out) <= c.max_audio_len
+        assert ((out >= 0) & (out < 96)).all()
+
+    def test_decode_params_requantize_on_load(self, tmp_path):
+        c = cfg(weight_dtype='int8')
+        m1 = ValleAR(c, seed=2)
+        q_before = m1.decode_params
+        m2 = ValleAR(c, seed=3)
+        m2.save(tmp_path / 'ckpt')
+        m1.load(tmp_path / 'ckpt')
+        q_after = m1.decode_params
+        assert q_after is not q_before
+        np.testing.assert_array_equal(
+            np.asarray(q_after['transformer']['attn']['qkv']['q']),
+            np.asarray(quantize_decode_params(m2.params)
+                       ['transformer']['attn']['qkv']['q']))
+
+    def test_dense_default_is_passthrough(self):
+        model = ValleAR(cfg(), seed=4)
+        assert model.decode_params is model.params
+
+    def test_tts_pipeline_with_int8_weights(self):
+        """The fused TTS pipeline picks up the quantized AR view end-to-end."""
+        from valle2_tpu.tts import ValleTTS
+        c = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                        max_audio_len=12, num_beams=2, dropout=0.0,
+                        temperature=0.0, bucket_sizes=(32, 64),
+                        weight_dtype='int8')
+        tts = ValleTTS(c)
+        rs = np.random.RandomState(6)
+        res = tts.synthesize_fused('ok.', rs.randint(0, 70, (4,)),
+                                   rs.randint(0, 1024, (5, 8)))
+        assert res.waveform.ndim == 1 and len(res.waveform) % 320 == 0
+        assert res.codes.shape[1] == 8

@@ -138,6 +138,20 @@ class ConfigValle:
                           '(per-slot max-abs scales; halves attention HBM traffic — '
                           'decode is cache-bandwidth-bound)'},
     )
+    prefetch_batches: int = field(
+        default=2,
+        metadata={'help': 'Train input pipeline: background-thread device '
+                          'prefetch depth (batches staged ahead of the step '
+                          'loop; 0 = synchronous host-side iteration)'},
+    )
+    weight_dtype: str = field(
+        default='compute',
+        metadata={'help': "Decode/serving weight storage: 'compute' (= dtype) | "
+                          "'int8' (per-channel weight-only quantization with "
+                          'dynamic per-token activation scales; halves the '
+                          'weight HBM stream that bounds large-model decode — '
+                          'lossy, so not for parity-gate runs; quantize.py)'},
+    )
     decode_attn_buckets: int = field(
         default=4,
         metadata={'help': 'Decode attention prefix buckets: lax.switch over static '
@@ -167,6 +181,8 @@ class ConfigValle:
             raise ValueError('Normalization layer must be AdaptiveLayerNorm or LayerNorm')
         if self.activation not in ('relu', 'gelu'):
             raise ValueError('Activation function must be relu or gelu')
+        if self.weight_dtype not in ('compute', 'int8'):
+            raise ValueError("weight_dtype must be 'compute' or 'int8'")
         self.ckpt_path = Path(self.ckpt_path)
         self.log_path = Path(self.log_path)
         self.betas = tuple(self.betas)

@@ -162,6 +162,15 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
+def _to_compute(dtype):
+    """Leaf cast to the decode compute dtype that leaves integer (int8-quantized)
+    leaves alone; the f32 quant scales ride to ``dtype`` like any float leaf
+    (bf16 scale storage adds ~2^-9 relative noise — well under the int8 step)."""
+    def cast(a):
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+    return cast
+
+
 def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     """Fused whole-stack decode kernel: gated on backend/cache-dtype/VMEM fit.
 
@@ -180,6 +189,10 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     # the 16M scoped-vmem budget regardless of cache chunking (BENCHMARKS.md).
     d = config.d_model
     weight_bytes = (4 * d * d + 2 * d * config.dim_feedforward) * 2
+    if config.weight_dtype == 'int8':
+        # The fused kernel reads dense float weights; int8-weight decode is an
+        # XLA-path feature (quantize.py) — never fuse, even if forced.
+        return False
     if config.use_fused_decode == 'auto':
         return (jax.default_backend() == 'tpu'
                 and config.matmul_precision != 'highest'
@@ -226,7 +239,9 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     dtype = jnp.dtype(config.dtype)
     # Decode compute dtype (bfloat16 for serving; float32 + matmul_precision
     # 'highest' for the greedy parity gate).  Logits/sampling stay float32.
-    tparams = jax.tree.map(lambda a: a.astype(dtype), params['transformer'])
+    # int8-quantized leaves (weight_dtype='int8') pass through unchanged — the
+    # dot runs natively on s8 and rescales by the f32 scales (quantize.py).
+    tparams = jax.tree.map(_to_compute(dtype), params['transformer'])
 
     # ---- Prefill (batch B; beams share the prefix) ----
     x_tok = add_positional(pe, embedding(params['tokens_emb'], tokens))
@@ -308,7 +323,7 @@ def _decode_advance(params: Params, state: DecodeState, tl_f: jax.Array,
     n_heads = config.n_heads
     pe = sinusoidal_table(MAX_POS, config.d_model)
     dtype = jnp.dtype(config.dtype)
-    tparams = jax.tree.map(lambda a: a.astype(dtype), params['transformer'])
+    tparams = jax.tree.map(_to_compute(dtype), params['transformer'])
 
     # Static per-row slot-validity template for decode attention (prompt part).
     slots = jnp.arange(total_max)[None, :]
@@ -433,6 +448,8 @@ class ValleAR:
                 return _decode_advance(p, state, tl_f, pl_f, limit, decode_config,
                                        ttm, pm)
 
+        self._qdecode = None           # cached int8 view of params (weight_dtype)
+        self._qdecode_src = None
         self._decode_jit = jax.jit(_decode_wrapped)
         self._loss_jit = jax.jit(_loss_wrapped)
         self._prefill_jit = jax.jit(_prefill_wrapped)
@@ -440,6 +457,21 @@ class ValleAR:
         # in place instead of copying it per advance() call.
         self._advance_jit = jax.jit(_advance_wrapped, static_argnames=('ttm', 'pm'),
                                     donate_argnums=(1,))
+
+    @property
+    def decode_params(self) -> Params:
+        """Params for the decode/serving paths: ``self.params``, or their int8
+        weight-quantized view when ``config.weight_dtype='int8'`` (quantize.py).
+        Re-quantized lazily whenever ``self.params`` is rebound (e.g. ``load``).
+        On a multi-device mesh the dense params are used instead — the Megatron
+        sharding rules key on the dense leaf layout."""
+        if self.config.weight_dtype != 'int8' or self.mesh is not None:
+            return self.params
+        if self._qdecode_src is not self.params:
+            from ..quantize import quantize_decode_params
+            self._qdecode = quantize_decode_params(self.params)
+            self._qdecode_src = self.params
+        return self._qdecode
 
     @property
     def eos_token(self) -> int:
@@ -530,7 +562,7 @@ class ValleAR:
         codes_lens = jnp.asarray([c.shape[0] for c in codes0_list], jnp.int32)
         if rng is None:
             rng = jax.random.key(self.config.seed)
-        params = self.params
+        params = self.decode_params
         if self.mesh is not None:
             from ..parallel import shard_batch, shard_params
             # Megatron TP rules on a ('data', 'model') mesh: qkv/ffn1 column-,
@@ -593,7 +625,8 @@ class DecodeStream:
         if rng is None:
             rng = jax.random.key(config.seed)
         state, tl_f, pl_f = model._prefill_jit(
-            model.params, tokens_pad, jnp.asarray([tokens.shape[0]], jnp.int32),
+            model.decode_params, tokens_pad,
+            jnp.asarray([tokens.shape[0]], jnp.int32),
             codes_pad, jnp.asarray([codes0.shape[0]], jnp.int32), rng)
         self._state, self._tl, self._pl = state, tl_f, pl_f
         self._ttm, self._pm = ttm, pm
@@ -616,7 +649,7 @@ class DecodeStream:
         k_eff = -(-int(k) // unroll) * unroll
         limit = min(self.steps_done + k_eff, self.max_new)
         self._state = self.model._advance_jit(
-            self.model.params, self._state, self._tl, self._pl,
+            self.model.decode_params, self._state, self._tl, self._pl,
             jnp.int32(limit), ttm=self._ttm, pm=self._pm)
         new_step = int(self._state.step)
         done = bool(jnp.all(self._state.finished)) or new_step >= self.max_new

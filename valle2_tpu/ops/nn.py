@@ -43,7 +43,13 @@ def linear_init(key: jax.Array, in_dim: int, out_dim: int, use_bias: bool = True
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    y = x @ p['w']
+    if 'q' in p:
+        # int8 weight-quantized layout from quantize.quantize_linear — decode/
+        # serving path (ConfigValle.weight_dtype='int8'); see quantize.py.
+        from ..quantize import int8_matmul
+        y = int8_matmul(x, p['q'], p['scale'])
+    else:
+        y = x @ p['w']
     if 'b' in p:
         y = y + p['b']
     return y

@@ -153,7 +153,9 @@ class ValleTTS:
         tokens_lens = np.asarray([len(t) for t in tokens_list], np.int32)
         p_lens = np.asarray([len(c) for c in codes_list], np.int32)
 
-        ar_p, nar_p, cod_p = (self.ar.params, self.nar.params,
+        # decode_params = int8-quantized view under weight_dtype='int8'
+        # (single-device; on a mesh it falls back to the dense params).
+        ar_p, nar_p, cod_p = (self.ar.decode_params, self.nar.params,
                               self.codec._dec_params)
         inputs = (jnp.asarray(tokens), jnp.asarray(tokens_lens),
                   jnp.asarray(codes), jnp.asarray(p_lens))
