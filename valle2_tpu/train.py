@@ -199,20 +199,9 @@ class Trainer:
         frames = 0
         step = int(state.step)
         while step < cfg.max_steps:
-            for batch in train_loader:
+            for batch in self._batches(train_loader):
                 if step >= cfg.max_steps:
                     break
-                if self.mesh is not None:
-                    rows = int(jax.tree.leaves(batch)[0].shape[0])
-                    if rows % self.mesh.shape['data'] != 0:
-                        # Trailing partial batch can't shard over 'data' —
-                        # drop it (the DistributedSampler drop_last analog).
-                        log_info('Dropping %d-row batch (not divisible by '
-                                 'data axis %d)', rows, self.mesh.shape['data'])
-                        continue
-                    batch = shard_batch(self.mesh, batch)
-                else:
-                    batch = jax.tree.map(jnp.asarray, batch)
                 state, metrics = self.train_step(state, batch, rng)
                 step += 1
                 frames += int(np.prod(batch['codes'].shape[:2]))
@@ -233,18 +222,34 @@ class Trainer:
         self.save_checkpoint(state)
         return state
 
+    def _place(self, batch):
+        """Host batch → device arrays (mesh-sharded when configured); None drops
+        a trailing batch that cannot shard over the data axis (the
+        DistributedSampler drop_last analog)."""
+        if self.mesh is not None:
+            rows = int(jax.tree.leaves(batch)[0].shape[0])
+            if rows % self.mesh.shape['data'] != 0:
+                log_info('Dropping %d-row batch (not divisible by data axis %d)',
+                         rows, self.mesh.shape['data'])
+                return None
+            return shard_batch(self.mesh, batch)
+        return jax.tree.map(jnp.asarray, batch)
+
+    def _batches(self, loader):
+        """Iterate device-placed batches; with config.prefetch_batches > 0 the
+        host-side work (dataset iteration, collate, transfer dispatch) runs on a
+        background thread that stays ahead of the step loop (data/prefetch.py)."""
+        n = self.config.prefetch_batches
+        if n > 0:
+            from .data.prefetch import DevicePrefetcher
+            return iter(DevicePrefetcher(loader, size=n, place=self._place))
+        return (b for batch in loader if (b := self._place(batch)) is not None)
+
     def validate(self, state: TrainState, valid_loader, step: int, rng: jax.Array):
         losses = []
-        for i, batch in enumerate(valid_loader):
-            # Shard eval batches like train ones — on a mesh an unsharded batch
-            # would replicate the whole eval pass on every device.
-            if self.mesh is not None:
-                rows = int(jax.tree.leaves(batch)[0].shape[0])
-                if rows % self.mesh.shape['data'] != 0:
-                    continue            # drop_last analog (see fit)
-                batch = shard_batch(self.mesh, batch)
-            else:
-                batch = jax.tree.map(jnp.asarray, batch)
+        # Eval batches shard like train ones — on a mesh an unsharded batch
+        # would replicate the whole eval pass on every device.
+        for i, batch in enumerate(self._batches(valid_loader)):
             metrics = self.eval_step(state.params, batch, jax.random.fold_in(rng, i))
             losses.append(float(metrics['loss']))
         if losses:
