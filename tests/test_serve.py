@@ -91,6 +91,16 @@ class TestTTSServer:
         for f in futs:
             assert f.result(timeout=1).waveform.ndim == 1
 
+    def test_cancelled_future_does_not_kill_worker(self, tts):
+        """A client cancel() racing the worker's set_result must not crash the
+        worker thread — later requests still get served."""
+        server = TTSServer(tts, max_batch=2, max_wait_ms=0.0)
+        fut = server.submit(*make_requests(1, seed=8)[0])   # queued pre-start
+        assert fut.cancel()
+        with server:
+            res = server.synthesize(*make_requests(1, seed=9)[0], timeout=300)
+        assert res.waveform.ndim == 1
+
     def test_submit_after_stop_raises(self, tts):
         server = TTSServer(tts, max_batch=2)
         server.start()

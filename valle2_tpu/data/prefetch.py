@@ -46,6 +46,19 @@ class DevicePrefetcher:
         q: queue.Queue = queue.Queue(self.size)
         stop = threading.Event()
 
+        def put_stoppable(item) -> bool:
+            """Blocking put that gives up when the consumer abandoned the pass —
+            EVERY producer put must go through this (a bare q.put on the final
+            sentinel would block forever on a full queue after a late break,
+            leaking the thread and its queued device batches)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch in self.loader:
@@ -53,18 +66,12 @@ class DevicePrefetcher:
                         batch = self.place(batch)
                         if batch is None:
                             continue
-                    while not stop.is_set():
-                        try:
-                            q.put((batch, None), timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_stoppable((batch, None)):
                         return
             except BaseException as exc:  # noqa: BLE001 — re-raise in consumer
-                q.put((None, exc))
+                put_stoppable((None, exc))
                 return
-            q.put((_SENTINEL, None))
+            put_stoppable((_SENTINEL, None))
 
         thread = threading.Thread(target=producer, daemon=True,
                                   name='valle-prefetch')

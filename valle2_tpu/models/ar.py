@@ -465,7 +465,15 @@ class ValleAR:
         Re-quantized lazily whenever ``self.params`` is rebound (e.g. ``load``).
         On a multi-device mesh the dense params are used instead — the Megatron
         sharding rules key on the dense leaf layout."""
-        if self.config.weight_dtype != 'int8' or self.mesh is not None:
+        if self.config.weight_dtype != 'int8':
+            return self.params
+        if self.mesh is not None:
+            if not getattr(self, '_warned_int8_mesh', False):
+                from ..utils import log_warning
+                log_warning("weight_dtype='int8' is single-device only; the "
+                            'mesh decode path uses dense params (no int8 '
+                            'speedup on this sharded deployment)')
+                self._warned_int8_mesh = True
             return self.params
         if self._qdecode_src is not self.params:
             from ..quantize import quantize_decode_params

@@ -77,10 +77,6 @@ def int8_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     return (y.astype(jnp.float32) * sx * scale).astype(x.dtype)
 
 
-def _is_linear(p) -> bool:
-    return isinstance(p, dict) and 'w' in p
-
-
 def quantize_transformer(tp: Params) -> Params:
     """Quantize the four big linears of a (stacked) transformer layer pytree;
     norms pass through unchanged."""

@@ -28,6 +28,7 @@ their outputs are dropped on the host side.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -38,7 +39,20 @@ import jax
 import numpy as np
 
 from .tts import TTSResult, ValleTTS
-from .utils import log_info
+from .utils import log_info, wav_pcm16_bytes
+
+
+def _safe_set(fut: Future, *, result=None, exc=None) -> None:
+    """Resolve a Future, tolerating a client cancel() racing the resolution
+    (set_result/set_exception raise InvalidStateError on a cancelled future;
+    the worker must survive that, not die)."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:      # noqa: BLE001 — cancelled/already-resolved: drop
+        pass
 
 
 @dataclass
@@ -49,7 +63,10 @@ class ServerStats:
     errors: int = 0
     audio_seconds: float = 0.0
     busy_seconds: float = 0.0          # wall time inside batch_synthesize
-    latencies_ms: list = field(default_factory=list)   # submit -> result, per req
+    # submit -> result per request; bounded window so a long-lived server's
+    # stats stay O(1) memory and /stats stays cheap to percentile.
+    latencies_ms: collections.deque = field(
+        default_factory=lambda: collections.deque(maxlen=10000))
 
     def snapshot(self) -> dict:
         lat = sorted(self.latencies_ms)
@@ -107,6 +124,10 @@ class TTSServer:
         self._queue: queue.Queue = queue.Queue()
         self._stats = ServerStats()
         self._stats_lock = threading.Lock()
+        # Makes submit's stopped-check + enqueue atomic vs stop's set + sentinel
+        # put, so the stop sentinel is always the LAST item in the queue and no
+        # request can be stranded behind it.
+        self._submit_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -125,8 +146,9 @@ class TTSServer:
         if self._thread is None:
             return
         self._drain = drain
-        self._stop.set()
-        self._queue.put(None)             # wake the worker
+        with self._submit_lock:
+            self._stop.set()
+            self._queue.put(None)         # wake the worker; always last in queue
         self._thread.join()
         self._thread = None
 
@@ -142,12 +164,13 @@ class TTSServer:
 
         Requests may be queued before ``start()`` — they are served as soon as
         the worker comes up (useful for warm-up batches)."""
-        if self._stop.is_set():
-            raise RuntimeError('server is stopped')
         req = _Request(text, np.asarray(prompt_tokens, np.int32),
                        np.asarray(prompt_codes, np.int32), Future(),
                        time.perf_counter())
-        self._queue.put(req)
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError('server is stopped')
+            self._queue.put(req)
         return req.future
 
     def synthesize(self, text: str, prompt_tokens, prompt_codes,
@@ -198,16 +221,14 @@ class TTSServer:
             with self._stats_lock:
                 self._stats.errors += n
             for r in batch:
-                if not r.future.cancelled():
-                    r.future.set_exception(exc)
+                _safe_set(r.future, exc=exc)
             return
         busy = time.perf_counter() - t0
         now = time.perf_counter()
         secs = 0.0
         for r, res in zip(batch, results[:n]):
             secs += len(res.waveform) / self.tts.codec.sampling_rate
-            if not r.future.cancelled():
-                r.future.set_result(res)
+            _safe_set(r.future, result=res)
         with self._stats_lock:
             self._stats.requests += n
             self._stats.batches += 1
@@ -217,37 +238,41 @@ class TTSServer:
 
     def _worker(self):
         batch_idx = 0
-        while True:
-            if self._stop.is_set():
-                if not getattr(self, '_drain', True):
-                    while True:            # fail whatever is left
-                        try:
-                            req = self._queue.get_nowait()
-                        except queue.Empty:
-                            return
-                        if req is not None:
-                            req.future.set_exception(
-                                RuntimeError('server stopped'))
-                elif self._queue.empty() or (
-                        self._queue.qsize() == 1 and self._peek_is_sentinel()):
-                    return
+        while not self._stop.is_set():
             batch = self._collect_batch()
-            if not batch:
-                if self._stop.is_set():
-                    return
-                continue
-            self._serve_batch(batch, batch_idx)
+            if not batch:                  # woke on the stop sentinel
+                break
+            try:
+                self._serve_batch(batch, batch_idx)
+            except Exception as exc:       # noqa: BLE001 — keep the worker alive
+                for r in batch:
+                    _safe_set(r.future, exc=exc)
             batch_idx += 1
-
-    def _peek_is_sentinel(self) -> bool:
-        try:
-            item = self._queue.get_nowait()
-        except queue.Empty:
-            return False
-        if item is None:
-            return True
-        self._queue.put(item)
-        return False
+        # Final sweep: the sentinel is always last (submit/stop share a lock),
+        # so everything still queued arrived before stop.  drain=True serves it
+        # in max_batch groups; drain=False fails it — either way no Future is
+        # ever stranded.
+        leftovers: list[_Request] = []
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                leftovers.append(req)
+        drain = getattr(self, '_drain', True)
+        for i in range(0, len(leftovers), self.max_batch):
+            group = leftovers[i:i + self.max_batch]
+            if drain:
+                try:
+                    self._serve_batch(group, batch_idx)
+                except Exception as exc:   # noqa: BLE001
+                    for r in group:
+                        _safe_set(r.future, exc=exc)
+                batch_idx += 1
+            else:
+                for r in group:
+                    _safe_set(r.future, exc=RuntimeError('server stopped'))
 
 
 # ---------------------------------------------------------------------------
@@ -266,23 +291,10 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
     Returns the ``ThreadingHTTPServer`` (call ``.shutdown()`` to stop) when
     ``block=False``; otherwise serves forever.
     """
-    import io
     import json
-    import wave
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     sr = server.tts.codec.sampling_rate
-
-    def wav_bytes(waveform: np.ndarray) -> bytes:
-        pcm = np.clip(waveform, -1.0, 1.0)
-        pcm = np.round(pcm * 32767.0).astype('<i2')
-        buf = io.BytesIO()
-        with wave.open(buf, 'wb') as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(sr)
-            w.writeframes(pcm.tobytes())
-        return buf.getvalue()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):      # quiet
@@ -311,14 +323,21 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             try:
                 length = int(self.headers.get('Content-Length', 0))
                 payload = json.loads(self.rfile.read(length))
-                result = server.synthesize(
-                    payload['text'],
-                    np.asarray(payload['prompt_tokens'], np.int32),
-                    np.asarray(payload['prompt_codes'], np.int32))
-            except Exception as exc:       # noqa: BLE001 — report to client
+                text = payload['text']
+                pt = np.asarray(payload['prompt_tokens'], np.int32)
+                pc = np.asarray(payload['prompt_codes'], np.int32)
+            except Exception as exc:       # noqa: BLE001 — malformed request
                 self._send(400, str(exc).encode(), 'text/plain')
                 return
-            self._send(200, wav_bytes(result.waveform), 'audio/wav')
+            try:
+                result = server.synthesize(text, pt, pc)
+            except RuntimeError as exc:    # server stopped / shutting down
+                self._send(503, str(exc).encode(), 'text/plain')
+                return
+            except Exception as exc:       # noqa: BLE001 — server-side failure
+                self._send(500, str(exc).encode(), 'text/plain')
+                return
+            self._send(200, wav_pcm16_bytes(result.waveform, sr), 'audio/wav')
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     log_info('TTS HTTP server on http://%s:%d', host, port)

@@ -132,14 +132,24 @@ def load_audio(path: Path | str, target_sr: int = 16_000) -> jax.Array:
     return normalize_audio(jnp.asarray(pcm), sr, target_sr)
 
 
-def save_wav(path: Path | str, wav: np.ndarray, sr: int) -> None:
-    """Write mono float waveform to a 16-bit WAV."""
+def wav_pcm16_bytes(wav: np.ndarray, sr: int) -> bytes:
+    """Mono float waveform → complete 16-bit WAV file bytes (round-to-nearest).
+    Single encoder shared by the CLI writer and the HTTP server."""
+    import io
     import wave
 
     pcm = np.clip(np.asarray(wav), -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype(np.int16)
-    with wave.open(str(path), 'wb') as f:
+    pcm = np.round(pcm * 32767.0).astype('<i2')
+    buf = io.BytesIO()
+    with wave.open(buf, 'wb') as f:
         f.setnchannels(1)
         f.setsampwidth(2)
         f.setframerate(sr)
         f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def save_wav(path: Path | str, wav: np.ndarray, sr: int) -> None:
+    """Write mono float waveform to a 16-bit WAV."""
+    with open(path, 'wb') as f:
+        f.write(wav_pcm16_bytes(wav, sr))
