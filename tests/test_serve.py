@@ -141,6 +141,50 @@ class TestHTTPFrontend:
                 httpd.shutdown()
 
 
+class TestHTTPStreaming:
+    def test_stream_matches_direct_generator(self):
+        """Chunked /stream PCM equals the direct synthesize_streaming output
+        (greedy; same default rng)."""
+        tts1 = ValleTTS(tiny_cfg(num_beams=1))
+        text, pt, pc = make_requests(1, seed=10)[0]
+        direct = np.concatenate(list(tts1.synthesize_streaming(
+            text, pt, pc, chunk_frames=5, lookahead_frames=3)) or
+            [np.zeros(0, np.float32)])
+        with TTSServer(tts1, max_batch=2, max_wait_ms=0.0) as server:
+            httpd = serve_http(server, port=0, block=False)
+            try:
+                base = f'http://127.0.0.1:{httpd.server_address[1]}'
+                body = json.dumps({'text': text,
+                                   'prompt_tokens': pt.tolist(),
+                                   'prompt_codes': pc.tolist(),
+                                   'chunk_frames': 5,
+                                   'lookahead_frames': 3}).encode()
+                req = urllib.request.Request(f'{base}/stream', data=body)
+                resp = urllib.request.urlopen(req, timeout=300)
+                assert resp.headers['Content-Type'].startswith('audio/L16')
+                pcm = np.frombuffer(resp.read(), '<i2')  # urllib de-chunks
+                assert len(pcm) == len(direct)
+                np.testing.assert_allclose(pcm / 32767.0, direct, atol=1e-4)
+            finally:
+                httpd.shutdown()
+
+    def test_stream_rejected_with_beams(self, tts):
+        """num_beams != 1 → 400, before any audio bytes."""
+        text, pt, pc = make_requests(1, seed=11)[0]
+        with TTSServer(tts, max_batch=2, max_wait_ms=0.0) as server:
+            httpd = serve_http(server, port=0, block=False)
+            try:
+                base = f'http://127.0.0.1:{httpd.server_address[1]}'
+                body = json.dumps({'text': text, 'prompt_tokens': pt.tolist(),
+                                   'prompt_codes': pc.tolist()}).encode()
+                req = urllib.request.Request(f'{base}/stream', data=body)
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=30)
+                assert ei.value.code == 400
+            finally:
+                httpd.shutdown()
+
+
 class TestConcurrentSubmitters:
     def test_many_threads_all_served_exactly(self, tts):
         """8 client threads × greedy: every response equals the solo result,

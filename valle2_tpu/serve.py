@@ -128,6 +128,10 @@ class TTSServer:
         # put, so the stop sentinel is always the LAST item in the queue and no
         # request can be stranded behind it.
         self._submit_lock = threading.Lock()
+        # Serializes long-form streaming sessions (each holds a decode cache);
+        # batched requests keep flowing on the worker thread meanwhile — JAX
+        # dispatch is thread-safe and the device interleaves the programs.
+        self._stream_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -177,6 +181,24 @@ class TTSServer:
                    timeout: float | None = None) -> TTSResult:
         """Blocking convenience wrapper around ``submit``."""
         return self.submit(text, prompt_tokens, prompt_codes).result(timeout)
+
+    def stream(self, text: str, prompt_tokens, prompt_codes,
+               chunk_frames: int = 75, lookahead_frames: int = 38):
+        """Long-form streaming synthesis: yields float32 waveform chunks while
+        the decode runs (ValleTTS.synthesize_streaming semantics — constant
+        time-to-first-audio).  Requires ``num_beams == 1``.  One stream at a
+        time (a second caller blocks on the stream lock); batch requests
+        continue on the worker thread concurrently."""
+        if self.tts.config.num_beams != 1:
+            raise ValueError('streaming requires num_beams=1 '
+                             f'(server config has {self.tts.config.num_beams})')
+        if self._stop.is_set():
+            raise RuntimeError('server is stopped')
+        with self._stream_lock:
+            yield from self.tts.synthesize_streaming(
+                text, np.asarray(prompt_tokens, np.int32),
+                np.asarray(prompt_codes, np.int32),
+                chunk_frames=chunk_frames, lookahead_frames=lookahead_frames)
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -316,8 +338,53 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             else:
                 self._send(404, b'not found', 'text/plain')
 
+        def _do_stream(self, payload):
+            """Chunked-transfer raw PCM16 (audio/L16) from the streaming path.
+            The first chunk is produced BEFORE headers go out so setup errors
+            still map to proper status codes; after that, a mid-stream failure
+            truncates the chunked body (the client sees a short read)."""
+            try:
+                gen = server.stream(
+                    payload['text'],
+                    np.asarray(payload['prompt_tokens'], np.int32),
+                    np.asarray(payload['prompt_codes'], np.int32),
+                    chunk_frames=int(payload.get('chunk_frames', 75)),
+                    lookahead_frames=int(payload.get('lookahead_frames', 38)))
+                first = next(gen, None)
+            except (KeyError, ValueError) as exc:  # bad args / num_beams != 1
+                self._send(400, str(exc).encode(), 'text/plain')
+                return
+            except RuntimeError as exc:
+                self._send(503, str(exc).encode(), 'text/plain')
+                return
+            except Exception as exc:       # noqa: BLE001
+                self._send(500, str(exc).encode(), 'text/plain')
+                return
+            self.send_response(200)
+            self.send_header('Content-Type',
+                             f'audio/L16; rate={sr}; channels=1')
+            self.send_header('Transfer-Encoding', 'chunked')
+            self.end_headers()
+
+            def write_chunk(wave_chunk):
+                data = np.round(np.clip(wave_chunk, -1.0, 1.0)
+                                * 32767.0).astype('<i2').tobytes()
+                if data:
+                    self.wfile.write(f'{len(data):x}\r\n'.encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b'\r\n')
+
+            try:
+                if first is not None:
+                    write_chunk(first)
+                for chunk in gen:
+                    write_chunk(chunk)
+                self.wfile.write(b'0\r\n\r\n')
+            finally:
+                gen.close()                # releases the server's stream lock
+
         def do_POST(self):
-            if self.path != '/synthesize':
+            if self.path not in ('/synthesize', '/stream'):
                 self._send(404, b'not found', 'text/plain')
                 return
             try:
@@ -328,6 +395,9 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
                 pc = np.asarray(payload['prompt_codes'], np.int32)
             except Exception as exc:       # noqa: BLE001 — malformed request
                 self._send(400, str(exc).encode(), 'text/plain')
+                return
+            if self.path == '/stream':
+                self._do_stream(payload)
                 return
             try:
                 result = server.synthesize(text, pt, pc)
