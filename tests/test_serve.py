@@ -185,6 +185,37 @@ class TestHTTPStreaming:
                 httpd.shutdown()
 
 
+class TestServeCLI:
+    def test_cli_boots_and_serves(self, tmp_path):
+        """`python -m valle2_tpu.serve` wiring: config → pipeline → HTTP."""
+        import socket
+        import time as _time
+
+        from valle2_tpu.serve import main as serve_main
+
+        cfg = dict(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                   max_audio_len=12, num_beams=2, dropout=0.0, temperature=0.0,
+                   bucket_sizes=[32, 64])
+        p = tmp_path / 'cfg.json'
+        p.write_text(json.dumps(cfg))
+        s = socket.socket()
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+        s.close()
+        threading.Thread(target=serve_main, daemon=True,
+                         args=(['-c', str(p), '--port', str(port)],)).start()
+        deadline = _time.time() + 30
+        last = None
+        while _time.time() < deadline:
+            try:
+                last = urllib.request.urlopen(
+                    f'http://127.0.0.1:{port}/healthz', timeout=1).read()
+                break
+            except Exception:
+                _time.sleep(0.1)
+        assert last == b'ok'
+
+
 class TestConcurrentSubmitters:
     def test_many_threads_all_served_exactly(self, tts):
         """8 client threads × greedy: every response equals the solo result,

@@ -416,3 +416,46 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
     else:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd
+
+
+def main(argv=None):
+    """CLI: serve TTS over HTTP with dynamic batching.
+
+    python -m valle2_tpu.serve -c cfg.json --port 8089 \\
+        [--ar-ckpt DIR --nar-ckpt DIR --codec-ckpt FILE] \\
+        [--max-batch 8 --max-wait-ms 10]
+    """
+    import argparse
+    from pathlib import Path
+
+    from .config import ConfigValle
+
+    parser = argparse.ArgumentParser(description='VALL-E TPU serving')
+    parser.add_argument('-c', '--config', type=Path, default=None)
+    parser.add_argument('--host', type=str, default='127.0.0.1')
+    parser.add_argument('--port', type=int, default=8089)
+    parser.add_argument('--max-batch', type=int, default=8)
+    parser.add_argument('--max-wait-ms', type=float, default=10.0)
+    parser.add_argument('--ar-ckpt', type=Path, default=None)
+    parser.add_argument('--nar-ckpt', type=Path, default=None)
+    parser.add_argument('--codec-ckpt', type=Path, default=None,
+                        help='Pretrained EnCodec torch checkpoint to convert')
+    args = parser.parse_args(argv)
+
+    from .codec import EncodecTPU
+
+    config = ConfigValle.from_json(args.config) if args.config else ConfigValle()
+    codec = EncodecTPU(checkpoint=str(args.codec_ckpt) if args.codec_ckpt else None,
+                       decode_dtype=config.dtype)
+    tts = ValleTTS(config, codec=codec)
+    if args.ar_ckpt:
+        tts.ar.load(args.ar_ckpt)
+    if args.nar_ckpt:
+        tts.nar.load(args.nar_ckpt)
+    with TTSServer(tts, max_batch=args.max_batch,
+                   max_wait_ms=args.max_wait_ms) as server:
+        serve_http(server, host=args.host, port=args.port)
+
+
+if __name__ == '__main__':
+    main()
