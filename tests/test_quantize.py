@@ -148,6 +148,23 @@ class TestQuantizedDecode:
         model = ValleAR(cfg(), seed=4)
         assert model.decode_params is model.params
 
+    def test_mesh_sharded_int8_matches_single_device(self):
+        """int8 decode on a 4x2 (DPxTP) mesh: the quantized q/scale leaves
+        shard by the Megatron rules and per-item outputs match the unmeshed
+        int8 decode (int32 dot partial sums psum exactly)."""
+        from valle2_tpu.parallel import make_mesh
+        c = cfg(weight_dtype='int8')
+        single = ValleAR(c, seed=6)
+        meshed = ValleAR(c, params=single.params, mesh=make_mesh(data=4, model=2))
+        rs = np.random.RandomState(6)
+        items = [(rs.randint(0, 24, (4 + i,)), rs.randint(0, 96, (3 + i, 8)))
+                 for i in range(3)]
+        batched = meshed.generate_batch([t for t, _ in items],
+                                        [pc for _, pc in items], bucket=False)
+        for (t, pc), got in zip(items, batched):
+            want = single.generate(jnp.asarray(t), jnp.asarray(pc), bucket=False)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_tts_pipeline_with_int8_weights(self):
         """The fused TTS pipeline picks up the quantized AR view end-to-end."""
         from valle2_tpu.tts import ValleTTS

@@ -463,17 +463,9 @@ class ValleAR:
         """Params for the decode/serving paths: ``self.params``, or their int8
         weight-quantized view when ``config.weight_dtype='int8'`` (quantize.py).
         Re-quantized lazily whenever ``self.params`` is rebound (e.g. ``load``).
-        On a multi-device mesh the dense params are used instead — the Megatron
-        sharding rules key on the dense leaf layout."""
+        Works on a mesh too: parallel/mesh.py shards the 'q'/'scale' leaves by
+        the same Megatron rules as the dense weights they mirror."""
         if self.config.weight_dtype != 'int8':
-            return self.params
-        if self.mesh is not None:
-            if not getattr(self, '_warned_int8_mesh', False):
-                from ..utils import log_warning
-                log_warning("weight_dtype='int8' is single-device only; the "
-                            'mesh decode path uses dense params (no int8 '
-                            'speedup on this sharded deployment)')
-                self._warned_int8_mesh = True
             return self.params
         if self._qdecode_src is not self.params:
             from ..quantize import quantize_decode_params

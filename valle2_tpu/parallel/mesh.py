@@ -67,9 +67,15 @@ def _param_spec(path: tuple, leaf, model_size: int) -> P:
         spec[idx] = 'model'
         return P(*spec)
 
-    if joined.endswith('qkv/w') or joined.endswith('lin1/w') or joined.endswith('lin1/b'):
+    # Dense ('w') and int8-quantized ('q' + per-output-channel 'scale',
+    # quantize.py) leaves shard identically: q mirrors w's layout and the
+    # column-parallel scale follows its sharded output features.  Row-parallel
+    # scales replicate (they apply per FULL output channel, after the psum —
+    # scale * psum(partial) == psum(scale * partial), so placement is free).
+    if joined.endswith(('qkv/w', 'lin1/w', 'lin1/b',
+                        'qkv/q', 'lin1/q', 'qkv/scale', 'lin1/scale')):
         return dim_spec(1)                   # column parallel (output features)
-    if joined.endswith('out/w') or joined.endswith('lin2/w'):
+    if joined.endswith(('out/w', 'lin2/w', 'out/q', 'lin2/q')):
         return dim_spec(2)                   # row parallel (input features)
     if 'proj_layers' in joined or joined == 'proj/w':
         return dim_spec(1)                   # vocab-sharded output head

@@ -154,7 +154,7 @@ class ValleTTS:
         p_lens = np.asarray([len(c) for c in codes_list], np.int32)
 
         # decode_params = int8-quantized view under weight_dtype='int8'
-        # (single-device; on a mesh it falls back to the dense params).
+        # (mesh-compatible: q/scale leaves shard by the Megatron rules).
         ar_p, nar_p, cod_p = (self.ar.decode_params, self.nar.params,
                               self.codec._dec_params)
         inputs = (jnp.asarray(tokens), jnp.asarray(tokens_lens),
