@@ -165,6 +165,22 @@ class TestQuantizedDecode:
             want = single.generate(jnp.asarray(t), jnp.asarray(pc), bucket=False)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_decode_stream_matches_generate_under_int8(self):
+        """Segmented streaming decode uses the same quantized view as the
+        one-shot decode — tokens identical at any segmentation."""
+        from valle2_tpu.models.ar import DecodeStream
+        c = cfg(weight_dtype='int8', num_beams=1)
+        model = ValleAR(c, seed=7)
+        rs = np.random.RandomState(7)
+        tokens, pcodes = rs.randint(0, 24, (5,)), rs.randint(0, 96, (4, 8))
+        rng = jax.random.key(3)
+        want = np.asarray(model.generate(tokens, pcodes, rng=rng))
+        stream = DecodeStream(model, tokens, pcodes, rng=rng)
+        got = []
+        while not stream.finished:
+            got.extend(stream.advance(3))
+        np.testing.assert_array_equal(np.asarray(got, np.int32), want)
+
     def test_tts_pipeline_with_int8_weights(self):
         """The fused TTS pipeline picks up the quantized AR view end-to-end."""
         from valle2_tpu.tts import ValleTTS
