@@ -168,6 +168,39 @@ class TestHTTPStreaming:
             finally:
                 httpd.shutdown()
 
+    def test_stream_rejects_nonpositive_chunk_frames(self):
+        """chunk_frames=0 would spin forever holding the stream lock — must be
+        a call-time ValueError and an HTTP 400, never a hang."""
+        tts1 = ValleTTS(tiny_cfg(num_beams=1))
+        text, pt, pc = make_requests(1, seed=12)[0]
+        with TTSServer(tts1, max_batch=2, max_wait_ms=0.0) as server:
+            with pytest.raises(ValueError, match='chunk_frames'):
+                server.stream(text, pt, pc, chunk_frames=0)   # eager validation
+            httpd = serve_http(server, port=0, block=False)
+            try:
+                base = f'http://127.0.0.1:{httpd.server_address[1]}'
+                body = json.dumps({'text': text, 'prompt_tokens': pt.tolist(),
+                                   'prompt_codes': pc.tolist(),
+                                   'chunk_frames': 0}).encode()
+                req = urllib.request.Request(f'{base}/stream', data=body)
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=30)
+                assert ei.value.code == 400
+            finally:
+                httpd.shutdown()
+
+    def test_stream_counts_in_stats(self):
+        tts1 = ValleTTS(tiny_cfg(num_beams=1))
+        text, pt, pc = make_requests(1, seed=13)[0]
+        with TTSServer(tts1, max_batch=2, max_wait_ms=0.0) as server:
+            chunks = list(server.stream(text, pt, pc, chunk_frames=5,
+                                        lookahead_frames=3))
+            stats = server.stats()
+        assert stats['requests'] == 1
+        secs = sum(len(c) for c in chunks) / tts1.codec.sampling_rate
+        assert abs(stats['audio_seconds'] - secs) < 1e-6
+        assert stats['errors'] == 0
+
     def test_stream_rejected_with_beams(self, tts):
         """num_beams != 1 → 400, before any audio bytes."""
         text, pt, pc = make_requests(1, seed=11)[0]
@@ -213,7 +246,7 @@ class TestServeCLI:
                 break
             except Exception:
                 _time.sleep(0.1)
-        assert last == b'ok'
+        assert last == b'ok', f'server did not come up on port {port}'
 
 
 class TestConcurrentSubmitters:

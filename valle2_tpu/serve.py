@@ -21,9 +21,11 @@ Design:
 - ``serve_http`` exposes the server over stdlib HTTP (JSON in, WAV out) for
   production use without any extra dependency.
 
-TPU-first notes: the worker thread is the ONLY thread touching the device, so
-there is no cross-thread dispatch contention; padding rows repeat request 0 and
-their outputs are dropped on the host side.
+Threading model: batch requests dispatch from the single worker thread;
+long-form streams (``stream()``/``POST /stream``) dispatch from their caller's
+thread, serialized against each other by a stream lock.  JAX dispatch is
+thread-safe and the device interleaves the programs.  Padding rows repeat
+request 0 and their outputs are dropped on the host side.
 """
 
 from __future__ import annotations
@@ -184,21 +186,50 @@ class TTSServer:
 
     def stream(self, text: str, prompt_tokens, prompt_codes,
                chunk_frames: int = 75, lookahead_frames: int = 38):
-        """Long-form streaming synthesis: yields float32 waveform chunks while
-        the decode runs (ValleTTS.synthesize_streaming semantics — constant
+        """Long-form streaming synthesis: returns a generator of float32
+        waveform chunks produced while the decode runs
+        (ValleTTS.synthesize_streaming semantics — constant
         time-to-first-audio).  Requires ``num_beams == 1``.  One stream at a
         time (a second caller blocks on the stream lock); batch requests
-        continue on the worker thread concurrently."""
+        continue on the worker thread concurrently.  Validation happens HERE,
+        at call time — not at first iteration."""
         if self.tts.config.num_beams != 1:
             raise ValueError('streaming requires num_beams=1 '
                              f'(server config has {self.tts.config.num_beams})')
+        if int(chunk_frames) < 1:
+            # advance(0) makes no progress: an unvalidated 0 would spin forever
+            # holding the stream lock (a one-request denial of service).
+            raise ValueError(f'chunk_frames must be >= 1, got {chunk_frames}')
+        if int(lookahead_frames) < 0:
+            raise ValueError(
+                f'lookahead_frames must be >= 0, got {lookahead_frames}')
         if self._stop.is_set():
             raise RuntimeError('server is stopped')
-        with self._stream_lock:
-            yield from self.tts.synthesize_streaming(
-                text, np.asarray(prompt_tokens, np.int32),
-                np.asarray(prompt_codes, np.int32),
-                chunk_frames=chunk_frames, lookahead_frames=lookahead_frames)
+        pt = np.asarray(prompt_tokens, np.int32)
+        pc = np.asarray(prompt_codes, np.int32)
+
+        def gen():
+            t0 = time.perf_counter()
+            emitted = 0.0
+            sr = self.tts.codec.sampling_rate
+            with self._stream_lock:
+                try:
+                    for chunk in self.tts.synthesize_streaming(
+                            text, pt, pc, chunk_frames=int(chunk_frames),
+                            lookahead_frames=int(lookahead_frames)):
+                        emitted += len(chunk) / sr
+                        yield chunk
+                except Exception:      # GeneratorExit (client gone) ≠ error
+                    with self._stats_lock:
+                        self._stats.errors += 1
+                    raise
+                finally:
+                    with self._stats_lock:
+                        self._stats.requests += 1
+                        self._stats.audio_seconds += emitted
+                        self._stats.latencies_ms.append(
+                            (time.perf_counter() - t0) * 1e3)
+        return gen()
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -319,6 +350,11 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
     sr = server.tts.codec.sampling_rate
 
     class Handler(BaseHTTPRequestHandler):
+        # Chunked transfer (POST /stream) requires HTTP/1.1 on the status line
+        # — strict clients reject Transfer-Encoding on an HTTP/1.0 response.
+        # Safe for the plain routes: _send always emits Content-Length.
+        protocol_version = 'HTTP/1.1'
+
         def log_message(self, *args):      # quiet
             pass
 
@@ -338,20 +374,18 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             else:
                 self._send(404, b'not found', 'text/plain')
 
-        def _do_stream(self, payload):
+        def _do_stream(self, text, pt, pc, payload):
             """Chunked-transfer raw PCM16 (audio/L16) from the streaming path.
             The first chunk is produced BEFORE headers go out so setup errors
             still map to proper status codes; after that, a mid-stream failure
             truncates the chunked body (the client sees a short read)."""
             try:
                 gen = server.stream(
-                    payload['text'],
-                    np.asarray(payload['prompt_tokens'], np.int32),
-                    np.asarray(payload['prompt_codes'], np.int32),
+                    text, pt, pc,
                     chunk_frames=int(payload.get('chunk_frames', 75)),
                     lookahead_frames=int(payload.get('lookahead_frames', 38)))
                 first = next(gen, None)
-            except (KeyError, ValueError) as exc:  # bad args / num_beams != 1
+            except (KeyError, ValueError, TypeError) as exc:  # bad args/beams
                 self._send(400, str(exc).encode(), 'text/plain')
                 return
             except RuntimeError as exc:
@@ -397,7 +431,7 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
                 self._send(400, str(exc).encode(), 'text/plain')
                 return
             if self.path == '/stream':
-                self._do_stream(payload)
+                self._do_stream(text, pt, pc, payload)
                 return
             try:
                 result = server.synthesize(text, pt, pc)
