@@ -48,8 +48,11 @@ class TestFrontendProperties:
 
 
 class TestSamplingProperties:
+    # allow_subnormal=False throughout: XLA flushes subnormals to zero on
+    # device, so a host-side comparison against the unflushed value reports a
+    # phantom violation (e.g. -3.2e-39 ties a 0.0 threshold on device).
     @given(hnp.arrays(np.float32, (4, 64),
-                      elements=st.floats(-30, 30, width=32)))
+                      elements=st.floats(-30, 30, width=32, allow_subnormal=False)))
     @settings(max_examples=60, deadline=None)
     def test_samples_come_from_topk_support(self, logits):
         """With top_p=1, every sample is one of the top-k logits of its row."""
@@ -67,7 +70,7 @@ class TestSamplingProperties:
         assert np.all(np.asarray(logprobs) <= 1e-6)   # log-probabilities
 
     @given(hnp.arrays(np.float32, (3, 32),
-                      elements=st.floats(-30, 30, width=32)),
+                      elements=st.floats(-30, 30, width=32, allow_subnormal=False)),
            st.integers(0, 2 ** 31 - 1))
     @settings(max_examples=60, deadline=None)
     def test_temperature_zero_is_argmax(self, logits, seed):
@@ -84,9 +87,9 @@ class TestSamplingProperties:
 
 class TestQuantizeProperties:
     @given(hnp.arrays(np.float32, (6, 32),
-                      elements=st.floats(-4, 4, width=32)),
+                      elements=st.floats(-4, 4, width=32, allow_subnormal=False)),
            hnp.arrays(np.float32, (32, 16),
-                      elements=st.floats(-4, 4, width=32)))
+                      elements=st.floats(-4, 4, width=32, allow_subnormal=False)))
     @settings(max_examples=40, deadline=None)
     def test_int8_matmul_error_envelope(self, x, w):
         """|int8_matmul - x@w| <= sum of the worst-case weight and activation

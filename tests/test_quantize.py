@@ -97,9 +97,11 @@ class TestQuantizedDecode:
         with pytest.raises(ValueError):
             cfg(weight_dtype='int4')
 
-    def test_fused_gate_off_for_int8(self):
+    def test_fused_gate_honors_forced_int8(self):
+        """int8 weights are fusable (s8 in-kernel dots): forcing the kernel on
+        keeps it on, and the auto gate budgets int8 at half the weight bytes."""
         c = cfg(weight_dtype='int8', use_fused_decode=True)
-        assert ar_mod._fused_gate(c, rows=2, total_max=64) is False
+        assert ar_mod._fused_gate(c, rows=2, total_max=64) is True
 
     def test_quantized_forward_close_to_dense(self):
         """Training-shape forward through quantized decode params tracks the

@@ -137,6 +137,21 @@ def _layernorm(x, scale, bias, eps=1e-5):
     return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _q8_dot(x32, wq, scale_row):
+    """``x @ dequant(wq)`` with dynamic per-row int8 activation quantization —
+    the in-kernel twin of quantize.int8_matmul (same rounding: f32 activation
+    scale, f32 rescale), so the fused int8-weight path matches the XLA int8
+    path's numerics.  The dot runs s8 x s8 -> s32 on the MXU (2x the bf16
+    rate) while streaming HALF the weight bytes.
+    x32: (m, din) f32; wq: (din, dout) int8; scale_row: (dout,) f32."""
+    ax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * sx * scale_row
+
+
 def _fake_quant_row(x_row, n_heads: int):
     """quantize→dequantize roundtrip of a (1, d) head-major row, per-head
     scales — EXACTLY the int8 cache's view of a freshly written slot:
@@ -161,13 +176,19 @@ def _fake_quant_row(x_row, n_heads: int):
 def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
             n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref, ck_ref, cv_ref,
             *rest, n_heads: int, ttm: int, pm: int, rows: int, seq: int,
-            chunk: int, quant: bool):
+            chunk: int, quant: bool, quant_w: bool):
+    rest = list(rest)
+    if quant_w:
+        # int8 weight mode: qkv/out/f1/f2 refs above are int8, these are their
+        # per-output-channel scales.
+        qkvs_ref, outs_ref, f1s_ref, f2s_ref = rest[:4]
+        del rest[:4]
     if quant:
-        (cks_ref, cvs_ref, y_ref, knew_ref, vnew_ref,
-         q_s, acc_s, m_s, l_s) = rest
+        cks_ref, cvs_ref = rest[:2]
+        del rest[:2]
     else:
         cks_ref = cvs_ref = None
-        y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest
+    y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest
     l = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = seq // chunk
@@ -194,8 +215,11 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
         x = y_ref[...].astype(jnp.float32)                   # (rows, d)
         h1 = _layernorm(x, n1s_ref[0, 0].astype(jnp.float32),
                         n1b_ref[0, 0].astype(jnp.float32))
-        qkv = jnp.dot(h1.astype(x_ref.dtype), qkv_ref[0],
-                      preferred_element_type=jnp.float32)    # (rows, 3d)
+        if quant_w:
+            qkv = _q8_dot(h1, qkv_ref[0], qkvs_ref[0, 0].astype(jnp.float32))
+        else:
+            qkv = jnp.dot(h1.astype(x_ref.dtype), qkv_ref[0],
+                          preferred_element_type=jnp.float32)  # (rows, 3d)
         q_s[...] = qkv[:, :d] * scale
         knew_ref[0] = qkv[:, d:2 * d].astype(knew_ref.dtype)
         vnew_ref[0] = qkv[:, 2 * d:].astype(vnew_ref.dtype)
@@ -281,15 +305,27 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
             inv_vec = jnp.sum(inv * head_mask, axis=0, keepdims=True)   # (1, d)
             rows_out.append(acc_s[r:r + 1, :] * inv_vec)
         attn = jnp.concatenate(rows_out, axis=0)             # (rows, d)
-        x = x + (jnp.dot(attn.astype(x_ref.dtype), outw_ref[0],
-                         preferred_element_type=jnp.float32) + outb_ref[0, 0])
+        if quant_w:
+            o = _q8_dot(attn, outw_ref[0], outs_ref[0, 0].astype(jnp.float32))
+        else:
+            o = jnp.dot(attn.astype(x_ref.dtype), outw_ref[0],
+                        preferred_element_type=jnp.float32)
+        x = x + (o + outb_ref[0, 0])
         h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
                         n2b_ref[0, 0].astype(jnp.float32))
-        hmid = jnp.dot(h2.astype(x_ref.dtype), f1w_ref[0],
-                       preferred_element_type=jnp.float32) + f1b_ref[0, 0]
+        if quant_w:
+            hmid = _q8_dot(h2, f1w_ref[0], f1s_ref[0, 0].astype(jnp.float32)) \
+                + f1b_ref[0, 0]
+        else:
+            hmid = jnp.dot(h2.astype(x_ref.dtype), f1w_ref[0],
+                           preferred_element_type=jnp.float32) + f1b_ref[0, 0]
         hmid = _gelu_exact(hmid)
-        x = x + (jnp.dot(hmid.astype(x_ref.dtype), f2w_ref[0],
-                         preferred_element_type=jnp.float32) + f2b_ref[0, 0])
+        if quant_w:
+            f2 = _q8_dot(hmid, f2w_ref[0], f2s_ref[0, 0].astype(jnp.float32))
+        else:
+            f2 = jnp.dot(hmid.astype(x_ref.dtype), f2w_ref[0],
+                         preferred_element_type=jnp.float32)
+        x = x + (f2 + f2b_ref[0, 0])
         y_ref[...] = x.astype(y_ref.dtype)
 
 
@@ -311,6 +347,7 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     num_layers, rows, seq, d = cache.k.shape
     h = n_heads
     quant = cache.k_scale is not None
+    quant_w = 'q' in p['attn']['qkv']      # int8 weights (quantize.py layout)
     chunk = _pick_chunk(seq)
     n_chunks = seq // chunk
     x2 = x[:, 0, :]
@@ -319,7 +356,8 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
                             jnp.asarray(codes_lens, jnp.int32).reshape(rows)])
 
     kernel = functools.partial(_kernel, n_heads=n_heads, ttm=ttm, pm=pm,
-                               rows=rows, seq=seq, chunk=chunk, quant=quant)
+                               rows=rows, seq=seq, chunk=chunk, quant=quant,
+                               quant_w=quant_w)
     interpret = jax.default_backend() != 'tpu'
     layer_spec = lambda *shape: pl.BlockSpec(
         (1, *shape), lambda l, c, meta: (l,) + (0,) * len(shape))
@@ -330,31 +368,55 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
         (1, rows, chunk, width),
         lambda l, c, meta: (l, 0, jnp.minimum(c, meta[0] // chunk), 0))
 
+    wkey = 'q' if quant_w else 'w'        # int8 weights carry 'q' + 'scale'
+    qkv_w, out_w = p['attn']['qkv'][wkey], p['attn']['out'][wkey]
+    f1_w, f2_w = p['ffn']['lin1'][wkey], p['ffn']['lin2'][wkey]
+    dff = f1_w.shape[-1]
     in_specs = [
         const_spec,                                   # x
         layer_spec(1, d), layer_spec(1, d),           # norm1 scale/bias
         layer_spec(d, 3 * d),                         # qkv w
         layer_spec(d, d), layer_spec(1, d),           # out w, b
         layer_spec(1, d), layer_spec(1, d),           # norm2 scale/bias
-        layer_spec(d, p['ffn']['lin1']['w'].shape[-1]),  # ffn1 w
-        layer_spec(1, p['ffn']['lin1']['w'].shape[-1]),  # ffn1 b
-        layer_spec(p['ffn']['lin2']['w'].shape[-2], d),  # ffn2 w
+        layer_spec(d, dff),                           # ffn1 w
+        layer_spec(1, dff),                           # ffn1 b
+        layer_spec(dff, d),                           # ffn2 w
         layer_spec(1, d),                             # ffn2 b
         cache_spec(d),                                # cache k
         cache_spec(d),                                # cache v
     ]
     inputs = [meta, x2,
               p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
-              p['attn']['qkv']['w'],
-              p['attn']['out']['w'], p['attn']['out']['b'][:, None],
+              qkv_w,
+              out_w, p['attn']['out']['b'][:, None],
               p['norm2']['scale'][:, None], p['norm2']['bias'][:, None],
-              p['ffn']['lin1']['w'], p['ffn']['lin1']['b'][:, None],
-              p['ffn']['lin2']['w'], p['ffn']['lin2']['b'][:, None],
+              f1_w, p['ffn']['lin1']['b'][:, None],
+              f2_w, p['ffn']['lin2']['b'][:, None],
               cache.k, cache.v]
+    if quant_w:
+        in_specs += [layer_spec(1, 3 * d), layer_spec(1, d),
+                     layer_spec(1, dff), layer_spec(1, d)]
+        inputs += [p['attn']['qkv']['scale'][:, None],
+                   p['attn']['out']['scale'][:, None],
+                   p['ffn']['lin1']['scale'][:, None],
+                   p['ffn']['lin2']['scale'][:, None]]
     if quant:
         in_specs += [cache_spec(h), cache_spec(h)]
         inputs += [cache.k_scale, cache.v_scale]
     new_dtype = x.dtype if quant else cache.k.dtype
+
+    # Mosaic's default scoped-VMEM budget is 16 MB, far under the 128 MB a v5e
+    # core has.  Size the limit from the actual double-buffered block set so
+    # big-config layers (204M: ~22 MB of bf16 weights/layer) fit: 2x streamed
+    # ins (weights + cache chunk) + resident outs/scratch + slack.
+    wbytes = (qkv_w.nbytes + out_w.nbytes + f1_w.nbytes + f2_w.nbytes) \
+        // num_layers
+    cbytes = rows * chunk * (2 * d + (2 * h if quant else 0)) * \
+        jnp.dtype(cache.k.dtype).itemsize
+    resident = (3 * rows * d * 4) + 2 * num_layers * rows * d * 2
+    vmem_limit = int(min(110 * 2 ** 20,
+                         max(32 * 2 ** 20,
+                             2 * (wbytes + cbytes) + resident + 8 * 2 ** 20)))
 
     y, k_new, v_new = pl.pallas_call(
         kernel,
@@ -379,6 +441,7 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
             jax.ShapeDtypeStruct((num_layers, rows, d), new_dtype),
             jax.ShapeDtypeStruct((num_layers, rows, d), new_dtype),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(*inputs)
 

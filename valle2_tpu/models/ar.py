@@ -184,20 +184,21 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     chunk_est = min(total_max, env_chunk() or total_max)
     cache_block_bytes = (rows * config.n_heads * chunk_est * config.head_dim
                          * 2 * cache_dtype.itemsize)
-    # One layer's weights must be VMEM-resident alongside the cache blocks:
-    # measured at d=1024 (qkv 6M + ffn 16M + out 2M bf16) the kernel exceeds
-    # the 16M scoped-vmem budget regardless of cache chunking (BENCHMARKS.md).
+    # One layer's (double-buffered) weights + cache blocks must fit the raised
+    # Mosaic VMEM limit the kernel requests (fused_decode_step sizes it from
+    # the block set, capped at 110 MB of the v5e core's 128 MB).  int8 weights
+    # (quantize.py) halve the streamed bytes — the kernel runs them as s8xs8
+    # MXU dots with in-kernel activation quantization.
     d = config.d_model
-    weight_bytes = (4 * d * d + 2 * d * config.dim_feedforward) * 2
-    if config.weight_dtype == 'int8':
-        # The fused kernel reads dense float weights; int8-weight decode is an
-        # XLA-path feature (quantize.py) — never fuse, even if forced.
-        return False
+    w_item = 1 if config.weight_dtype == 'int8' else 2
+    weight_bytes = (4 * d * d + 2 * d * config.dim_feedforward) * w_item
+    # cache_block_bytes already counts k+v; double-buffer everything streamed.
+    vmem_need = 2 * (weight_bytes + cache_block_bytes) + 16 * 1024 * 1024
     if config.use_fused_decode == 'auto':
         return (jax.default_backend() == 'tpu'
                 and config.matmul_precision != 'highest'
                 and cache_block_bytes <= 8 * 1024 * 1024
-                and weight_bytes <= 6 * 1024 * 1024)
+                and vmem_need <= 110 * 1024 * 1024)
     return bool(config.use_fused_decode)
 
 

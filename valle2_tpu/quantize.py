@@ -8,6 +8,11 @@ The reference has no quantization story at all (pure f32 torch,
 /root/reference/valle/models/modules.py); this is a TPU-serving capability, not
 a parity surface.
 
+Both decode paths consume this layout: the XLA path through the
+``ops.nn.linear`` dispatch, and the fused whole-stack kernel via in-kernel
+s8×s8 dots with the same activation-quant rounding
+(``kernels/fused_decode._q8_dot``).
+
 Scheme (weight-only, dynamic activation quantization):
 
 - **Weights**: per-output-channel symmetric int8 — ``scale[o] =
