@@ -310,12 +310,12 @@ class TestFusedDecode:
         the FIRST chunk (later chunks skipped) and in the last."""
         from valle2_tpu.ops.transformer import KVCache, transformer_decode_step, \
             transformer_init
-        from valle2_tpu.kernels.fused_decode import (_pick_chunk,
+        from valle2_tpu.kernels.fused_decode import (pick_chunk,
                                                      fused_cache_layout,
                                                      fused_decode_step)
         monkeypatch.setenv('VALLE2_FUSED_CHUNK', '128')
         L, rows, h, hd, dff, S = 2, 2, 2, 16, 64, 256
-        assert _pick_chunk(S) == 128 and S // 128 == 2
+        assert pick_chunk(S, rows, h * 16, h, 4, False) == 128 and S // 128 == 2
         d = h * hd
         ttm, pm = 8, 16
         p = transformer_init(jax.random.key(0), L, d, h, dff, adaptive_norm=False)
@@ -498,3 +498,23 @@ class TestAdaLNKernel:
         assert got.dtype == jnp.bfloat16
         np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                    np.asarray(want), atol=0.05)
+
+
+class TestPickChunk:
+    def test_whole_seq_when_block_fits(self):
+        from valle2_tpu.kernels.fused_decode import pick_chunk
+        # default scale: 4 rows x d=256 bf16 -> well under the 8 MB cap
+        assert pick_chunk(728, 4, 256, 4, 2, False) == 728
+
+    def test_auto_chunks_oversize_blocks(self):
+        from valle2_tpu.kernels.fused_decode import pick_chunk, BLOCK_BYTES_CAP
+        # 204M at 4 beams: per-slot = 4*(2*1024)*2 = 16 KiB -> chunk 512
+        chunk = pick_chunk(1734, 4, 1024, 16, 2, False)
+        assert chunk == 512
+        assert chunk % 128 == 0
+        assert 4 * (2 * 1024) * 2 * chunk <= BLOCK_BYTES_CAP
+
+    def test_env_override_wins(self, monkeypatch):
+        from valle2_tpu.kernels.fused_decode import pick_chunk
+        monkeypatch.setenv('VALLE2_FUSED_CHUNK', '256')
+        assert pick_chunk(1734, 4, 1024, 16, 2, False) == 256

@@ -60,26 +60,35 @@ DEFAULT_CHUNK = 256  # cache slots per grid step when chunking is forced
 
 
 def env_chunk() -> int | None:
-    """``VALLE2_FUSED_CHUNK`` opt-in chunk size (see _pick_chunk)."""
+    """``VALLE2_FUSED_CHUNK`` override chunk size (see pick_chunk)."""
     import os
     val = os.environ.get('VALLE2_FUSED_CHUNK')
     return int(val) if val else None
 
 
-def _pick_chunk(seq: int) -> int:
-    """Cache slots per grid step.  Default: whole-``seq`` (single chunk).
+BLOCK_BYTES_CAP = 8 * 1024 * 1024   # per-chunk k+v VMEM block budget
 
-    Chunking with a clamped index map skips the DMA + compute of slots past the
-    current index — but MEASURED NEGATIVE on the target runtime (BENCHMARKS.md
-    r2: 339 vs 322 µs/step unfused vs 272 whole-S fused; the ~3x extra grid
-    steps cost more than the skipped cache bytes save at this scale).  The
-    machinery stays opt-in via ``VALLE2_FUSED_CHUNK`` for runtimes with cheaper
-    grid sequencing or much longer caches; callers must pad the cache length to
-    a multiple of the requested chunk (ar._decode_fn does)."""
+
+def pick_chunk(seq: int, rows: int, d: int, n_heads: int,
+               cache_itemsize: int, quant: bool) -> int:
+    """Cache slots per grid step.
+
+    Whole-``seq`` (single chunk) whenever the k+v block fits BLOCK_BYTES_CAP —
+    chunking measured NEGATIVE/neutral at small per-chunk compute (BENCHMARKS
+    r2: default scale AND S≈2.3k).  When the whole-S block is too big (large
+    rows×d, e.g. 204M at num_beams=4: 28 MB), auto-chunk to the largest
+    lane-aligned chunk under the cap — measured 1.59x over the XLA path there
+    (the per-chunk compute is large enough to amortize the grid steps).
+    ``VALLE2_FUSED_CHUNK`` overrides.  Callers pad the cache length to a chunk
+    multiple (ar._decode_prefill does)."""
     forced = env_chunk()
-    if forced is not None and 0 < forced < seq and seq % forced == 0:
+    if forced is not None and 0 < forced < seq:
         return forced
-    return seq
+    per_slot = rows * (2 * d + (2 * n_heads if quant else 0)) * cache_itemsize
+    if seq * per_slot <= BLOCK_BYTES_CAP:
+        return seq
+    chunk = max(128, (BLOCK_BYTES_CAP // per_slot) // 128 * 128)
+    return min(chunk, seq)
 
 
 def fused_cache_layout(cache):
@@ -348,7 +357,10 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     h = n_heads
     quant = cache.k_scale is not None
     quant_w = 'q' in p['attn']['qkv']      # int8 weights (quantize.py layout)
-    chunk = _pick_chunk(seq)
+    chunk = pick_chunk(seq, rows, d, n_heads,
+                       1 if quant else jnp.dtype(cache.k.dtype).itemsize, quant)
+    if seq % chunk:
+        chunk = seq        # caller didn't pad (direct kernel use) — whole-S
     n_chunks = seq // chunk
     x2 = x[:, 0, :]
     meta = jnp.concatenate([jnp.asarray(index, jnp.int32).reshape(1),

@@ -179,9 +179,13 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     the unfused path — the kernel's rounding points differ at the bit level
     (interpret-mode parity is exact; TPU bf16 parity is distribution-level).
     """
-    from ..kernels.fused_decode import env_chunk
+    from ..kernels.fused_decode import pick_chunk
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
-    chunk_est = min(total_max, env_chunk() or total_max)
+    quant = cache_dtype == jnp.int8
+    # Same chunk choice the kernel will make (auto-chunks oversize blocks —
+    # 204M at 4 beams measured 1.59x over XLA with the 8 MB-capped chunks).
+    chunk_est = pick_chunk(total_max, rows, config.d_model, config.n_heads,
+                           1 if quant else cache_dtype.itemsize, quant)
     cache_block_bytes = (rows * config.n_heads * chunk_est * config.head_dim
                          * 2 * cache_dtype.itemsize)
     # One layer's (double-buffered) weights + cache blocks must fit the raised
@@ -226,15 +230,20 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     rows = b * beams
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
 
-    from ..kernels.fused_decode import env_chunk
+    from ..kernels.fused_decode import pick_chunk
     use_fused = _fused_gate(config, rows, total_max)
-    if use_fused and env_chunk():
-        # Opt-in chunked prefix skip (VALLE2_FUSED_CHUNK, measured negative on
-        # this runtime — kernels/fused_decode._pick_chunk): the kernel needs the
-        # cache length to tile into whole chunks; padded slots are never fetched
-        # (clamped index map) and the attend formula masks them anyway.
-        chunk_est = min(total_max, env_chunk() or total_max)
-        total_max = -(-total_max // chunk_est) * chunk_est
+    if use_fused:
+        # The kernel chunks oversize cache blocks (auto when whole-S exceeds
+        # the 8 MB VMEM block cap; VALLE2_FUSED_CHUNK overrides —
+        # kernels/fused_decode.pick_chunk) and needs the cache length to tile
+        # into whole chunks; padded slots are never fetched (clamped index
+        # map) and the attend formula masks them anyway.
+        chunk_est = pick_chunk(
+            total_max, rows, config.d_model, config.n_heads,
+            1 if cache_dtype == jnp.int8 else cache_dtype.itemsize,
+            cache_dtype == jnp.int8)
+        if chunk_est < total_max:
+            total_max = -(-total_max // chunk_est) * chunk_est
     pe = sinusoidal_table(MAX_POS, config.d_model)
     n_heads = config.n_heads
     dtype = jnp.dtype(config.dtype)
