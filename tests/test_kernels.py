@@ -302,6 +302,8 @@ class TestFusedDecode:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(got_cache.k),
                                    np.asarray(want_cache.k), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_cache.v),
+                                   np.asarray(want_cache.v), atol=1e-5)
 
     def test_fused_step_chunked_matches_unfused(self, monkeypatch):
         """VALLE2_FUSED_CHUNK routes the chunked online-softmax path with the
@@ -501,13 +503,15 @@ class TestAdaLNKernel:
 
 
 class TestPickChunk:
-    def test_whole_seq_when_block_fits(self):
+    def test_whole_seq_when_block_fits(self, monkeypatch):
         from valle2_tpu.kernels.fused_decode import pick_chunk
+        monkeypatch.delenv('VALLE2_FUSED_CHUNK', raising=False)
         # default scale: 4 rows x d=256 bf16 -> well under the 8 MB cap
         assert pick_chunk(728, 4, 256, 4, 2, False) == 728
 
-    def test_auto_chunks_oversize_blocks(self):
+    def test_auto_chunks_oversize_blocks(self, monkeypatch):
         from valle2_tpu.kernels.fused_decode import pick_chunk, BLOCK_BYTES_CAP
+        monkeypatch.delenv('VALLE2_FUSED_CHUNK', raising=False)
         # 204M at 4 beams: per-slot = 4*(2*1024)*2 = 16 KiB -> chunk 512
         chunk = pick_chunk(1734, 4, 1024, 16, 2, False)
         assert chunk == 512

@@ -84,11 +84,23 @@ def pick_chunk(seq: int, rows: int, d: int, n_heads: int,
     forced = env_chunk()
     if forced is not None and 0 < forced < seq:
         return forced
-    per_slot = rows * (2 * d + (2 * n_heads if quant else 0)) * cache_itemsize
+    # k+v at cache_itemsize bytes each; int8 mode adds per-(slot, head) k/v
+    # scales stored bfloat16 (2 bytes each — quantize_kv_rowmajor).
+    per_slot = (rows * 2 * d * cache_itemsize
+                + (rows * 4 * n_heads if quant else 0))
     if seq * per_slot <= BLOCK_BYTES_CAP:
         return seq
     chunk = max(128, (BLOCK_BYTES_CAP // per_slot) // 128 * 128)
     return min(chunk, seq)
+
+
+def chunk_for(seq: int, rows: int, d: int, n_heads: int, cache_dtype) -> int:
+    """pick_chunk with itemsize/quant derived from the cache dtype — the ONE
+    derivation shared by the gate, the prefill padding, and the kernel, so
+    their chunk choices can never drift apart."""
+    cd = jnp.dtype(cache_dtype)
+    quant = cd == jnp.int8
+    return pick_chunk(seq, rows, d, n_heads, 1 if quant else cd.itemsize, quant)
 
 
 def fused_cache_layout(cache):
@@ -357,10 +369,13 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     h = n_heads
     quant = cache.k_scale is not None
     quant_w = 'q' in p['attn']['qkv']      # int8 weights (quantize.py layout)
-    chunk = pick_chunk(seq, rows, d, n_heads,
-                       1 if quant else jnp.dtype(cache.k.dtype).itemsize, quant)
+    chunk = chunk_for(seq, rows, d, n_heads, cache.k.dtype)
     if seq % chunk:
-        chunk = seq        # caller didn't pad (direct kernel use) — whole-S
+        # Falling back to whole-S here would re-create the Mosaic VMEM OOM
+        # that chunking exists to prevent — fail informatively instead.
+        raise ValueError(
+            f'cache length {seq} is not a multiple of the required chunk '
+            f'{chunk}; pad the cache to a multiple (ar._decode_prefill does)')
     n_chunks = seq // chunk
     x2 = x[:, 0, :]
     meta = jnp.concatenate([jnp.asarray(index, jnp.int32).reshape(1),
@@ -423,8 +438,8 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     # ins (weights + cache chunk) + resident outs/scratch + slack.
     wbytes = (qkv_w.nbytes + out_w.nbytes + f1_w.nbytes + f2_w.nbytes) \
         // num_layers
-    cbytes = rows * chunk * (2 * d + (2 * h if quant else 0)) * \
-        jnp.dtype(cache.k.dtype).itemsize
+    cbytes = (rows * chunk * 2 * d * jnp.dtype(cache.k.dtype).itemsize
+              + (rows * chunk * 4 * h if quant else 0))   # bf16 k/v scales
     resident = (3 * rows * d * 4) + 2 * num_layers * rows * d * 2
     vmem_limit = int(min(110 * 2 ** 20,
                          max(32 * 2 ** 20,

@@ -179,15 +179,17 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     the unfused path — the kernel's rounding points differ at the bit level
     (interpret-mode parity is exact; TPU bf16 parity is distribution-level).
     """
-    from ..kernels.fused_decode import pick_chunk
+    from ..kernels.fused_decode import chunk_for
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
     quant = cache_dtype == jnp.int8
     # Same chunk choice the kernel will make (auto-chunks oversize blocks —
     # 204M at 4 beams measured 1.59x over XLA with the 8 MB-capped chunks).
-    chunk_est = pick_chunk(total_max, rows, config.d_model, config.n_heads,
-                           1 if quant else cache_dtype.itemsize, quant)
+    chunk_est = chunk_for(total_max, rows, config.d_model, config.n_heads,
+                          cache_dtype)
     cache_block_bytes = (rows * config.n_heads * chunk_est * config.head_dim
-                         * 2 * cache_dtype.itemsize)
+                         * 2 * (1 if quant else cache_dtype.itemsize)
+                         + (rows * chunk_est * 4 * config.n_heads
+                            if quant else 0))
     # One layer's (double-buffered) weights + cache blocks must fit the raised
     # Mosaic VMEM limit the kernel requests (fused_decode_step sizes it from
     # the block set, capped at 110 MB of the v5e core's 128 MB).  int8 weights
@@ -230,7 +232,7 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     rows = b * beams
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
 
-    from ..kernels.fused_decode import pick_chunk
+    from ..kernels.fused_decode import chunk_for
     use_fused = _fused_gate(config, rows, total_max)
     if use_fused:
         # The kernel chunks oversize cache blocks (auto when whole-S exceeds
@@ -238,10 +240,8 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
         # kernels/fused_decode.pick_chunk) and needs the cache length to tile
         # into whole chunks; padded slots are never fetched (clamped index
         # map) and the attend formula masks them anyway.
-        chunk_est = pick_chunk(
-            total_max, rows, config.d_model, config.n_heads,
-            1 if cache_dtype == jnp.int8 else cache_dtype.itemsize,
-            cache_dtype == jnp.int8)
+        chunk_est = chunk_for(total_max, rows, config.d_model, config.n_heads,
+                              cache_dtype)
         if chunk_est < total_max:
             total_max = -(-total_max // chunk_est) * chunk_est
     pe = sinusoidal_table(MAX_POS, config.d_model)
