@@ -522,3 +522,41 @@ class TestPickChunk:
         from valle2_tpu.kernels.fused_decode import pick_chunk
         monkeypatch.setenv('VALLE2_FUSED_CHUNK', '256')
         assert pick_chunk(1734, 4, 1024, 16, 2, False) == 256
+
+    def test_pick_chunk_invariants(self, monkeypatch):
+        """For any geometry: chunk divides into the cap (or is the 128 floor),
+        is lane-aligned, and never exceeds seq."""
+        from valle2_tpu.kernels.fused_decode import pick_chunk, BLOCK_BYTES_CAP
+        monkeypatch.delenv('VALLE2_FUSED_CHUNK', raising=False)
+        for rows in (1, 4, 8):
+            for d in (256, 1024, 2048):
+                for quant in (False, True):
+                    item = 1 if quant else 2
+                    seq = 4096
+                    c = pick_chunk(seq, rows, d, d // 64, item, quant)
+                    assert c <= seq and (c == seq or c % 128 == 0)
+                    per_slot = (rows * 2 * d * item
+                                + (rows * 4 * (d // 64) if quant else 0))
+                    if c < seq and c > 128:
+                        assert c * per_slot <= BLOCK_BYTES_CAP
+
+    def test_unpadded_oversize_seq_raises(self, monkeypatch):
+        """A cache length that needs chunking but isn't a chunk multiple must
+        fail loudly (silent whole-S would re-create the Mosaic VMEM OOM)."""
+        from valle2_tpu.ops.transformer import KVCache, transformer_init
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_decode_step,
+                                                     pick_chunk)
+        monkeypatch.delenv('VALLE2_FUSED_CHUNK', raising=False)
+        L, rows, h, hd, dff = 1, 8, 16, 64, 128
+        d = h * hd
+        S = 4000                      # per_slot 32 KiB -> chunk 256; 4000 % 256 != 0
+        assert pick_chunk(S, rows, d, h, 2, False) == 256
+        p = transformer_init(jax.random.key(0), L, d, h, dff, adaptive_norm=False)
+        cache = KVCache(jnp.zeros((L, rows, h, S, hd)),
+                        jnp.zeros((L, rows, h, S, hd)))
+        x = jnp.zeros((rows, 1, d))
+        with pytest.raises(ValueError, match='multiple'):
+            fused_decode_step(p, x, h, fused_cache_layout(cache), jnp.int32(10),
+                              jnp.zeros((rows,), jnp.int32),
+                              jnp.zeros((rows,), jnp.int32), 4, 4)
