@@ -101,6 +101,20 @@ class TestTTSServer:
             res = server.synthesize(*make_requests(1, seed=9)[0], timeout=300)
         assert res.waveform.ndim == 1
 
+    def test_stop_without_drain_fails_pending(self, tts):
+        """drain=False: queued-but-unserved requests get RuntimeError, never a
+        stranded Future."""
+        server = TTSServer(tts, max_batch=2, max_wait_ms=0.0)
+        futs = [server.submit(*r) for r in make_requests(3, seed=14)]
+        server.start()
+        server.stop(drain=False)
+        for f in futs:
+            try:
+                f.result(timeout=1)        # early ones may have been served
+            except RuntimeError as exc:
+                assert 'stopped' in str(exc)
+        assert all(f.done() for f in futs)
+
     def test_submit_after_stop_raises(self, tts):
         server = TTSServer(tts, max_batch=2)
         server.start()
