@@ -560,3 +560,18 @@ class TestPickChunk:
             fused_decode_step(p, x, h, fused_cache_layout(cache), jnp.int32(10),
                               jnp.zeros((rows,), jnp.int32),
                               jnp.zeros((rows,), jnp.int32), 4, 4)
+
+    def test_env_override_in_padding_window_converges(self, monkeypatch):
+        """An env-forced chunk that only becomes applicable AFTER auto-padding
+        (total < forced < padded) must reach a fixed point where the final
+        length is a multiple of the final chunk (ar._decode_prefill's loop)."""
+        import jax.numpy as jnp
+        from valle2_tpu.kernels.fused_decode import chunk_for
+        monkeypatch.setenv('VALLE2_FUSED_CHUNK', '1900')
+        total = 1800                       # auto chunk 256 -> pad 2048 -> env
+        for _ in range(3):                 # 1900 applies -> pad 3800 -> stable
+            c = chunk_for(total, 8, 1024, 16, jnp.bfloat16)
+            if c >= total or total % c == 0:
+                break
+            total = -(-total // c) * c
+        assert total % chunk_for(total, 8, 1024, 16, jnp.bfloat16) == 0

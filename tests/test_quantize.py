@@ -196,3 +196,46 @@ class TestQuantizedDecode:
                                    rs.randint(0, 1024, (5, 8)))
         assert res.waveform.ndim == 1 and len(res.waveform) % 320 == 0
         assert res.codes.shape[1] == 8
+
+
+class TestDecodeParamsCache:
+    def test_invalidates_on_transformer_rebinding(self):
+        """Replacing params['transformer'] in place (without rebinding the
+        outer dict) must re-quantize — stale int8 views mean wrong audio."""
+        c = cfg(weight_dtype='int8')
+        m = ValleAR(c, seed=8)
+        q1 = m.decode_params
+        fresh = ValleAR(c, seed=9)
+        m.params['transformer'] = fresh.params['transformer']
+        q2 = m.decode_params
+        assert q2 is not q1
+        np.testing.assert_array_equal(
+            np.asarray(q2['transformer']['attn']['qkv']['q']),
+            np.asarray(quantize_decode_params(fresh.params)
+                       ['transformer']['attn']['qkv']['q']))
+
+    def test_streaming_shares_quantized_view(self):
+        from valle2_tpu.tts import ValleTTS
+        c = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                        max_audio_len=12, num_beams=1, dropout=0.0,
+                        temperature=0.0, bucket_sizes=(32, 64),
+                        weight_dtype='int8')
+        tts = ValleTTS(c)
+        rs = np.random.RandomState(10)
+        chunks = list(tts.synthesize_streaming(
+            'hi.', rs.randint(0, 70, (4,)), rs.randint(0, 1024, (5, 8)),
+            chunk_frames=6, lookahead_frames=3))
+        assert len(chunks) >= 1
+        assert tts._stream_ar._qdecode is tts.ar.decode_params
+
+    def test_fused_gate_budgets_f32_weights(self, monkeypatch):
+        """f32 configs budget 4 bytes/weight: a 204M-scale f32 config must be
+        rejected by the auto gate where the bf16 twin passes."""
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        big = dict(d_model=1024, num_layers=16, n_heads=16,
+                   dim_feedforward=4096, num_audio_tokens=1024,
+                   max_audio_len=256, num_beams=1, dropout=0.0)
+        assert ar_mod._fused_gate(ConfigValle(dtype='bfloat16', **big),
+                                  rows=1, total_max=472) is True
+        assert ar_mod._fused_gate(ConfigValle(dtype='float32', **big),
+                                  rows=1, total_max=472) is False

@@ -196,7 +196,11 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     # (quantize.py) halve the streamed bytes — the kernel runs them as s8xs8
     # MXU dots with in-kernel activation quantization.
     d = config.d_model
-    w_item = 1 if config.weight_dtype == 'int8' else 2
+    # Weights stream at the decode COMPUTE dtype (_to_compute casts them), so
+    # f32 configs budget 4 bytes — not a hardcoded bf16 2 (a 2x VMEM
+    # undercount that would pass configs the kernel cannot compile).
+    w_item = 1 if config.weight_dtype == 'int8' \
+        else jnp.dtype(config.dtype).itemsize
     weight_bytes = (4 * d * d + 2 * d * config.dim_feedforward) * w_item
     # cache_block_bytes already counts k+v; double-buffer everything streamed.
     vmem_need = 2 * (weight_bytes + cache_block_bytes) + 16 * 1024 * 1024
@@ -240,9 +244,15 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
         # kernels/fused_decode.pick_chunk) and needs the cache length to tile
         # into whole chunks; padded slots are never fetched (clamped index
         # map) and the attend formula masks them anyway.
-        chunk_est = chunk_for(total_max, rows, config.d_model, config.n_heads,
-                              cache_dtype)
-        if chunk_est < total_max:
+        # Pad to a fixed point of the kernel's own chunk derivation: the
+        # kernel re-derives on the PADDED length, and an env-forced chunk in
+        # the window [total_max, padded) would otherwise be ignored here but
+        # honored there (auto chunks are length-independent — one pass).
+        for _ in range(3):
+            chunk_est = chunk_for(total_max, rows, config.d_model,
+                                  config.n_heads, cache_dtype)
+            if chunk_est >= total_max or total_max % chunk_est == 0:
+                break
             total_max = -(-total_max // chunk_est) * chunk_est
     pe = sinusoidal_table(MAX_POS, config.d_model)
     n_heads = config.n_heads
@@ -472,15 +482,21 @@ class ValleAR:
     def decode_params(self) -> Params:
         """Params for the decode/serving paths: ``self.params``, or their int8
         weight-quantized view when ``config.weight_dtype='int8'`` (quantize.py).
-        Re-quantized lazily whenever ``self.params`` is rebound (e.g. ``load``).
-        Works on a mesh too: parallel/mesh.py shards the 'q'/'scale' leaves by
-        the same Megatron rules as the dense weights they mirror."""
+        Re-quantized lazily whenever ``self.params`` (or its 'transformer'
+        entry) is rebound — ``load`` rebinds, and so does the common in-place
+        ``model.params['transformer'] = new``.  Mutating leaf ARRAYS in place
+        is not detectable; rebind the dict instead.  Works on a mesh too:
+        parallel/mesh.py shards the 'q'/'scale' leaves by the same Megatron
+        rules as the dense weights they mirror."""
         if self.config.weight_dtype != 'int8':
             return self.params
-        if self._qdecode_src is not self.params:
+        src = self._qdecode_src
+        if not (src is not None and src[0] is self.params
+                and src[1] is self.params['transformer']):
             from ..quantize import quantize_decode_params
             self._qdecode = quantize_decode_params(self.params)
-            self._qdecode_src = self.params
+            # Strong refs (not ids): identity stays valid for the cache's life.
+            self._qdecode_src = (self.params, self.params['transformer'])
         return self._qdecode
 
     @property

@@ -231,6 +231,14 @@ class ValleTTS:
         if getattr(self, '_stream_ar', None) is None:
             cfg1 = dataclasses.replace(self.config, num_beams=1)
             self._stream_ar = ValleAR(cfg1, params=self.ar.params)
+            if self.config.weight_dtype == 'int8':
+                # Share the main model's quantized view — a second
+                # quantize_decode_params would hold a duplicate int8 param
+                # tree on device (~100 MB at 204M) for the process lifetime.
+                self._stream_ar._qdecode = self.ar.decode_params
+                self._stream_ar._qdecode_src = (
+                    self._stream_ar.params,
+                    self._stream_ar.params['transformer'])
             prec = self.config.matmul_precision
 
             def _nar_wav(nar_p, cod_p, tokens, tl, pcodes, pl, first_layer,
