@@ -71,6 +71,37 @@ class TestDecodeStream:
             got.extend(new)
         np.testing.assert_array_equal(np.asarray(got, np.int32), want)
 
+    def test_streaming_validates_eagerly(self):
+        """Bad chunk/lookahead args raise at CALL time (a deferred generator
+        with chunk_frames=0 would spin forever)."""
+        from valle2_tpu.tts import ValleTTS
+        tts = ValleTTS(tiny_cfg())
+        rs = np.random.RandomState(8)
+        pt, pc = rs.randint(0, 70, (4,)), rs.randint(0, 1024, (5, 8))
+        with pytest.raises(ValueError, match='chunk_frames'):
+            tts.synthesize_streaming('x.', pt, pc, chunk_frames=0)
+        with pytest.raises(ValueError, match='lookahead'):
+            tts.synthesize_streaming('x.', pt, pc, lookahead_frames=-1)
+
+    def test_streaming_follows_params_rebind(self):
+        """tts.ar params rebinding (e.g. load()) must reach the cached
+        streaming model — stale weights would silently produce wrong audio."""
+        from valle2_tpu.tts import ValleTTS
+        tts = ValleTTS(tiny_cfg())
+        rs = np.random.RandomState(9)
+        pt, pc = rs.randint(0, 70, (4,)), rs.randint(0, 1024, (5, 8))
+        list(tts.synthesize_streaming('a.', pt, pc))     # warm the cache
+        fresh = ValleAR(tiny_cfg(), seed=123)
+        tts.ar.params = fresh.params                      # rebind (as load does)
+        got = np.concatenate(
+            list(tts.synthesize_streaming('a.', pt, pc)) or
+            [np.zeros(0, np.float32)])
+        tts2 = ValleTTS(tiny_cfg(), ar=ValleAR(tiny_cfg(), params=fresh.params))
+        want = np.concatenate(
+            list(tts2.synthesize_streaming('a.', pt, pc)) or
+            [np.zeros(0, np.float32)])
+        np.testing.assert_array_equal(got, want)
+
     def test_requires_single_beam(self):
         model = ValleAR(tiny_cfg(num_beams=2), seed=0)
         with pytest.raises(AssertionError):

@@ -91,6 +91,10 @@ class TestFusedPipeline:
         assert res.waveform.ndim == 1
         assert res.codes.shape[1] == 8
 
+    def test_empty_batch_returns_empty(self):
+        tts = ValleTTS(tiny_cfg())
+        assert tts.batch_synthesize([], [], []) == []
+
     def test_batch_synthesize_matches_singles(self):
         tts = ValleTTS(tiny_cfg())
         rs = np.random.RandomState(9)

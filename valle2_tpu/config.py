@@ -243,3 +243,13 @@ class ConfigValle:
         d['ckpt_path'] = str(d['ckpt_path'])
         d['log_path'] = str(d['log_path'])
         return d
+
+
+def bucket_len(bucket_sizes, n: int) -> int:
+    """Smallest bucket >= n, or n itself when none fits — THE bucketing rule
+    shared by every padding path (AR/NAR generate, fused TTS, streaming), so
+    compile-cache behavior can never diverge between them."""
+    for b in bucket_sizes:
+        if n <= b:
+            return b
+    return n

@@ -525,10 +525,8 @@ class ValleAR:
             self.params = ckptr.restore(Path(path).resolve(), item=self.params)
 
     def _bucket(self, n: int) -> int:
-        for bkt in self.config.bucket_sizes:
-            if n <= bkt:
-                return bkt
-        return n
+        from ..config import bucket_len
+        return bucket_len(self.config.bucket_sizes, n)
 
     def generate(self, prompt_tokens, prompt_codes, target_tokens=None,
                  rng: jax.Array | None = None, bucket: bool = True) -> jax.Array:

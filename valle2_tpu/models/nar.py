@@ -320,8 +320,10 @@ class ValleNAR:
         first = jnp.asarray(target_codes_first_layer, jnp.int32)
         tl, pl, nl = tokens.shape[0], prompt_codes.shape[0], first.shape[0]
         if bucket:
+            from ..config import bucket_len
+
             def bkt(n):
-                return next((b for b in self.config.bucket_sizes if n <= b), n)
+                return bucket_len(self.config.bucket_sizes, n)
             tokens = jnp.pad(tokens, (0, bkt(tl) - tl))
             prompt_codes = jnp.pad(prompt_codes, ((0, bkt(pl) - pl), (0, 0)))
             first = jnp.pad(first, (0, bkt(nl) - nl))

@@ -22,12 +22,12 @@ import numpy as np
 
 from . import codec as codec_mod
 from .codec import EncodecTPU
-from .config import ConfigValle
+from .config import ConfigValle, bucket_len
 from .data.frontend import PhonemeTokenizer
 from .models import ValleAR, ValleNAR
 from .models import ar as ar_mod
 from .models import nar as nar_mod
-from .utils import log_info, normalize_audio
+from .utils import normalize_audio
 
 
 def _fused_tts_fn(ar_params, nar_params, codec_dec_params, tokens, tokens_lens,
@@ -113,6 +113,22 @@ class ValleTTS:
 
         self._fused_jit = jax.jit(_fused)
 
+    def _mesh_params(self, ar_p, nar_p, cod_p):
+        """Mesh-sharded views of the three param trees, cached by source
+        identity — re-sharding per request would re-transfer the whole model
+        (hundreds of MB at 204M) on the serving hot path."""
+        src = getattr(self, '_mesh_src', None)
+        if src is None or not all(a is b for a, b in
+                                  zip(src, (ar_p, nar_p, cod_p))):
+            from .parallel import replicated, shard_params
+            # Transformer params follow the Megatron TP rules (replicated on a
+            # DP-only mesh); the tiny codec decoder replicates.
+            self._mesh_sharded = (shard_params(self.mesh, ar_p),
+                                  shard_params(self.mesh, nar_p),
+                                  jax.device_put(cod_p, replicated(self.mesh)))
+            self._mesh_src = (ar_p, nar_p, cod_p)
+        return self._mesh_sharded
+
     def prepare_prompt(self, prompt_audio, prompt_sr: int, prompt_text: str
                        ) -> tuple[np.ndarray, np.ndarray]:
         """Cloning prompt → (prompt_tokens, prompt_codes (T, nq))."""
@@ -128,6 +144,8 @@ class ValleTTS:
         """Batched fused pipeline: B utterances synthesize in one XLA dispatch with
         one host fetch (the serving-throughput path; per-item outputs equal the
         single-utterance greedy results thanks to per-length masking throughout)."""
+        if not texts:
+            return []
         if rng is None:
             rng = jax.random.key(self.config.seed)
         t0 = time.perf_counter()
@@ -146,8 +164,8 @@ class ValleTTS:
         ttm = max(len(t) for t in tokens_list)
         pm = max(len(c) for c in codes_list)
         if bucket:
-            bkt = lambda n: next((b for b in self.config.bucket_sizes if n <= b), n)
-            ttm, pm = bkt(ttm), bkt(pm)
+            ttm = bucket_len(self.config.bucket_sizes, ttm)
+            pm = bucket_len(self.config.bucket_sizes, pm)
         tokens = np.stack([np.pad(t, (0, ttm - len(t))) for t in tokens_list])
         codes = np.stack([np.pad(c, ((0, pm - len(c)), (0, 0))) for c in codes_list])
         tokens_lens = np.asarray([len(t) for t in tokens_list], np.int32)
@@ -160,12 +178,8 @@ class ValleTTS:
         inputs = (jnp.asarray(tokens), jnp.asarray(tokens_lens),
                   jnp.asarray(codes), jnp.asarray(p_lens))
         if self.mesh is not None:
-            from .parallel import replicated, shard_batch, shard_params
-            # Transformer params follow the Megatron TP rules (replicated on a
-            # DP-only mesh); the tiny codec decoder replicates.
-            ar_p = shard_params(self.mesh, ar_p)
-            nar_p = shard_params(self.mesh, nar_p)
-            cod_p = jax.device_put(cod_p, replicated(self.mesh))
+            ar_p, nar_p, cod_p = self._mesh_params(ar_p, nar_p, cod_p)
+            from .parallel import shard_batch
             inputs = shard_batch(self.mesh, inputs)
         wavs, gen_lens, out_codes = self._fused_jit(ar_p, nar_p, cod_p,
                                                     *inputs, rng)
@@ -218,11 +232,20 @@ class ValleTTS:
         emission equal to ``synthesize_fused`` bit-for-bit
         (tests/test_streaming.py).  Requires num_beams == 1 (enforced by
         swapping the config; params are shared).
+
+        Validation and setup run at CALL time (a plain method returning the
+        generator), so bad arguments raise immediately rather than at first
+        iteration — ``chunk_frames <= 0`` would otherwise spin forever.
         """
         import dataclasses
 
         from .models.ar import DecodeStream
 
+        if int(chunk_frames) < 1:
+            raise ValueError(f'chunk_frames must be >= 1, got {chunk_frames}')
+        if int(lookahead_frames) < 0:
+            raise ValueError(
+                f'lookahead_frames must be >= 0, got {lookahead_frames}')
         if rng is None:
             rng = jax.random.key(self.config.seed)
         rng_ar, rng_nar = jax.random.split(jnp.asarray(rng))
@@ -231,14 +254,6 @@ class ValleTTS:
         if getattr(self, '_stream_ar', None) is None:
             cfg1 = dataclasses.replace(self.config, num_beams=1)
             self._stream_ar = ValleAR(cfg1, params=self.ar.params)
-            if self.config.weight_dtype == 'int8':
-                # Share the main model's quantized view — a second
-                # quantize_decode_params would hold a duplicate int8 param
-                # tree on device (~100 MB at 204M) for the process lifetime.
-                self._stream_ar._qdecode = self.ar.decode_params
-                self._stream_ar._qdecode_src = (
-                    self._stream_ar.params,
-                    self._stream_ar.params['transformer'])
             prec = self.config.matmul_precision
 
             def _nar_wav(nar_p, cod_p, tokens, tl, pcodes, pl, first_layer,
@@ -251,6 +266,18 @@ class ValleTTS:
                 return wav.astype(jnp.float32), codes
 
             self._nar_wav_jit = jax.jit(_nar_wav)
+        if self._stream_ar.params is not self.ar.params:
+            # tts.ar.load() (or any params rebind) must reach streaming too —
+            # a stale _stream_ar would silently synthesize with old weights.
+            self._stream_ar.params = self.ar.params
+        if self.config.weight_dtype == 'int8':
+            # Share the main model's quantized view — a second
+            # quantize_decode_params would hold a duplicate int8 param tree
+            # on device (~100 MB at 204M) for the process lifetime.  Re-synced
+            # every call so params/transformer rebinds propagate.
+            self._stream_ar._qdecode = self.ar.decode_params
+            self._stream_ar._qdecode_src = (
+                self._stream_ar.params, self._stream_ar.params['transformer'])
 
         tokens = np.concatenate([np.asarray(prompt_tokens, np.int32),
                                  self.tokenizer(text)])
@@ -262,32 +289,35 @@ class ValleTTS:
         # batch_synthesize; the first-layer buffer is max_audio_len wide.
         ttm, pm = len(tokens), len(pcodes)
         if bucket:
-            bkt = lambda n: next((b for b in self.config.bucket_sizes if n <= b), n)
-            ttm, pm = bkt(ttm), bkt(pm)
+            ttm = bucket_len(self.config.bucket_sizes, ttm)
+            pm = bucket_len(self.config.bucket_sizes, pm)
         tokens_pad = jnp.asarray(np.pad(tokens, (0, ttm - len(tokens)))[None])
         pcodes_pad = jnp.asarray(
             np.pad(pcodes, ((0, pm - len(pcodes)), (0, 0)))[None])
         tl = jnp.asarray([len(tokens)], jnp.int32)
         pl = jnp.asarray([len(pcodes)], jnp.int32)
 
-        buf = np.zeros((max_new,), np.int32)
-        n_buf = 0
-        emitted = 0
-        while True:
-            new = stream.advance(chunk_frames)
-            buf[n_buf:n_buf + len(new)] = new
-            n_buf += len(new)
-            done = stream.finished
-            finalize = n_buf if done else max(0, n_buf - lookahead_frames)
-            if finalize > emitted:
-                wav, _codes = self._nar_wav_jit(
-                    self.nar.params, self.codec._dec_params, tokens_pad, tl,
-                    pcodes_pad, pl, jnp.asarray(buf[None]),
-                    jnp.asarray([n_buf], jnp.int32), rng_nar)
-                yield np.asarray(wav)[0, emitted * 320:finalize * 320]
-                emitted = finalize
-            if done:
-                return
+        def chunks():
+            buf = np.zeros((max_new,), np.int32)
+            n_buf = 0
+            emitted = 0
+            while True:
+                new = stream.advance(chunk_frames)
+                buf[n_buf:n_buf + len(new)] = new
+                n_buf += len(new)
+                done = stream.finished
+                finalize = n_buf if done else max(0, n_buf - lookahead_frames)
+                if finalize > emitted:
+                    wav, _codes = self._nar_wav_jit(
+                        self.nar.params, self.codec._dec_params, tokens_pad,
+                        tl, pcodes_pad, pl, jnp.asarray(buf[None]),
+                        jnp.asarray([n_buf], jnp.int32), rng_nar)
+                    yield np.asarray(wav)[0, emitted * 320:finalize * 320]
+                    emitted = finalize
+                if done:
+                    return
+
+        return chunks()
 
     def synthesize(self, text: str, prompt_tokens, prompt_codes,
                    rng: jax.Array | None = None) -> TTSResult:
