@@ -115,6 +115,17 @@ class TestTTSServer:
                 assert 'stopped' in str(exc)
         assert all(f.done() for f in futs)
 
+    def test_stop_before_start_resolves_queued(self, tts):
+        """stop() on a never-started server must not strand pre-queued
+        futures (it used to early-return without even setting the flag)."""
+        server = TTSServer(tts, max_batch=2, max_wait_ms=0.0)
+        futs = [server.submit(*r) for r in make_requests(2, seed=15)]
+        server.stop(drain=True)
+        for f in futs:
+            assert f.result(timeout=1).waveform.ndim == 1    # already served
+        with pytest.raises(RuntimeError):
+            server.submit(*make_requests(1, seed=16)[0])
+
     def test_submit_after_stop_raises(self, tts):
         server = TTSServer(tts, max_batch=2)
         server.start()
@@ -176,7 +187,8 @@ class TestHTTPStreaming:
                 req = urllib.request.Request(f'{base}/stream', data=body)
                 resp = urllib.request.urlopen(req, timeout=300)
                 assert resp.headers['Content-Type'].startswith('audio/L16')
-                pcm = np.frombuffer(resp.read(), '<i2')  # urllib de-chunks
+                # audio/L16 is network (big-endian) byte order per RFC 3551.
+                pcm = np.frombuffer(resp.read(), '>i2')  # urllib de-chunks
                 assert len(pcm) == len(direct)
                 np.testing.assert_allclose(pcm / 32767.0, direct, atol=1e-4)
             finally:
@@ -210,7 +222,9 @@ class TestHTTPStreaming:
             chunks = list(server.stream(text, pt, pc, chunk_frames=5,
                                         lookahead_frames=3))
             stats = server.stats()
-        assert stats['requests'] == 1
+        # Streams count separately from batched requests (mean_batch_size
+        # must not be polluted by traffic that never batches).
+        assert stats['stream_requests'] == 1 and stats['requests'] == 0
         secs = sum(len(c) for c in chunks) / tts1.codec.sampling_rate
         assert abs(stats['audio_seconds'] - secs) < 1e-6
         assert stats['errors'] == 0

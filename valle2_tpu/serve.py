@@ -41,7 +41,14 @@ import jax
 import numpy as np
 
 from .tts import TTSResult, ValleTTS
-from .utils import log_info, wav_pcm16_bytes
+from .utils import log_info, pcm16, wav_pcm16_bytes
+
+
+class ServerStopped(RuntimeError):
+    """The server is stopped / shutting down (retryable: HTTP 503).  A
+    DEDICATED type: catching plain RuntimeError would also swallow
+    jax's JaxRuntimeError (a RuntimeError subclass), misreporting device
+    faults as retryable."""
 
 
 def _safe_set(fut: Future, *, result=None, exc=None) -> None:
@@ -60,7 +67,8 @@ def _safe_set(fut: Future, *, result=None, exc=None) -> None:
 @dataclass
 class ServerStats:
     """Aggregate serving counters (monotonic since ``start``)."""
-    requests: int = 0
+    requests: int = 0                  # served through the batched pipeline
+    stream_requests: int = 0           # served through /stream
     batches: int = 0
     errors: int = 0
     audio_seconds: float = 0.0
@@ -71,10 +79,13 @@ class ServerStats:
         default_factory=lambda: collections.deque(maxlen=10000))
 
     def snapshot(self) -> dict:
+        # Called on a COPY (TTSServer.stats) — sorting 10k floats here must
+        # never run under the worker's stats lock.
         lat = sorted(self.latencies_ms)
         pct = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
         return {
             'requests': self.requests,
+            'stream_requests': self.stream_requests,
             'batches': self.batches,
             'errors': self.errors,
             'mean_batch_size': self.requests / max(self.batches, 1),
@@ -105,7 +116,8 @@ class TTSServer:
             result = fut.result()          # TTSResult
 
     ``max_wait_ms`` trades first-request latency for batching opportunity; 0
-    serves every request solo (no added latency, no batching).
+    adds no artificial wait (requests already queued while the worker was busy
+    still coalesce into one batch).
     """
 
     def __init__(self, tts: ValleTTS, max_batch: int = 8,
@@ -149,14 +161,17 @@ class TTSServer:
     def stop(self, drain: bool = True):
         """Stop the worker.  ``drain=True`` serves queued requests first;
         otherwise they fail with RuntimeError."""
-        if self._thread is None:
-            return
         self._drain = drain
         with self._submit_lock:
             self._stop.set()
             self._queue.put(None)         # wake the worker; always last in queue
-        self._thread.join()
-        self._thread = None
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        else:
+            # Never started: sweep pre-queued requests on this thread so no
+            # Future is stranded (stop() pre-start used to be a silent no-op).
+            self._final_sweep(0)
 
     def __enter__(self):
         return self.start()
@@ -175,7 +190,7 @@ class TTSServer:
                        time.perf_counter())
         with self._submit_lock:
             if self._stop.is_set():
-                raise RuntimeError('server is stopped')
+                raise ServerStopped('server is stopped')
             self._queue.put(req)
         return req.future
 
@@ -204,7 +219,7 @@ class TTSServer:
             raise ValueError(
                 f'lookahead_frames must be >= 0, got {lookahead_frames}')
         if self._stop.is_set():
-            raise RuntimeError('server is stopped')
+            raise ServerStopped('server is stopped')
         pt = np.asarray(prompt_tokens, np.int32)
         pc = np.asarray(prompt_codes, np.int32)
 
@@ -225,15 +240,19 @@ class TTSServer:
                     raise
                 finally:
                     with self._stats_lock:
-                        self._stats.requests += 1
+                        self._stats.stream_requests += 1
                         self._stats.audio_seconds += emitted
                         self._stats.latencies_ms.append(
                             (time.perf_counter() - t0) * 1e3)
         return gen()
 
     def stats(self) -> dict:
-        with self._stats_lock:
-            return self._stats.snapshot()
+        import dataclasses
+        with self._stats_lock:             # only the copy happens under lock;
+            snap = dataclasses.replace(    # the 10k-element sort runs outside
+                self._stats,
+                latencies_ms=collections.deque(self._stats.latencies_ms))
+        return snap.snapshot()
 
     # -- worker --------------------------------------------------------------
     def _collect_batch(self) -> list[_Request]:
@@ -289,22 +308,22 @@ class TTSServer:
             self._stats.busy_seconds += busy
             self._stats.latencies_ms += [(now - r.t_submit) * 1e3 for r in batch]
 
-    def _worker(self):
-        batch_idx = 0
-        while not self._stop.is_set():
-            batch = self._collect_batch()
-            if not batch:                  # woke on the stop sentinel
-                break
-            try:
-                self._serve_batch(batch, batch_idx)
-            except Exception as exc:       # noqa: BLE001 — keep the worker alive
-                for r in batch:
-                    _safe_set(r.future, exc=exc)
-            batch_idx += 1
-        # Final sweep: the sentinel is always last (submit/stop share a lock),
-        # so everything still queued arrived before stop.  drain=True serves it
-        # in max_batch groups; drain=False fails it — either way no Future is
-        # ever stranded.
+    def _fail_batch(self, batch: list, exc: Exception):
+        """Resolve a whole batch exceptionally AND account it — a failure the
+        stats don't see is an outage monitoring can't."""
+        for r in batch:
+            _safe_set(r.future, exc=exc)
+        now = time.perf_counter()
+        with self._stats_lock:
+            self._stats.errors += len(batch)
+            self._stats.latencies_ms.extend(
+                (now - r.t_submit) * 1e3 for r in batch)
+
+    def _final_sweep(self, batch_idx: int):
+        """Drain whatever is still queued: the sentinel is always last
+        (submit/stop share a lock), so everything here arrived before stop.
+        drain=True serves it in max_batch groups; drain=False fails it —
+        either way no Future is ever stranded."""
         leftovers: list[_Request] = []
         while True:
             try:
@@ -320,12 +339,24 @@ class TTSServer:
                 try:
                     self._serve_batch(group, batch_idx)
                 except Exception as exc:   # noqa: BLE001
-                    for r in group:
-                        _safe_set(r.future, exc=exc)
+                    self._fail_batch(group, exc)
                 batch_idx += 1
             else:
                 for r in group:
-                    _safe_set(r.future, exc=RuntimeError('server stopped'))
+                    _safe_set(r.future, exc=ServerStopped('server stopped'))
+
+    def _worker(self):
+        batch_idx = 0
+        while not self._stop.is_set():
+            batch = self._collect_batch()
+            if not batch:                  # woke on the stop sentinel
+                break
+            try:
+                self._serve_batch(batch, batch_idx)
+            except Exception as exc:       # noqa: BLE001 — keep the worker alive
+                self._fail_batch(batch, exc)
+            batch_idx += 1
+        self._final_sweep(batch_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -333,13 +364,17 @@ class TTSServer:
 # ---------------------------------------------------------------------------
 
 def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
-               block: bool = True):
+               block: bool = True, request_timeout_s: float = 600.0):
     """Expose a running ``TTSServer`` over HTTP.
 
     - ``POST /synthesize`` — JSON body ``{"text": str, "prompt_tokens": [int],
       "prompt_codes": [[int]*nq]}`` → ``audio/wav`` (24 kHz mono PCM16).
     - ``GET /healthz`` → 200 ``ok``.
     - ``GET /stats`` → JSON serving counters.
+
+    ``request_timeout_s`` bounds how long a handler thread waits on the
+    batching worker (a hung device dispatch otherwise pins handler threads
+    forever); expiry returns 504.
 
     Returns the ``ThreadingHTTPServer`` (call ``.shutdown()`` to stop) when
     ``block=False``; otherwise serves forever.
@@ -388,7 +423,7 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             except (KeyError, ValueError, TypeError) as exc:  # bad args/beams
                 self._send(400, str(exc).encode(), 'text/plain')
                 return
-            except RuntimeError as exc:
+            except ServerStopped as exc:
                 self._send(503, str(exc).encode(), 'text/plain')
                 return
             except Exception as exc:       # noqa: BLE001
@@ -401,8 +436,8 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             self.end_headers()
 
             def write_chunk(wave_chunk):
-                data = np.round(np.clip(wave_chunk, -1.0, 1.0)
-                                * 32767.0).astype('<i2').tobytes()
+                # RFC 2586/3551: audio/L16 is NETWORK (big-endian) byte order.
+                data = pcm16(wave_chunk, '>i2').tobytes()
                 if data:
                     self.wfile.write(f'{len(data):x}\r\n'.encode())
                     self.wfile.write(data)
@@ -414,6 +449,8 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
                 for chunk in gen:
                     write_chunk(chunk)
                 self.wfile.write(b'0\r\n\r\n')
+            except (BrokenPipeError, ConnectionResetError):
+                pass                       # client went away mid-stream: fine
             finally:
                 gen.close()                # releases the server's stream lock
 
@@ -434,9 +471,13 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
                 self._do_stream(text, pt, pc, payload)
                 return
             try:
-                result = server.synthesize(text, pt, pc)
-            except RuntimeError as exc:    # server stopped / shutting down
+                result = server.synthesize(text, pt, pc,
+                                           timeout=request_timeout_s)
+            except ServerStopped as exc:   # retryable: shutting down
                 self._send(503, str(exc).encode(), 'text/plain')
+                return
+            except TimeoutError as exc:    # hung dispatch: bounded, not forever
+                self._send(504, str(exc).encode() or b'timeout', 'text/plain')
                 return
             except Exception as exc:       # noqa: BLE001 — server-side failure
                 self._send(500, str(exc).encode(), 'text/plain')

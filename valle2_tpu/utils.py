@@ -132,14 +132,21 @@ def load_audio(path: Path | str, target_sr: int = 16_000) -> jax.Array:
     return normalize_audio(jnp.asarray(pcm), sr, target_sr)
 
 
+def pcm16(wav: np.ndarray, dtype: str = '<i2') -> np.ndarray:
+    """Float waveform → 16-bit PCM samples (clip, round-to-nearest).  THE
+    quantization rule shared by the WAV writer and the streaming endpoint;
+    ``dtype`` selects byte order ('<i2' WAV, '>i2' network/audio-L16)."""
+    return np.round(np.clip(np.asarray(wav), -1.0, 1.0)
+                    * 32767.0).astype(dtype)
+
+
 def wav_pcm16_bytes(wav: np.ndarray, sr: int) -> bytes:
     """Mono float waveform → complete 16-bit WAV file bytes (round-to-nearest).
     Single encoder shared by the CLI writer and the HTTP server."""
     import io
     import wave
 
-    pcm = np.clip(np.asarray(wav), -1.0, 1.0)
-    pcm = np.round(pcm * 32767.0).astype('<i2')
+    pcm = pcm16(wav, '<i2')
     buf = io.BytesIO()
     with wave.open(buf, 'wb') as f:
         f.setnchannels(1)
