@@ -468,3 +468,83 @@ class TestDataParallelEquivalence:
             lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
             s_single.params, s_mesh.params)
         assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
+
+
+class TestFitAccounting:
+    def _loader(self, cfg, size=8):
+        collate = get_collate('ValleAR')(cfg)
+        ds = SyntheticValleDataset(cfg, size=size, min_frames=30, max_frames=60)
+        return DataLoader(ds, cfg.batch_size, collate, shuffle=False)
+
+    def test_max_steps_counts_optimizer_steps_under_accum(self, tmp_path):
+        """max_steps is denominated in OPTIMIZER steps: grad_accum=2 runs 2x
+        the micro-batches and the checkpoint carries the optimizer step."""
+        cfg = tiny_cfg(tmp_path, max_steps=3, grad_accum=2, prefetch_batches=0)
+        trainer = Trainer(cfg, 'ValleAR', use_tensorboard=False)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        final = trainer.fit(state, self._loader(cfg))
+        assert int(final.step) == 3 * 2            # micro steps on device
+        latest = trainer.latest_checkpoint()
+        assert latest is not None and latest.name == 'step_3'
+
+    def test_empty_loader_raises_instead_of_spinning(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, max_steps=2, prefetch_batches=0)
+        trainer = Trainer(cfg, 'ValleAR', use_tensorboard=False)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        with pytest.raises(RuntimeError, match='no usable batches'):
+            trainer.fit(state, [])
+
+    def test_log_every_zero_does_not_crash(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, max_steps=2, log_every_n_steps=0,
+                       prefetch_batches=0)
+        trainer = Trainer(cfg, 'ValleAR', use_tensorboard=False)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        final = trainer.fit(state, self._loader(cfg))
+        assert int(final.step) == 2
+
+    def test_resume_skips_orbax_tmp_dirs(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        trainer = Trainer(cfg, 'ValleAR', use_tensorboard=False)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        trainer.save_checkpoint(TrainState(state.params, state.opt_state,
+                                           jnp.int32(5)))
+        # Simulate an interrupted save's leftover temp directory.
+        (Path(cfg.ckpt_path) / 'ValleAR'
+         / 'step_9.orbax-checkpoint-tmp-123').mkdir(parents=True)
+        latest = trainer.latest_checkpoint()
+        assert latest is not None and latest.name == 'step_5'
+
+
+class TestEvalDeterminism:
+    def test_ar_eval_rng_invariant_with_dropout(self, tmp_path):
+        """Validation metrics must not depend on the rng when dropout > 0 —
+        dropout stays OFF in eval."""
+        from valle2_tpu.train import make_eval_step
+        cfg = tiny_cfg(tmp_path, dropout=0.5)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        collate = get_collate('ValleAR')(cfg)
+        ds = SyntheticValleDataset(cfg, size=2, min_frames=30, max_frames=40)
+        batch = jax.tree.map(jnp.asarray,
+                             next(iter(DataLoader(ds, 2, collate, False))))
+        ev = make_eval_step(cfg, 'ValleAR')
+        a = ev(state.params, batch, jax.random.key(1))
+        b = ev(state.params, batch, jax.random.key(2))
+        assert float(a['loss']) == float(b['loss'])
+
+    def test_nar_eval_dropout_off(self, tmp_path):
+        """NAR eval keeps the rng (stage draw) but disables dropout: same rng
+        with train=False twice is identical, and matches the direct
+        loss_fn(train=False) value."""
+        from valle2_tpu.models import nar as nar_mod
+        from valle2_tpu.train import make_eval_step
+        cfg = tiny_cfg(tmp_path, dropout=0.5)
+        state = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        collate = get_collate('ValleNAR')(cfg)
+        ds = SyntheticValleDataset(cfg, size=2, min_frames=30, max_frames=40)
+        batch = jax.tree.map(jnp.asarray,
+                             next(iter(DataLoader(ds, 2, collate, False))))
+        ev = make_eval_step(cfg, 'ValleNAR')
+        rng = jax.random.key(3)
+        got = float(ev(state.params, batch, rng)['loss'])
+        _, want = nar_mod.loss_fn(state.params, cfg, batch, rng, train=False)
+        assert got == float(want['loss'])

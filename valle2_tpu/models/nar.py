@@ -120,8 +120,12 @@ def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
 
 
 def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
-            rng: jax.Array) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Stage-sampled training step (reference valle_nar.py:53-105, Q3 fixed)."""
+            rng: jax.Array, train: bool = True
+            ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Stage-sampled training step (reference valle_nar.py:53-105, Q3 fixed).
+
+    ``train=False`` disables dropout while keeping the rng-driven stage draw —
+    the evaluation mode (the rng cannot simply be None like the AR loss)."""
     codes, tokens = batch['codes'], batch['tokens']
     codes_lens, tokens_lens = batch.get('codes_lens'), batch.get('tokens_lens')
     b, t_codes, nq = codes.shape
@@ -144,7 +148,7 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
             else a, params)
 
     pe = sinusoidal_table(MAX_POS, config.d_model)
-    drop = config.dropout
+    drop = config.dropout if train else 0.0
     rngs = jax.random.split(drop_rng, 2)
     x_tok = jnp.take(params['tokens_emb']['emb'], tokens, axis=0)
     x_tok = add_positional(pe, x_tok, dropout_rate=drop, rng=rngs[0])
@@ -166,7 +170,8 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
             pad = pad | jnp.pad(build_pad_mask(tokens_lens, t_tok), ((0, 0), (0, t_codes)))
         bias = mask_to_bias(pad)[:, None, None, :]
 
-    logits = forward_stage(params, config, x_tok, codes_emb, stage, bias, rngs[1],
+    logits = forward_stage(params, config, x_tok, codes_emb, stage, bias,
+                           rngs[1] if train else None,   # rng None => no dropout
                            flash=flash)                              # (b, T, V)
     # CE over the suffix positions of codebook ``stage`` — masked (not sliced):
     # prefix_len is traced, so the suffix is selected by weight, keeping shapes

@@ -91,7 +91,12 @@ def init_state(config: ConfigValle, model_name: str, rng: jax.Array) -> TrainSta
 
 
 def make_train_step(config: ConfigValle, model_name: str, mesh=None):
-    """Build the jitted (state, batch, rng) → (state, metrics) update."""
+    """Build the jitted (state, batch, rng) → (state, metrics) update.
+
+    ``mesh`` is accepted for signature stability but unused: placement is
+    fully declarative — params/batches arrive pre-placed by shard_params /
+    shard_batch and GSPMD propagates the shardings through the step."""
+    del mesh
     loss_fn = LOSS_FNS[model_name]
     tx = make_optimizer(config)
 
@@ -103,6 +108,8 @@ def make_train_step(config: ConfigValle, model_name: str, mesh=None):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
+        # NOTE: per-MICRO-batch gradient norm; under grad_accum > 1 the
+        # accumulated gradient that clip_by_global_norm sees is smoother.
         metrics['grad_norm'] = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1), metrics
 
@@ -114,12 +121,18 @@ def make_train_step(config: ConfigValle, model_name: str, mesh=None):
 
 def make_eval_step(config: ConfigValle, model_name: str):
     loss_fn = LOSS_FNS[model_name]
+    is_nar = model_name == 'ValleNAR'
 
     @jax.jit
     def eval_fn(params: Params, batch: dict, rng: jax.Array):
-        # NAR still needs an rng for its stage draw; dropout stays off (rng=None
-        # path inside loss for AR; NAR uses rng only for the stage).
-        _, metrics = loss_fn(params, config, batch, rng)
+        # Deterministic evaluation: the AR loss disables dropout via rng=None;
+        # the NAR loss still needs the rng for its stage draw, so it takes an
+        # explicit train=False (passing the rng alone would turn dropout ON
+        # and inflate every validation loss).
+        if is_nar:
+            _, metrics = loss_fn(params, config, batch, rng, train=False)
+        else:
+            _, metrics = loss_fn(params, config, batch, None)
         return metrics
     return eval_fn
 
@@ -147,12 +160,15 @@ class Trainer:
     def save_checkpoint(self, state: TrainState) -> None:
         import orbax.checkpoint as ocp
         self.config.ensure_dirs()
+        # Directory names use OPTIMIZER steps (what max_steps/ckpt_every count);
+        # the saved 'step' field keeps the raw micro count the rng fold uses.
+        opt_step = int(state.step) // max(1, self.config.grad_accum)
         path = (Path(self.config.ckpt_path).resolve() / self.model_name
-                / f'step_{int(state.step)}')
+                / f'step_{opt_step}')
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, {'params': state.params, 'opt_state': state.opt_state,
                               'step': state.step}, force=True)
-        log_info('Saved checkpoint at step %d → %s', int(state.step), path)
+        log_info('Saved checkpoint at step %d → %s', opt_step, path)
 
     def restore_checkpoint(self, state: TrainState, path: str | Path) -> TrainState:
         """Mesh-agnostic restore: the checkpoint is read back as host arrays (so a
@@ -174,7 +190,10 @@ class Trainer:
         root = Path(self.config.ckpt_path) / self.model_name
         if not root.exists():
             return None
-        steps = sorted((int(p.name.split('_')[1]), p) for p in root.glob('step_*'))
+        # Skip non-numeric step dirs (e.g. orbax's step_N.orbax-checkpoint-tmp-*
+        # left by an interrupted save) — resume must survive a crashed run.
+        steps = sorted((int(p.name.split('_')[1]), p) for p in root.glob('step_*')
+                       if p.name.split('_')[1].isdigit())
         return steps[-1][1] if steps else None
 
     # ---- loops ----
@@ -197,15 +216,28 @@ class Trainer:
 
         t_start = time.time()
         frames = 0
-        step = int(state.step)
+        # max_steps / log_every / ckpt_every are denominated in OPTIMIZER
+        # steps (the reference's Lightning semantics): with grad_accum > 1,
+        # MultiSteps applies an update every `accum` micro-batches, so the
+        # loop runs max_steps * accum micro-batches.  state.step counts micro
+        # steps (it feeds the per-micro-batch rng fold).
+        accum = max(1, cfg.grad_accum)
+        micro = int(state.step)
+        step = micro // accum
         while step < cfg.max_steps:
+            served_any = False
             for batch in self._batches(train_loader):
                 if step >= cfg.max_steps:
                     break
+                served_any = True
                 state, metrics = self.train_step(state, batch, rng)
-                step += 1
                 frames += int(np.prod(batch['codes'].shape[:2]))
-                if step % cfg.log_every_n_steps == 0 or step == 1:
+                micro += 1
+                if micro % accum:
+                    continue               # mid-accumulation: no update applied
+                step += 1
+                if cfg.log_every_n_steps and (step % cfg.log_every_n_steps == 0
+                                              or step == 1):
                     m = {k: float(v) for k, v in metrics.items()}
                     elapsed = time.time() - t_start
                     log_info('step %d | loss %.4f | acc %.3f | %.0f frames/s',
@@ -217,6 +249,14 @@ class Trainer:
                                 self.writer.add_scalar(f'train/{k}', v, step)
                 if cfg.ckpt_every_n_steps and step % cfg.ckpt_every_n_steps == 0:
                     self.save_checkpoint(state)
+            if not served_any and step < cfg.max_steps:
+                # Empty epoch (empty dataset, or every batch dropped by the
+                # mesh divisibility filter): spinning here forever with
+                # validation passes per spin is an outage, not training.
+                raise RuntimeError(
+                    'train loader produced no usable batches in a full epoch '
+                    '(empty dataset, or all batches dropped by the data-axis '
+                    'divisibility filter)')
             if valid_loader is not None:
                 self.validate(state, valid_loader, step, rng)
         self.save_checkpoint(state)
