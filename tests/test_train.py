@@ -548,3 +548,68 @@ class TestEvalDeterminism:
         got = float(ev(state.params, batch, rng)['loss'])
         _, want = nar_mod.loss_fn(state.params, cfg, batch, rng, train=False)
         assert got == float(want['loss'])
+
+
+class TestDataLoaderRobustness:
+    def test_collate_error_propagates(self):
+        """A dataset error mid-epoch fails the epoch — silent truncation would
+        quietly train on a shrinking dataset."""
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise RuntimeError('decode failed')
+                return {'codes': np.zeros((8, 20), np.int32),
+                        'tokens': np.zeros((4,), np.int32)}
+        cfg = tiny_cfg()
+        loader = DataLoader(Bad(), 1, get_collate('ValleNAR')(cfg), shuffle=False)
+        with pytest.raises(RuntimeError, match='decode failed'):
+            list(loader)
+
+    def test_break_mid_epoch_stops_producer(self):
+        import threading
+        import time as _time
+        cfg = tiny_cfg()
+        ds = SyntheticValleDataset(cfg, size=64)
+        loader = DataLoader(ds, 2, get_collate('ValleNAR')(cfg), shuffle=False)
+        n0 = threading.active_count()
+        for i, _ in enumerate(loader):
+            if i == 1:
+                break
+        deadline = _time.time() + 5
+        while threading.active_count() > n0 and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert threading.active_count() <= n0
+
+    def test_precompute_non_hop_aligned_matches_solo_except_boundary(self):
+        """Documented approximation bound: for lengths not a multiple of the
+        hop, bucketed precompute may differ from solo encode only in the final
+        ~2 frames (the codec's per-stage reflect padding); everything earlier
+        is exact and shapes always agree."""
+        from valle2_tpu.codec import EncodecTPU
+        from valle2_tpu.data.dataset import ValleDataset
+
+        class FakeHF:
+            def __init__(self):
+                rs = np.random.RandomState(7)
+                # 4321 % 320 != 0 — exercises the boundary window.
+                self.items = [{'audio': {'array': rs.randn(4321),
+                                         'sampling_rate': 24000},
+                               'text': 'a b.'}]
+
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):
+                return self.items[i]
+
+        cfg = tiny_cfg()
+        codec = EncodecTPU(seed=0)
+        pre = ValleDataset(FakeHF(), cfg, codec)
+        pre.precompute_codes(batch_size=1, length_buckets=(1,))
+        solo = ValleDataset(FakeHF(), cfg, codec)
+        a, b = pre[0]['codes'], solo[0]['codes']
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a[:, :-2], b[:, :-2])

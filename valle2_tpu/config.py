@@ -138,6 +138,14 @@ class ConfigValle:
                           '(per-slot max-abs scales; halves attention HBM traffic — '
                           'decode is cache-bandwidth-bound)'},
     )
+    codec_ckpt: str = field(
+        default='',
+        metadata={'help': 'Pretrained EnCodec torch checkpoint for the data '
+                          'pipeline (converted on load, codec/convert.py). '
+                          'Empty = random-init codec: pipeline tests only — '
+                          'real training MUST set this or the audio tokens '
+                          'have no correspondence to the serving codec'},
+    )
     prefetch_batches: int = field(
         default=2,
         metadata={'help': 'Train input pipeline: background-thread device '

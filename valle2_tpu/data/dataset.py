@@ -54,6 +54,13 @@ class ValleDataset:
         self._cache[idx] = out
         return out
 
+    def _load_wav(self, idx: int):
+        item = self.dataset[idx]
+        audio = np.asarray(item['audio']['array'], dtype=np.float32)
+        wav = np.asarray(normalize_audio(audio, item['audio']['sampling_rate'],
+                                         self.codec.sampling_rate))
+        return wav, item['text']
+
     def precompute_codes(self, batch_size: int = 16,
                          length_buckets: tuple[int, ...] = (2, 4, 8, 12, 16, 24)
                          ) -> None:
@@ -61,36 +68,53 @@ class ValleDataset:
 
         The reference encodes one utterance at a time on CPU inside DataLoader
         workers — its real input bottleneck (SURVEY §3.1).  Here audio is padded to
-        second-granularity buckets and pushed through ``batch_encode`` on the TPU;
-        codes are truncated back to each item's true frame count (the codec is causal,
-        so right-padding does not alter earlier frames) and memoized.
+        second-granularity buckets and pushed through ``batch_encode`` on the TPU,
+        codes are truncated back to each item's true frame count and memoized.
+        Audio longer than the largest bucket gets its own hop-aligned group
+        (never silently truncated against its transcript).
+
+        Approximation note: the codec's strided convs reflect-pad PER STAGE at
+        the sequence end, so the bucket's zero padding can perturb codes in the
+        final ~2 frames of a non-hop-aligned item relative to a solo
+        ``encode`` (all earlier frames are exact — the stack is causal-left).
+        One run therefore uses ONE path consistently: ``get_dataloaders``
+        precomputes everything up front and ``__getitem__`` serves the cache.
+
+        Memory: waveforms are loaded per encode-chunk (two passes over the
+        dataset metadata), never all at once.
         """
+        from ..codec.encodec import HOP as hop
         sr = self.codec.sampling_rate
-        hop = 320
-        groups: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
+        groups: dict[int, list[int]] = {}
         for idx in range(len(self.dataset)):
             if idx in self._cache:
                 continue
-            item = self.dataset[idx]
-            audio = np.asarray(item['audio']['array'], dtype=np.float32)
-            wav = np.asarray(normalize_audio(audio, item['audio']['sampling_rate'], sr))
+            wav, _ = self._load_wav(idx)       # pass 1: lengths only (wav freed)
             secs = len(wav) / sr
-            bucket = next((b for b in length_buckets if secs <= b), length_buckets[-1])
-            groups.setdefault(bucket, []).append(
-                (idx, wav, self._tokenize(item['text'])))
+            bucket = next((b for b in length_buckets if secs <= b), None)
+            if bucket is None:
+                # Oversize: own hop-aligned width — keep codes/transcript aligned.
+                bucket = -(-len(wav) // hop) * hop / sr
+            groups.setdefault(bucket, []).append(idx)
 
-        for bucket, items in groups.items():
-            width = bucket * sr
-            for start in range(0, len(items), batch_size):
-                chunk = items[start:start + batch_size]
+        for bucket, idxs in groups.items():
+            width = int(bucket * sr)
+            for start in range(0, len(idxs), batch_size):
+                chunk = idxs[start:start + batch_size]
                 padded = np.zeros((len(chunk), width), np.float32)
-                for i, (_, wav, _) in enumerate(chunk):
+                lens, toks = [], []
+                for i, idx in enumerate(chunk):   # pass 2: load within the chunk
+                    wav, text = self._load_wav(idx)
                     padded[i, :min(len(wav), width)] = wav[:width]
+                    lens.append(min(len(wav), width))
+                    toks.append(self._tokenize(text))
                 batch_codes = np.asarray(self.codec.batch_encode(padded))
-                for i, (idx, wav, tokens) in enumerate(chunk):
-                    n_frames = -(-min(len(wav), width) // hop)
-                    self._cache[idx] = {'codes': batch_codes[i, :, :n_frames],
-                                        'tokens': tokens}
+                for i, idx in enumerate(chunk):
+                    n_frames = -(-lens[i] // hop)
+                    # copy(): a view would pin the whole padded batch in memory.
+                    self._cache[idx] = {
+                        'codes': batch_codes[i, :, :n_frames].copy(),
+                        'tokens': toks[i]}
         log_info('Precomputed codec tokens for %d items', len(self._cache))
 
 
@@ -160,22 +184,44 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=2)
         sentinel = object()
+        stop = threading.Event()
+
+        def put_stoppable(item) -> bool:
+            # Every put gives up when the consumer abandons the pass (e.g.
+            # fit() breaking at max_steps) — a bare q.put would leave this
+            # thread blocked forever holding collated batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
-            finally:
-                q.put(sentinel)
+                    if not put_stoppable((batch, None)):
+                        return
+            except BaseException as exc:   # noqa: BLE001 — re-raise in consumer
+                put_stoppable((None, exc))
+                return
+            put_stoppable((sentinel, None))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item, exc = q.get()
+                if exc is not None:
+                    # A dataset/collate error mid-epoch must FAIL the epoch,
+                    # not silently truncate it.
+                    raise exc
+                if item is sentinel:
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 def get_dataloaders(model_name: str, config: ConfigValle,
@@ -188,13 +234,26 @@ def get_dataloaders(model_name: str, config: ConfigValle,
                                          seed=1)
     else:
         from datasets import load_dataset
+        from ..utils import log_warning
         log_info('Loading HF dataset %s', config.dataset)
-        codec = EncodecTPU()
+        if not config.codec_ckpt:
+            log_warning('No codec_ckpt configured: tokenizing audio with a '
+                        'RANDOM-init codec — fine for pipeline tests, wrong '
+                        'for real training/serving (set codec_ckpt to the '
+                        'converted EnCodec checkpoint)')
+        codec = EncodecTPU(checkpoint=config.codec_ckpt or None)
         train_ds = ValleDataset(load_dataset(config.dataset, split='train[:90%]',
                                              trust_remote_code=True), config, codec)
         valid_ds = ValleDataset(load_dataset(config.dataset, split='train[90%:]',
                                              trust_remote_code=True), config, codec)
+        # Batched, bucketed on-device tokenization up front: the per-item
+        # path would compile the encoder once per distinct audio length
+        # (minutes each) and run unbatched — the reference's own bottleneck.
+        train_ds.precompute_codes()
+        valid_ds.precompute_codes()
     train = DataLoader(train_ds, config.batch_size, collate, shuffle=True,
                        seed=config.seed)
-    valid = DataLoader(valid_ds, config.valid_batch_size, collate, shuffle=False)
+    # Validation keeps the trailing partial batch (torch DataLoader default).
+    valid = DataLoader(valid_ds, config.valid_batch_size, collate, shuffle=False,
+                       drop_last=False)
     return train, valid
