@@ -613,3 +613,43 @@ class TestDataLoaderRobustness:
         a, b = pre[0]['codes'], solo[0]['codes']
         assert a.shape == b.shape
         np.testing.assert_array_equal(a[:, :-2], b[:, :-2])
+
+
+class TestBucketInvariantLoss:
+    def test_unmasked_loss_mode_is_bucket_invariant(self):
+        """mask_loss_pads=False (reference-parity Q6) must still exclude
+        bucket columns beyond the batch max — the loss cannot depend on which
+        bucket a batch landed in (AR and NAR)."""
+        from valle2_tpu.models import ar as ar_mod
+        from valle2_tpu.models import nar as nar_mod
+
+        def batch_for(width, model):
+            rs = np.random.RandomState(0)
+            if model == 'ar':
+                codes = np.zeros((2, width), np.int32)
+                codes[:, :20] = rs.randint(0, 1024, (2, 20))
+                tgt = np.zeros((2, width), np.int32)
+                tgt[:, :20] = rs.randint(0, 1024, (2, 20))
+                return {'tokens': jnp.asarray(rs.randint(0, 255, (2, 6))),
+                        'tokens_lens': jnp.asarray([6, 4]),
+                        'codes': jnp.asarray(codes),
+                        'codes_lens': jnp.asarray([20, 15]),
+                        'target': jnp.asarray(tgt)}
+            codes = np.zeros((2, width, 8), np.int32)
+            codes[:, :20] = rs.randint(0, 1024, (2, 20, 8))
+            return {'tokens': jnp.asarray(rs.randint(0, 255, (2, 6))),
+                    'tokens_lens': jnp.asarray([6, 4]),
+                    'codes': jnp.asarray(codes),
+                    'codes_lens': jnp.asarray([20, 15])}
+
+        cfg = tiny_cfg(mask_loss_pads=False, dropout=0.0)
+        ar_params = ar_mod.init_params(jax.random.key(0), cfg)
+        a = float(ar_mod.loss_fn(ar_params, cfg, batch_for(32, 'ar'))[0])
+        b = float(ar_mod.loss_fn(ar_params, cfg, batch_for(64, 'ar'))[0])
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+        nar_params = nar_mod.init_params(jax.random.key(0), cfg)
+        rng = jax.random.key(5)
+        a = float(nar_mod.loss_fn(nar_params, cfg, batch_for(32, 'nar'), rng)[0])
+        b = float(nar_mod.loss_fn(nar_params, cfg, batch_for(64, 'nar'), rng)[0])
+        np.testing.assert_allclose(a, b, rtol=1e-5)

@@ -137,8 +137,15 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     target = batch['target']
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logprobs, target[..., None], axis=-1)[..., 0]
-    if config.mask_loss_pads and 'codes_lens' in batch:
-        valid = ~build_pad_mask(batch['codes_lens'], target.shape[1])
+    if 'codes_lens' in batch:
+        if config.mask_loss_pads:
+            valid = ~build_pad_mask(batch['codes_lens'], target.shape[1])
+        else:
+            # Reference-parity mode (Q6: pads inside the batch count) pads
+            # only to the BATCH max — bucket columns beyond it must still be
+            # excluded or the loss shifts with the bucket the batch landed in.
+            pos = jnp.arange(target.shape[1])[None, :]
+            valid = pos < batch['codes_lens'].max()
         loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
         acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
             jnp.sum(valid), 1)
@@ -513,16 +520,12 @@ class ValleAR:
 
     def save(self, path) -> None:
         """Orbax save of the model params."""
-        from pathlib import Path
-        import orbax.checkpoint as ocp
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(Path(path).resolve(), self.params, force=True)
+        from .checkpoint import save_params
+        save_params(path, self.params)
 
     def load(self, path) -> None:
-        from pathlib import Path
-        import orbax.checkpoint as ocp
-        with ocp.PyTreeCheckpointer() as ckptr:
-            self.params = ckptr.restore(Path(path).resolve(), item=self.params)
+        from .checkpoint import load_params
+        self.params = load_params(path, self.params)
 
     def _bucket(self, n: int) -> int:
         from ..config import bucket_len

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ConfigValle
-from ..ops import (add_positional, embedding_init, linear_init, mask_to_bias,
+from ..ops import (add_positional, embedding, embedding_init, linear_init, mask_to_bias,
                    sinusoidal_table, transformer, transformer_init)
 from ..ops.masks import build_pad_mask
 from .ar import MAX_POS
@@ -150,7 +150,7 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     pe = sinusoidal_table(MAX_POS, config.d_model)
     drop = config.dropout if train else 0.0
     rngs = jax.random.split(drop_rng, 2)
-    x_tok = jnp.take(params['tokens_emb']['emb'], tokens, axis=0)
+    x_tok = embedding(params['tokens_emb'], tokens)
     x_tok = add_positional(pe, x_tok, dropout_rate=drop, rng=rngs[0])
 
     codes_emb = prepare_audio_embedding(params, codes, stage, prefix_len)
@@ -163,11 +163,16 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
             else jnp.full((b,), t_tok + t_codes)
         flash = {'meta': jnp.stack([tv, ce], axis=1).astype(jnp.int32),
                  'tokens_total': t_tok, 'causal': False}
-    elif codes_lens is not None:
-        pad = build_pad_mask(codes_lens, t_codes)
-        pad = jnp.pad(pad, ((0, 0), (t_tok, 0)))
+    elif codes_lens is not None or tokens_lens is not None:
+        # Build from whichever lengths exist — the flash path masks both
+        # streams from its meta, so this backend must too (same logits).
+        pad = jnp.zeros((b, t_tok + t_codes), bool)
+        if codes_lens is not None:
+            pad = pad | jnp.pad(build_pad_mask(codes_lens, t_codes),
+                                ((0, 0), (t_tok, 0)))
         if tokens_lens is not None:
-            pad = pad | jnp.pad(build_pad_mask(tokens_lens, t_tok), ((0, 0), (0, t_codes)))
+            pad = pad | jnp.pad(build_pad_mask(tokens_lens, t_tok),
+                                ((0, 0), (0, t_codes)))
         bias = mask_to_bias(pad)[:, None, None, :]
 
     logits = forward_stage(params, config, x_tok, codes_emb, stage, bias,
@@ -182,8 +187,14 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     nll = -jnp.take_along_axis(logprobs, target[..., None], axis=-1)[..., 0]
     pos = jnp.arange(t_codes)[None, :]
     valid = pos >= prefix_len
-    if config.mask_loss_pads and codes_lens is not None:
-        valid = valid & (pos < codes_lens[:, None])
+    if codes_lens is not None:
+        if config.mask_loss_pads:
+            valid = valid & (pos < codes_lens[:, None])
+        else:
+            # Reference-parity mode (Q6: pads INSIDE the batch count) pads
+            # only to the BATCH max; bucket columns beyond it must still be
+            # excluded or the loss shifts with the bucket width.
+            valid = valid & (pos < max_true)
     loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
     acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
         jnp.sum(valid), 1)
@@ -220,15 +231,15 @@ def _generate_fn(params: Params, tokens: jax.Array, tokens_len: jax.Array,
     nm = first_layer.shape[1]
     s_total = ttm + pm + nm
 
-    x_tok = add_positional(pe, jnp.take(params['tokens_emb']['emb'],
-                                        tokens, axis=0)).astype(dtype)
+    x_tok = add_positional(pe, embedding(params['tokens_emb'], tokens)
+                           ).astype(dtype)
 
     # Per-row key-validity mask over [tokens | prompt | target] slots.
     slots = jnp.arange(s_total)[None, :]
     valid = ((slots < tokens_len[:, None])
              | ((slots >= ttm) & (slots < ttm + p_len[:, None]))
              | ((slots >= ttm + pm) & (slots < ttm + pm + gen_len[:, None])))
-    bias = jnp.where(valid, 0.0, jnp.float32(-1e30))[:, None, None, :]
+    bias = mask_to_bias(~jnp.broadcast_to(valid, (b, s_total)))[:, None, None, :]
 
     # Codes positions per row: prompt slot i -> i; target slot j -> p_len + j.
     code_pos = jnp.concatenate(
@@ -297,16 +308,12 @@ class ValleNAR:
 
     def save(self, path) -> None:
         """Orbax save of the model params."""
-        from pathlib import Path
-        import orbax.checkpoint as ocp
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(Path(path).resolve(), self.params, force=True)
+        from .checkpoint import save_params
+        save_params(path, self.params)
 
     def load(self, path) -> None:
-        from pathlib import Path
-        import orbax.checkpoint as ocp
-        with ocp.PyTreeCheckpointer() as ckptr:
-            self.params = ckptr.restore(Path(path).resolve(), item=self.params)
+        from .checkpoint import load_params
+        self.params = load_params(path, self.params)
 
     def generate(self, prompt_tokens, prompt_codes, target_tokens,
                  target_codes_first_layer, rng: jax.Array | None = None,
