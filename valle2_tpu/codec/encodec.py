@@ -66,10 +66,17 @@ class EncodecTPU:
     def __init__(self, params: Params | None = None, checkpoint: str | None = None,
                  seed: int = 0, decode_dtype: str = 'float32',
                  use_pallas_rvq: bool = False):
-        if params is None and checkpoint is not None:
-            params = jax.tree.map(jnp.asarray, load_torch_checkpoint(checkpoint))
+        if params is not None and checkpoint is not None:
+            raise ValueError('pass params OR checkpoint, not both (a silently '
+                             'ignored checkpoint means garbage audio)')
+        if checkpoint is not None:
+            params = load_torch_checkpoint(checkpoint)
         if params is None:
             params = init_params(jax.random.key(seed))
+        # Device placement ONCE here: convert_state_dict/load_torch_checkpoint
+        # return numpy leaves, and numpy params would re-upload the full weight
+        # set (incl. the 32x1024x128 codebook stack) on every jitted call.
+        params = jax.tree.map(jnp.asarray, params)
         self.params = params
         self.use_pallas_rvq = use_pallas_rvq
         ddtype = jnp.dtype(decode_dtype)
@@ -91,6 +98,13 @@ class EncodecTPU:
     @property
     def sampling_rate(self) -> int:
         return SAMPLE_RATE
+
+    @property
+    def dec_params(self) -> Params:
+        """Decoder params in the configured decode dtype — the public handle
+        for fused pipelines that compose codec decode into their own program
+        (tts.py); the underscored attribute is an implementation detail."""
+        return self._dec_params
 
     # --- reference API (encodec_pip.py:23-129); shapes/layouts identical ---
 

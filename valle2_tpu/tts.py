@@ -174,7 +174,7 @@ class ValleTTS:
         # decode_params = int8-quantized view under weight_dtype='int8'
         # (mesh-compatible: q/scale leaves shard by the Megatron rules).
         ar_p, nar_p, cod_p = (self.ar.decode_params, self.nar.params,
-                              self.codec._dec_params)
+                              self.codec.dec_params)
         inputs = (jnp.asarray(tokens), jnp.asarray(tokens_lens),
                   jnp.asarray(codes), jnp.asarray(p_lens))
         if self.mesh is not None:
@@ -309,7 +309,7 @@ class ValleTTS:
                 finalize = n_buf if done else max(0, n_buf - lookahead_frames)
                 if finalize > emitted:
                     wav, _codes = self._nar_wav_jit(
-                        self.nar.params, self.codec._dec_params, tokens_pad,
+                        self.nar.params, self.codec.dec_params, tokens_pad,
                         tl, pcodes_pad, pl, jnp.asarray(buf[None]),
                         jnp.asarray([n_buf], jnp.int32), rng_nar)
                     yield np.asarray(wav)[0, emitted * 320:finalize * 320]
