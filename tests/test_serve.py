@@ -301,3 +301,101 @@ class TestConcurrentSubmitters:
         stats = server.stats()
         assert stats['requests'] == 8
         assert stats['batches'] <= 8
+
+
+class TestLoadShedding:
+    """Bounded queue + stream slots: overload is rejected at the door (429),
+    never accepted into unbounded latency growth."""
+
+    def test_queue_full_rejects(self, tts):
+        from valle2_tpu.serve import ServerOverloaded
+        server = TTSServer(tts, max_batch=4, max_queue=2)   # worker NOT started
+        reqs = make_requests(3, seed=20)
+        f0 = server.submit(*reqs[0])
+        f1 = server.submit(*reqs[1])
+        with pytest.raises(ServerOverloaded, match='queue full'):
+            server.submit(*reqs[2])
+        stats = server.stats()
+        assert stats['rejected'] == 1
+        assert stats['queue_depth'] == 2
+        assert stats['queue_oldest_age_s'] > 0.0
+        assert stats['max_queue'] == 2
+        # Accepted work still completes once the worker runs.
+        with server:
+            assert f0.result(timeout=300).waveform.ndim == 1
+            assert f1.result(timeout=300).waveform.ndim == 1
+        assert server.stats()['queue_depth'] == 0
+
+    def test_http_429_and_504_when_worker_stalled(self, tts):
+        """Worker never started = a stalled device: the first request times out
+        (504), the second is shed (429) — no handler thread hangs forever."""
+        import urllib.error
+        server = TTSServer(tts, max_batch=4, max_queue=1)   # never started
+        httpd = serve_http(server, port=0, block=False, request_timeout_s=1.0)
+        try:
+            base = f'http://127.0.0.1:{httpd.server_address[1]}'
+            text, pt, pc = make_requests(1, seed=21)[0]
+            body = json.dumps({'text': text, 'prompt_tokens': pt.tolist(),
+                               'prompt_codes': pc.tolist()}).encode()
+            codes = {}
+
+            def hit(tag):
+                try:
+                    urllib.request.urlopen(
+                        urllib.request.Request(f'{base}/synthesize', data=body),
+                        timeout=30)
+                    codes[tag] = 200
+                except urllib.error.HTTPError as e:
+                    codes[tag] = e.code
+            t1 = threading.Thread(target=hit, args=('first',))
+            t1.start()
+            deadline = __import__('time').time() + 5
+            while server.stats()['queue_depth'] < 1:
+                assert __import__('time').time() < deadline, 'request never queued'
+            hit('second')                      # queue full → shed
+            t1.join(timeout=30)
+            assert codes['second'] == 429
+            assert codes['first'] == 504       # bounded wait, not a hang
+        finally:
+            httpd.shutdown()
+            server.stop(drain=False)
+
+    def test_concurrent_streams_and_overflow(self):
+        """max_streams=2: two sessions interleave; a third is rejected with
+        ServerOverloaded while they hold the slots, then succeeds after."""
+        from valle2_tpu.serve import ServerOverloaded
+        tts1 = ValleTTS(tiny_cfg(num_beams=1))
+        text, pt, pc = make_requests(1, seed=22)[0]
+        want = np.concatenate(list(tts1.synthesize_streaming(
+            text, pt, pc, chunk_frames=4, lookahead_frames=2)) or
+            [np.zeros(0, np.float32)])
+        with TTSServer(tts1, max_batch=2, max_streams=2) as server:
+            g1 = server.stream(text, pt, pc, chunk_frames=4, lookahead_frames=2)
+            g2 = server.stream(text, pt, pc, chunk_frames=4, lookahead_frames=2)
+            c1 = [next(g1)]                    # both sessions now hold a slot
+            c2 = [next(g2)]
+            g3 = server.stream(text, pt, pc, chunk_frames=4, lookahead_frames=2)
+            with pytest.raises(ServerOverloaded, match='stream slots'):
+                next(g3)
+            assert server.stats()['rejected'] == 1
+            c1 += list(g1)                     # drain: slots free up
+            c2 += list(g2)
+            c3 = list(server.stream(text, pt, pc, chunk_frames=4,
+                                    lookahead_frames=2))
+        for chunks in (c1, c2, c3):            # interleaving is bit-invisible
+            np.testing.assert_array_equal(np.concatenate(chunks), want)
+        assert server.stats()['stream_requests'] == 3
+
+    def test_warmup_precompiles_batch_buckets(self, tts):
+        """After warmup, serving any batch size hits a warm jit cache."""
+        server = TTSServer(tts, max_batch=4)
+        dt = server.warmup()
+        assert dt >= 0.0
+        # Every batch bucket (1, 2, 4) is compiled at the smallest length
+        # bucket: serving afterwards must not trigger a single new compile.
+        size_after_warm = tts._fused_jit._cache_size()
+        assert size_after_warm >= len(server.batch_buckets)
+        with server:
+            r = make_requests(1, seed=23)[0]
+            server.synthesize(*r, timeout=300)
+        assert tts._fused_jit._cache_size() == size_after_warm   # no new compile

@@ -653,3 +653,51 @@ class TestBucketInvariantLoss:
         a = float(nar_mod.loss_fn(nar_params, cfg, batch_for(32, 'nar'), rng)[0])
         b = float(nar_mod.loss_fn(nar_params, cfg, batch_for(64, 'nar'), rng)[0])
         np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+class TestEvalPrecisionAndWeighting:
+    def test_eval_loss_matches_train_precision_context(self, tmp_path):
+        """make_eval_step must evaluate under the SAME matmul precision as
+        make_train_step — a 'highest' config must not silently validate at the
+        backend default.  Pinned by comparing against the loss computed
+        explicitly inside the precision context."""
+        from valle2_tpu.models import ar as ar_mod
+        from valle2_tpu.train import make_eval_step
+        cfg = tiny_cfg(tmp_path, matmul_precision='highest')
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        batch = ar_batch_fixed()
+        got = make_eval_step(cfg, 'ValleAR')(state.params, batch,
+                                             jax.random.key(1))
+        with jax.default_matmul_precision('highest'):
+            _, want = jax.jit(
+                lambda p, b: ar_mod.loss_fn(p, cfg, b, None))(state.params, batch)
+        assert float(got['loss']) == float(want['loss'])
+        assert int(got['n_valid']) == int(jnp.sum(batch['codes_lens']))
+
+    def test_validate_weights_by_token_count(self, tmp_path):
+        """validate() must weight per-batch means by valid-token count: with
+        drop_last=False the trailing partial batch would otherwise be
+        over-weighted vs the full ones."""
+        cfg = tiny_cfg(tmp_path)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        trainer = Trainer(cfg, 'ValleAR', use_tensorboard=False)
+        rs = np.random.RandomState(11)
+
+        def mk(bsz, width):
+            return {
+                'tokens': jnp.asarray(rs.randint(0, 255, (bsz, 6))),
+                'tokens_lens': jnp.asarray([6] * bsz),
+                'codes': jnp.asarray(rs.randint(0, 1024, (bsz, width))),
+                'codes_lens': jnp.asarray([width] * bsz),
+                'target': jnp.asarray(rs.randint(0, 1024, (bsz, width))),
+            }
+        batches = [mk(4, 24), mk(1, 8)]        # full batch + small trailing one
+        got = trainer.validate(state, batches, step=0, rng=jax.random.key(2))
+        per = [trainer.eval_step(state.params, b, jax.random.fold_in(
+            jax.random.key(2), i)) for i, b in enumerate(batches)]
+        losses = [float(m['loss']) for m in per]
+        weights = [float(m['n_valid']) for m in per]
+        want = float(np.average(losses, weights=weights))
+        unweighted = float(np.mean(losses))
+        assert abs(got - want) < 1e-7
+        assert abs(want - unweighted) > 1e-6   # the two means genuinely differ

@@ -92,13 +92,17 @@ class ValleDataset:
             wav, _ = self._load_wav(idx)       # pass 1: lengths only (wav freed)
             secs = len(wav) / sr
             bucket = next((b for b in length_buckets if secs <= b), None)
+            # Group key = INTEGER sample width (a float-seconds round trip
+            # could truncate one sample off the hop-aligned width and silently
+            # drop the final sample of the longest items).
             if bucket is None:
                 # Oversize: own hop-aligned width — keep codes/transcript aligned.
-                bucket = -(-len(wav) // hop) * hop / sr
-            groups.setdefault(bucket, []).append(idx)
+                width = -(-len(wav) // hop) * hop
+            else:
+                width = int(bucket * sr)
+            groups.setdefault(width, []).append(idx)
 
-        for bucket, idxs in groups.items():
-            width = int(bucket * sr)
+        for width, idxs in groups.items():
             for start in range(0, len(idxs), batch_size):
                 chunk = idxs[start:start + batch_size]
                 padded = np.zeros((len(chunk), width), np.float32)

@@ -126,7 +126,10 @@ def quantize_kv_rowmajor(x: jax.Array, n_heads: int):
     ops.transformer.quantize_kv semantics on each head slice."""
     *lead, d = x.shape
     hd = d // n_heads
-    xs = x.reshape(*lead, n_heads, hd)
+    # f32 quantization arithmetic regardless of the cache compute dtype — the
+    # in-kernel _fake_quant_row predicts this roundtrip with an f32 scale, so
+    # rounding here in bf16 would drift ±1 int8 step from its prediction.
+    xs = x.reshape(*lead, n_heads, hd).astype(jnp.float32)
     amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(xs / scale), -127, 127).astype(jnp.int8)

@@ -146,13 +146,15 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
             # excluded or the loss shifts with the bucket the batch landed in.
             pos = jnp.arange(target.shape[1])[None, :]
             valid = pos < batch['codes_lens'].max()
-        loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        n_valid = jnp.sum(valid)
+        loss = jnp.sum(nll * valid) / jnp.maximum(n_valid, 1)
         acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
-            jnp.sum(valid), 1)
+            n_valid, 1)
     else:
+        n_valid = jnp.asarray(target.size)
         loss = jnp.mean(nll)
         acc = jnp.mean(jnp.argmax(logits, -1) == target)
-    return loss, {'loss': loss, 'acc': acc}
+    return loss, {'loss': loss, 'acc': acc, 'n_valid': n_valid}
 
 
 # ---------------------------------------------------------------------------

@@ -195,10 +195,11 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
             # only to the BATCH max; bucket columns beyond it must still be
             # excluded or the loss shifts with the bucket width.
             valid = valid & (pos < max_true)
-    loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+    n_valid = jnp.sum(valid)
+    loss = jnp.sum(nll * valid) / jnp.maximum(n_valid, 1)
     acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
-        jnp.sum(valid), 1)
-    return loss, {'loss': loss, 'acc': acc, 'stage': stage}
+        n_valid, 1)
+    return loss, {'loss': loss, 'acc': acc, 'stage': stage, 'n_valid': n_valid}
 
 
 # ---------------------------------------------------------------------------

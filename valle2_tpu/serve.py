@@ -35,6 +35,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from dataclasses import dataclass, field
 
 import jax
@@ -49,6 +50,12 @@ class ServerStopped(RuntimeError):
     DEDICATED type: catching plain RuntimeError would also swallow
     jax's JaxRuntimeError (a RuntimeError subclass), misreporting device
     faults as retryable."""
+
+
+class ServerOverloaded(RuntimeError):
+    """Load shed: the request queue is full or all stream slots are busy
+    (HTTP 429).  Accepting work beyond device throughput would only grow
+    latency without bound — reject at the door instead."""
 
 
 def _safe_set(fut: Future, *, result=None, exc=None) -> None:
@@ -71,6 +78,7 @@ class ServerStats:
     stream_requests: int = 0           # served through /stream
     batches: int = 0
     errors: int = 0
+    rejected: int = 0                  # load-shed at submit/stream time (429)
     audio_seconds: float = 0.0
     busy_seconds: float = 0.0          # wall time inside batch_synthesize
     # submit -> result per request; bounded window so a long-lived server's
@@ -88,6 +96,7 @@ class ServerStats:
             'stream_requests': self.stream_requests,
             'batches': self.batches,
             'errors': self.errors,
+            'rejected': self.rejected,
             'mean_batch_size': self.requests / max(self.batches, 1),
             'audio_seconds': self.audio_seconds,
             'busy_seconds': self.busy_seconds,
@@ -121,11 +130,17 @@ class TTSServer:
     """
 
     def __init__(self, tts: ValleTTS, max_batch: int = 8,
-                 max_wait_ms: float = 10.0, rng: jax.Array | None = None):
+                 max_wait_ms: float = 10.0, rng: jax.Array | None = None,
+                 max_queue: int = 256, max_streams: int = 1):
         assert max_batch >= 1
         self.tts = tts
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
+        # Load shedding: beyond this many queued requests, submit() raises
+        # ServerOverloaded (HTTP 429) instead of growing latency without
+        # bound.  0 disables the bound (NOT recommended in production).
+        self.max_queue = int(max_queue)
+        self.max_streams = int(max_streams)
         # Power-of-two batch buckets bound compile count to log2(max_batch)+1.
         self.batch_buckets: list[int] = []
         b = 1
@@ -142,10 +157,13 @@ class TTSServer:
         # put, so the stop sentinel is always the LAST item in the queue and no
         # request can be stranded behind it.
         self._submit_lock = threading.Lock()
-        # Serializes long-form streaming sessions (each holds a decode cache);
-        # batched requests keep flowing on the worker thread meanwhile — JAX
-        # dispatch is thread-safe and the device interleaves the programs.
-        self._stream_lock = threading.Lock()
+        # Bounds concurrent long-form streaming sessions (each owns its own
+        # DecodeStream cache, so several can run at once); batched requests
+        # keep flowing on the worker thread meanwhile — JAX dispatch is
+        # thread-safe and the device interleaves the programs.  A caller past
+        # the bound gets ServerOverloaded (HTTP 429), never an unbounded
+        # block holding an HTTP handler thread.
+        self._stream_sem = threading.BoundedSemaphore(max(1, self.max_streams))
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -191,6 +209,14 @@ class TTSServer:
         with self._submit_lock:
             if self._stop.is_set():
                 raise ServerStopped('server is stopped')
+            if self.max_queue and self._queue.qsize() >= self.max_queue:
+                # Only the worker pops concurrently, so qsize() can only
+                # over-estimate here — rejection never lets the queue exceed
+                # the bound.
+                with self._stats_lock:
+                    self._stats.rejected += 1
+                raise ServerOverloaded(
+                    f'request queue full ({self.max_queue}); retry later')
             self._queue.put(req)
         return req.future
 
@@ -204,10 +230,12 @@ class TTSServer:
         """Long-form streaming synthesis: returns a generator of float32
         waveform chunks produced while the decode runs
         (ValleTTS.synthesize_streaming semantics — constant
-        time-to-first-audio).  Requires ``num_beams == 1``.  One stream at a
-        time (a second caller blocks on the stream lock); batch requests
-        continue on the worker thread concurrently.  Validation happens HERE,
-        at call time — not at first iteration."""
+        time-to-first-audio).  Requires ``num_beams == 1``.  Up to
+        ``max_streams`` sessions run concurrently (each owns its DecodeStream
+        state); one more raises ServerOverloaded at first iteration instead
+        of blocking the caller's thread.  Batch requests continue on the
+        worker thread meanwhile.  Argument validation happens HERE, at call
+        time — not at first iteration."""
         if self.tts.config.num_beams != 1:
             raise ValueError('streaming requires num_beams=1 '
                              f'(server config has {self.tts.config.num_beams})')
@@ -227,23 +255,30 @@ class TTSServer:
             t0 = time.perf_counter()
             emitted = 0.0
             sr = self.tts.codec.sampling_rate
-            with self._stream_lock:
-                try:
-                    for chunk in self.tts.synthesize_streaming(
-                            text, pt, pc, chunk_frames=int(chunk_frames),
-                            lookahead_frames=int(lookahead_frames)):
-                        emitted += len(chunk) / sr
-                        yield chunk
-                except Exception:      # GeneratorExit (client gone) ≠ error
-                    with self._stats_lock:
-                        self._stats.errors += 1
-                    raise
-                finally:
-                    with self._stats_lock:
-                        self._stats.stream_requests += 1
-                        self._stats.audio_seconds += emitted
-                        self._stats.latencies_ms.append(
-                            (time.perf_counter() - t0) * 1e3)
+            # Bounded, near-non-blocking acquire: a stalled stream must never
+            # pile up handler threads behind it (they get 429, not a hang).
+            if not self._stream_sem.acquire(timeout=0.05):
+                with self._stats_lock:
+                    self._stats.rejected += 1
+                raise ServerOverloaded(
+                    f'all {self.max_streams} stream slots busy; retry later')
+            try:
+                for chunk in self.tts.synthesize_streaming(
+                        text, pt, pc, chunk_frames=int(chunk_frames),
+                        lookahead_frames=int(lookahead_frames)):
+                    emitted += len(chunk) / sr
+                    yield chunk
+            except Exception:      # GeneratorExit (client gone) ≠ error
+                with self._stats_lock:
+                    self._stats.errors += 1
+                raise
+            finally:
+                self._stream_sem.release()
+                with self._stats_lock:
+                    self._stats.stream_requests += 1
+                    self._stats.audio_seconds += emitted
+                    self._stats.latencies_ms.append(
+                        (time.perf_counter() - t0) * 1e3)
         return gen()
 
     def stats(self) -> dict:
@@ -252,7 +287,47 @@ class TTSServer:
             snap = dataclasses.replace(    # the 10k-element sort runs outside
                 self._stats,
                 latencies_ms=collections.deque(self._stats.latencies_ms))
-        return snap.snapshot()
+        out = snap.snapshot()
+        # Live queue health (the two numbers a load balancer needs): depth and
+        # the age of the oldest waiting request.  queue.Queue's deque+mutex are
+        # stable stdlib internals; the sentinel (None) is skipped.
+        now = time.perf_counter()
+        with self._queue.mutex:
+            pending = [r.t_submit for r in self._queue.queue if r is not None]
+        out['queue_depth'] = len(pending)
+        out['queue_oldest_age_s'] = (now - min(pending)) if pending else 0.0
+        out['max_queue'] = self.max_queue
+        return out
+
+    def warmup(self, all_lengths: bool = False, prompt_frames: int = 8) -> float:
+        """Pre-compile the fused pipeline so no user request ever pays the
+        first-compile cost (~3 min at 204M on the target runtime — BENCH_r02
+        measured 180 s for decode compile + first run).
+
+        Synthesizes one dummy group per **batch bucket** (the shapes the
+        worker actually dispatches); with ``all_lengths=True`` additionally
+        one per (batch bucket x prompt length bucket) — the full compile
+        surface, at the cost of ``len(batch_buckets) * len(bucket_sizes)``
+        compiles.  Runs on the caller's thread, before or after ``start()``.
+        Returns wall seconds spent."""
+        t0 = time.perf_counter()
+        nq = self.tts.config.num_quantizers
+        pm_buckets = ([min(self.tts.config.bucket_sizes)] if not all_lengths
+                      else list(self.tts.config.bucket_sizes))
+        n_done = 0
+        for pm in pm_buckets:
+            # The prompt length must LAND in bucket pm (bucket_len picks the
+            # smallest bucket >= len), so all_lengths uses pm itself.
+            pf = pm if all_lengths else min(max(int(prompt_frames), 1), pm)
+            codes = np.zeros((pf, nq), np.int32)
+            tokens = np.zeros((2,), np.int32)
+            for b in self.batch_buckets:
+                self.tts.batch_synthesize(['warm up.'] * b, [tokens] * b,
+                                          [codes] * b)
+                n_done += 1
+        dt = time.perf_counter() - t0
+        log_info('Warmup: %d pipeline shapes compiled in %.1f s', n_done, dt)
+        return dt
 
     # -- worker --------------------------------------------------------------
     def _collect_batch(self) -> list[_Request]:
@@ -423,6 +498,9 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             except (KeyError, ValueError, TypeError) as exc:  # bad args/beams
                 self._send(400, str(exc).encode(), 'text/plain')
                 return
+            except ServerOverloaded as exc:  # all stream slots busy
+                self._send(429, str(exc).encode(), 'text/plain')
+                return
             except ServerStopped as exc:
                 self._send(503, str(exc).encode(), 'text/plain')
                 return
@@ -473,10 +551,16 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             try:
                 result = server.synthesize(text, pt, pc,
                                            timeout=request_timeout_s)
+            except ServerOverloaded as exc:  # queue full: shed load
+                self._send(429, str(exc).encode(), 'text/plain')
+                return
             except ServerStopped as exc:   # retryable: shutting down
                 self._send(503, str(exc).encode(), 'text/plain')
                 return
-            except TimeoutError as exc:    # hung dispatch: bounded, not forever
+            # concurrent.futures.TimeoutError is only aliased to the builtin
+            # from Python 3.11; on 3.10 (pyproject's floor) it must be caught
+            # explicitly or a timed-out Future.result returns 500, not 504.
+            except (TimeoutError, FuturesTimeout) as exc:
                 self._send(504, str(exc).encode() or b'timeout', 'text/plain')
                 return
             except Exception as exc:       # noqa: BLE001 — server-side failure
@@ -511,6 +595,16 @@ def main(argv=None):
     parser.add_argument('--port', type=int, default=8089)
     parser.add_argument('--max-batch', type=int, default=8)
     parser.add_argument('--max-wait-ms', type=float, default=10.0)
+    parser.add_argument('--max-queue', type=int, default=256,
+                        help='Queued requests beyond this get HTTP 429 (0 = unbounded)')
+    parser.add_argument('--max-streams', type=int, default=1,
+                        help='Concurrent /stream sessions; extras get HTTP 429')
+    parser.add_argument('--request-timeout-s', type=float, default=600.0,
+                        help='Per-request wait bound on the batching worker (504 on expiry)')
+    parser.add_argument('--warmup', action='store_true',
+                        help='Pre-compile one pipeline shape per batch bucket before serving')
+    parser.add_argument('--warmup-all-lengths', action='store_true',
+                        help='Warm every (batch bucket x length bucket) shape (slow, thorough)')
     parser.add_argument('--ar-ckpt', type=Path, default=None)
     parser.add_argument('--nar-ckpt', type=Path, default=None)
     parser.add_argument('--codec-ckpt', type=Path, default=None,
@@ -527,9 +621,16 @@ def main(argv=None):
         tts.ar.load(args.ar_ckpt)
     if args.nar_ckpt:
         tts.nar.load(args.nar_ckpt)
-    with TTSServer(tts, max_batch=args.max_batch,
-                   max_wait_ms=args.max_wait_ms) as server:
-        serve_http(server, host=args.host, port=args.port)
+    server = TTSServer(tts, max_batch=args.max_batch,
+                       max_wait_ms=args.max_wait_ms,
+                       max_queue=args.max_queue, max_streams=args.max_streams)
+    if args.warmup or args.warmup_all_lengths:
+        # Compile before the port opens: the first real request must never pay
+        # the ~3 min first-compile cost (BENCH_r02: 180 s at 204M).
+        server.warmup(all_lengths=args.warmup_all_lengths)
+    with server:
+        serve_http(server, host=args.host, port=args.port,
+                   request_timeout_s=args.request_timeout_s)
 
 
 if __name__ == '__main__':

@@ -128,11 +128,14 @@ def make_eval_step(config: ConfigValle, model_name: str):
         # Deterministic evaluation: the AR loss disables dropout via rng=None;
         # the NAR loss still needs the rng for its stage draw, so it takes an
         # explicit train=False (passing the rng alone would turn dropout ON
-        # and inflate every validation loss).
-        if is_nar:
-            _, metrics = loss_fn(params, config, batch, rng, train=False)
-        else:
-            _, metrics = loss_fn(params, config, batch, None)
+        # and inflate every validation loss).  Same matmul precision as the
+        # train step — otherwise a 'highest'-precision config would silently
+        # validate at the backend default (bf16-class on this TPU).
+        with jax.default_matmul_precision(config.matmul_precision):
+            if is_nar:
+                _, metrics = loss_fn(params, config, batch, rng, train=False)
+            else:
+                _, metrics = loss_fn(params, config, batch, None)
         return metrics
     return eval_fn
 
@@ -286,14 +289,18 @@ class Trainer:
         return (b for batch in loader if (b := self._place(batch)) is not None)
 
     def validate(self, state: TrainState, valid_loader, step: int, rng: jax.Array):
-        losses = []
+        losses, weights = [], []
         # Eval batches shard like train ones — on a mesh an unsharded batch
         # would replicate the whole eval pass on every device.
         for i, batch in enumerate(self._batches(valid_loader)):
             metrics = self.eval_step(state.params, batch, jax.random.fold_in(rng, i))
             losses.append(float(metrics['loss']))
+            weights.append(float(metrics.get('n_valid', 1.0)))
         if losses:
-            mean = float(np.mean(losses))
+            # Token-count-weighted mean: with drop_last=False the trailing
+            # partial batch must not be over-weighted vs the full ones.
+            mean = float(np.average(losses, weights=weights)
+                         if sum(weights) > 0 else np.mean(losses))
             log_info('valid | step %d | loss %.4f', step, mean)
             if self.writer:
                 self.writer.add_scalar('valid/loss', mean, step)

@@ -97,6 +97,8 @@ class ValleTTS:
         # Waveform synthesis follows the model compute dtype; codec *encode* stays f32.
         self.codec = codec if codec is not None else EncodecTPU(decode_dtype=config.dtype)
         self.tokenizer = tokenizer if tokenizer is not None else PhonemeTokenizer()
+        import threading
+        self._stream_init_lock = threading.Lock()
         prec = config.matmul_precision
 
         pipe_config = config
@@ -251,21 +253,25 @@ class ValleTTS:
         rng_ar, rng_nar = jax.random.split(jnp.asarray(rng))
         max_new = self.config.max_audio_len
 
-        if getattr(self, '_stream_ar', None) is None:
-            cfg1 = dataclasses.replace(self.config, num_beams=1)
-            self._stream_ar = ValleAR(cfg1, params=self.ar.params)
-            prec = self.config.matmul_precision
+        with self._stream_init_lock:
+            # Under the lock: concurrent streams (serve.TTSServer max_streams>1)
+            # must not race the lazy init into duplicate models/jit caches.
+            if getattr(self, '_stream_ar', None) is None:
+                cfg1 = dataclasses.replace(self.config, num_beams=1)
+                prec = self.config.matmul_precision
 
-            def _nar_wav(nar_p, cod_p, tokens, tl, pcodes, pl, first_layer,
-                         gen_lens, r):
-                with jax.default_matmul_precision(prec):
-                    codes = nar_mod._generate_fn(nar_p, tokens, tl, pcodes, pl,
-                                                 first_layer, gen_lens, r,
-                                                 self.config)
-                    wav = codec_mod.decode(cod_p, codes.transpose(0, 2, 1))
-                return wav.astype(jnp.float32), codes
+                def _nar_wav(nar_p, cod_p, tokens, tl, pcodes, pl, first_layer,
+                             gen_lens, r):
+                    with jax.default_matmul_precision(prec):
+                        codes = nar_mod._generate_fn(nar_p, tokens, tl, pcodes,
+                                                     pl, first_layer, gen_lens,
+                                                     r, self.config)
+                        wav = codec_mod.decode(cod_p, codes.transpose(0, 2, 1))
+                    return wav.astype(jnp.float32), codes
 
-            self._nar_wav_jit = jax.jit(_nar_wav)
+                self._nar_wav_jit = jax.jit(_nar_wav)
+                # Assign _stream_ar LAST: it is the lazy-init sentinel.
+                self._stream_ar = ValleAR(cfg1, params=self.ar.params)
         if self._stream_ar.params is not self.ar.params:
             # tts.ar.load() (or any params rebind) must reach streaming too —
             # a stale _stream_ar would silently synthesize with old weights.
