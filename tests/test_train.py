@@ -701,3 +701,94 @@ class TestEvalPrecisionAndWeighting:
         unweighted = float(np.mean(losses))
         assert abs(got - want) < 1e-7
         assert abs(want - unweighted) > 1e-6   # the two means genuinely differ
+
+
+class TestCodesDiskCache:
+    """Persistent codec-token cache: a fresh process (fresh dataset object)
+    loads every item from disk and encodes NOTHING; any of (dataset, codec
+    weights, frontend) changing invalidates the key."""
+
+    @staticmethod
+    def _fake_hf(n, seed=0, text='a b.'):
+        class FakeHF:
+            def __init__(self):
+                rs = np.random.RandomState(seed)
+                self.items = [{'audio': {'array': rs.randn(rs.randint(3000, 9000)),
+                                         'sampling_rate': 24000},
+                               'text': text} for _ in range(n)]
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, i):
+                return self.items[i]
+        return FakeHF()
+
+    @staticmethod
+    def _counting(codec):
+        calls = {'n': 0}
+        orig = codec.batch_encode
+
+        def wrapped(audios):
+            calls['n'] += 1
+            return orig(audios)
+        codec.batch_encode = wrapped
+        return calls
+
+    def test_second_run_does_zero_encodes(self, tmp_path):
+        from valle2_tpu.codec import EncodecTPU
+        from valle2_tpu.data.dataset import ValleDataset
+        cfg = tiny_cfg()
+        codec = EncodecTPU(seed=0)
+        ds1 = ValleDataset(self._fake_hf(3), cfg, codec)
+        calls1 = self._counting(codec)
+        ds1.precompute_codes(batch_size=2, length_buckets=(1,),
+                             cache_dir=tmp_path)
+        assert calls1['n'] > 0
+        # "Fresh process": new dataset + codec objects, same weights/data.
+        codec2 = EncodecTPU(seed=0)
+        ds2 = ValleDataset(self._fake_hf(3), cfg, codec2)
+        calls2 = self._counting(codec2)
+        ds2.precompute_codes(batch_size=2, length_buckets=(1,),
+                             cache_dir=tmp_path)
+        assert calls2['n'] == 0            # every item served from disk
+        for i in range(3):
+            np.testing.assert_array_equal(ds1[i]['codes'], ds2[i]['codes'])
+            np.testing.assert_array_equal(ds1[i]['tokens'], ds2[i]['tokens'])
+            assert ds2[i]['codes'].dtype == np.int32
+
+    def test_key_invalidation(self, tmp_path):
+        """Different codec weights or different data → cache miss, recompute."""
+        from valle2_tpu.codec import EncodecTPU
+        from valle2_tpu.data.dataset import ValleDataset
+        cfg = tiny_cfg()
+        codec = EncodecTPU(seed=0)
+        ds = ValleDataset(self._fake_hf(3), cfg, codec)
+        ds.precompute_codes(batch_size=2, length_buckets=(1,), cache_dir=tmp_path)
+
+        other_codec = EncodecTPU(seed=1)
+        ds_w = ValleDataset(self._fake_hf(3), cfg, other_codec)
+        calls = self._counting(other_codec)
+        ds_w.precompute_codes(batch_size=2, length_buckets=(1,), cache_dir=tmp_path)
+        assert calls['n'] > 0              # weight change invalidated the key
+
+        ds_d = ValleDataset(self._fake_hf(3, seed=5), cfg, codec)
+        calls = self._counting(codec)
+        ds_d.precompute_codes(batch_size=2, length_buckets=(1,), cache_dir=tmp_path)
+        assert calls['n'] > 0              # data change invalidated the key
+
+    def test_corrupt_cache_recomputes(self, tmp_path):
+        from valle2_tpu.codec import EncodecTPU
+        from valle2_tpu.data.dataset import ValleDataset
+        cfg = tiny_cfg()
+        codec = EncodecTPU(seed=0)
+        ds = ValleDataset(self._fake_hf(2), cfg, codec)
+        path = ds._cache_file(tmp_path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(b'not an npz')
+        calls = self._counting(codec)
+        ds.precompute_codes(batch_size=2, length_buckets=(1,), cache_dir=tmp_path)
+        assert calls['n'] > 0 and len(ds._cache) == 2
+        # And the recompute overwrote the corrupt file with a loadable one.
+        ds2 = ValleDataset(self._fake_hf(2), cfg, EncodecTPU(seed=0))
+        assert ds2._load_disk_cache(tmp_path)

@@ -99,6 +99,23 @@ class EncodecTPU:
     def sampling_rate(self) -> int:
         return SAMPLE_RATE
 
+    def fingerprint(self) -> str:
+        """Stable hex identity of the ENCODE weights (encoder + RVQ codebooks),
+        whether they came from a converted checkpoint or a seeded random init —
+        keys the persistent codec-token disk cache (data/dataset.py).  Samples
+        each leaf (shape + first 64 values) rather than hashing all ~15 MB."""
+        import hashlib
+
+        import numpy as np
+        h = hashlib.sha256()
+        enc_tree = {'encoder': self.params['encoder'], 'rvq': self.params['rvq']}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(enc_tree)[0]:
+            arr = np.asarray(leaf)
+            h.update(jax.tree_util.keystr(path).encode())
+            h.update(str(arr.shape).encode())
+            h.update(np.ascontiguousarray(arr.reshape(-1)[:64]).tobytes())
+        return h.hexdigest()[:16]
+
     @property
     def dec_params(self) -> Params:
         """Decoder params in the configured decode dtype — the public handle

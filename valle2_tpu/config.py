@@ -146,6 +146,14 @@ class ConfigValle:
                           'real training MUST set this or the audio tokens '
                           'have no correspondence to the serving codec'},
     )
+    codes_cache_dir: str = field(
+        default='',
+        metadata={'help': 'Persistent codec-token cache directory: precomputed '
+                          'codes/tokens are saved keyed by (dataset fingerprint, '
+                          'codec weight hash, frontend version) and reloaded in '
+                          'later runs with ZERO re-encodes.  Empty = in-RAM '
+                          'memoization only (re-encodes each process)'},
+    )
     prefetch_batches: int = field(
         default=2,
         metadata={'help': 'Train input pipeline: background-thread device '

@@ -61,9 +61,73 @@ class ValleDataset:
                                          self.codec.sampling_rate))
         return wav, item['text']
 
+    def _cache_key(self) -> str:
+        """Fingerprint of (dataset identity, codec weights, frontend version)
+        — any of the three changing must invalidate the persistent cache."""
+        import hashlib
+
+        from .frontend import FRONTEND_VERSION
+        h = hashlib.sha256()
+        h.update(f'frontend-v{FRONTEND_VERSION};'.encode())
+        h.update(self.codec.fingerprint().encode())
+        n = len(self.dataset)
+        h.update(str(n).encode())
+        hf_fp = getattr(self.dataset, '_fingerprint', None)
+        if hf_fp:                          # HF datasets carry a content hash
+            h.update(str(hf_fp).encode())
+        else:                              # plain sequences: probe a few items
+            for idx in sorted({0, n // 2, n - 1} if n else set()):
+                item = self.dataset[idx]
+                h.update(item['text'].encode())
+                h.update(str(len(item['audio']['array'])).encode())
+                h.update(str(item['audio']['sampling_rate']).encode())
+        return h.hexdigest()[:24]
+
+    def _cache_file(self, cache_dir) -> 'Path':
+        from pathlib import Path
+        return Path(cache_dir) / f'codes-{self._cache_key()}.npz'
+
+    def _load_disk_cache(self, cache_dir) -> bool:
+        """Populate ``_cache`` from disk; True iff EVERY item was covered (a
+        partial or stale file is ignored — recompute, then overwrite)."""
+        path = self._cache_file(cache_dir)
+        if not path.exists():
+            return False
+        try:
+            with np.load(path) as z:
+                n = int(z['n_items'])
+                if n != len(self.dataset):
+                    return False
+                loaded = {
+                    idx: {'codes': z[f'codes_{idx}'].astype(np.int32),
+                          'tokens': z[f'tokens_{idx}'].astype(np.int32)}
+                    for idx in range(n)}
+        except Exception:   # noqa: BLE001 — corrupt/truncated file: recompute
+            log_info('Ignoring unreadable codes cache %s', path)
+            return False
+        self._cache.update(loaded)
+        log_info('Loaded %d precomputed codec items from %s', len(loaded), path)
+        return True
+
+    def _save_disk_cache(self, cache_dir) -> None:
+        from pathlib import Path
+        path = self._cache_file(cache_dir)
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        arrays: dict[str, np.ndarray] = {
+            'n_items': np.asarray(len(self.dataset))}
+        for idx, item in self._cache.items():
+            # Codes fit int16 (codebook 1024); tokens fit int16 too — halves
+            # the file vs int32 (LJSpeech-scale: ~125 MB instead of ~250 MB).
+            arrays[f'codes_{idx}'] = item['codes'].astype(np.int16)
+            arrays[f'tokens_{idx}'] = item['tokens'].astype(np.int16)
+        tmp = path.with_suffix('.tmp.npz')
+        np.savez(tmp, **arrays)            # atomic publish: tmp + rename
+        tmp.replace(path)
+        log_info('Saved codec-token cache (%d items) → %s', len(self._cache), path)
+
     def precompute_codes(self, batch_size: int = 16,
-                         length_buckets: tuple[int, ...] = (2, 4, 8, 12, 16, 24)
-                         ) -> None:
+                         length_buckets: tuple[int, ...] = (2, 4, 8, 12, 16, 24),
+                         cache_dir=None) -> None:
         """Tokenize the whole dataset through the codec in length-bucketed batches.
 
         The reference encodes one utterance at a time on CPU inside DataLoader
@@ -82,7 +146,15 @@ class ValleDataset:
 
         Memory: waveforms are loaded per encode-chunk (two passes over the
         dataset metadata), never all at once.
+
+        ``cache_dir``: persistent disk cache, keyed by (dataset fingerprint,
+        codec weight hash, frontend version).  A fresh process whose key
+        matches loads every item from one npz and encodes NOTHING (the
+        reference re-encodes the whole dataset every run, data.py:30-43);
+        any mismatch recomputes and overwrites.
         """
+        if cache_dir is not None and self._load_disk_cache(cache_dir):
+            return
         from ..codec.encodec import HOP as hop
         sr = self.codec.sampling_rate
         groups: dict[int, list[int]] = {}
@@ -120,6 +192,8 @@ class ValleDataset:
                         'codes': batch_codes[i, :, :n_frames].copy(),
                         'tokens': toks[i]}
         log_info('Precomputed codec tokens for %d items', len(self._cache))
+        if cache_dir is not None:
+            self._save_disk_cache(cache_dir)
 
 
 class SyntheticValleDataset:
@@ -253,8 +327,11 @@ def get_dataloaders(model_name: str, config: ConfigValle,
         # Batched, bucketed on-device tokenization up front: the per-item
         # path would compile the encoder once per distinct audio length
         # (minutes each) and run unbatched — the reference's own bottleneck.
-        train_ds.precompute_codes()
-        valid_ds.precompute_codes()
+        # With codes_cache_dir set, a repeat run loads the tokens from disk
+        # and encodes nothing.
+        cache_dir = config.codes_cache_dir or None
+        train_ds.precompute_codes(cache_dir=cache_dir)
+        valid_ds.precompute_codes(cache_dir=cache_dir)
     train = DataLoader(train_ds, config.batch_size, collate, shuffle=True,
                        seed=config.seed)
     # Validation keeps the trailing partial batch (torch DataLoader default).

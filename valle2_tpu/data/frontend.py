@@ -21,6 +21,11 @@ from functools import lru_cache
 
 import numpy as np
 
+# Bump when tokenization output changes (vocab, lexicon, normalization rules):
+# keys the persistent codec-token disk cache (data/dataset.py), which stores
+# tokenized transcripts alongside codes.
+FRONTEND_VERSION = 1
+
 # g2p_en's specials + CMUdict ARPAbet phoneme inventory (stress-marked vowels).
 _SPECIALS = ['<pad>', '<unk>', '<s>', '</s>']
 _VOWELS = ['AA', 'AE', 'AH', 'AO', 'AW', 'AY', 'EH', 'ER', 'EY', 'IH', 'IY', 'OW',
