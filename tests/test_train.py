@@ -792,3 +792,44 @@ class TestCodesDiskCache:
         # And the recompute overwrote the corrupt file with a loadable one.
         ds2 = ValleDataset(self._fake_hf(2), cfg, EncodecTPU(seed=0))
         assert ds2._load_disk_cache(tmp_path)
+
+
+class TestInverseLexicon:
+    """Phoneme → text inversion (the ASR output direction): tokenize with the
+    forward frontend, invert, recover the words."""
+
+    def test_roundtrip_in_lexicon_sentences(self):
+        from valle2_tpu.data.frontend import PhonemeTokenizer, phonemes_to_text
+        tok = PhonemeTokenizer(use_g2p=False)
+        for text in ('the quick brown fox jumps over the lazy dog.',
+                     'hello world, this is a good day.',
+                     'she said they would go home'):
+            ids = tok(text)
+            assert tok.to_text(ids) == text
+            assert phonemes_to_text(tok.decode(ids)) == text
+
+    def test_morphology_forms_invert(self):
+        from valle2_tpu.data.frontend import PhonemeTokenizer
+        tok = PhonemeTokenizer(use_g2p=False)
+        assert tok.to_text(tok('walking cats played')) == 'walking cats played'
+
+    def test_homophone_prefers_frequent_spelling(self):
+        from valle2_tpu.data.lexicon import inverse_index, lookup
+        # to/too/two share a pronunciation; first-inserted (most common) wins.
+        assert inverse_index()[lookup('to')] == 'to'
+
+    def test_segments_concatenated_words_without_spaces(self):
+        from valle2_tpu.data.lexicon import invert_phonemes, lookup
+        phones = lookup('the') + lookup('cat')
+        assert invert_phonemes(phones) == ['the', 'cat']
+
+    def test_oov_span_falls_back_to_phoneme_string(self):
+        from valle2_tpu.data.lexicon import invert_phonemes, lookup
+        phones = lookup('good') + ('ZH', 'OY2') + lookup('dog')
+        out = invert_phonemes(phones)
+        assert out == ['good', 'ZH-OY2', 'dog']
+
+    def test_empty_and_punctuation_only(self):
+        from valle2_tpu.data.frontend import phonemes_to_text
+        assert phonemes_to_text([]) == ''
+        assert phonemes_to_text([' ', '.']) == '.'

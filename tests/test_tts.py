@@ -58,8 +58,15 @@ class TestValleASR:
         assert len(batch) == 2
         solo0 = asr.transcribe(audios[0], 24000)
         assert batch[0] == solo0
-        for syms in batch:
-            assert all(isinstance(s, str) for s in syms)
+        for text in batch:
+            assert isinstance(text, str)       # default output: English text
+        # output='phonemes' exposes the raw ARPAbet stream; its inversion is
+        # exactly the text output.
+        phon = asr.batch_transcribe(audios, [24000, 24000], output='phonemes')
+        from valle2_tpu.data.frontend import phonemes_to_text
+        assert [phonemes_to_text(p) for p in phon] == batch
+        with pytest.raises(ValueError, match='output'):
+            asr.batch_transcribe(audios, [24000, 24000], output='words')
 
 
 class TestFusedPipeline:

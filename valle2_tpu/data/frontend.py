@@ -102,6 +102,11 @@ class PhonemeTokenizer:
     def decode(self, ids) -> list[str]:
         return [self.idx2sym.get(int(i), '<unk>') for i in ids]
 
+    def to_text(self, ids) -> str:
+        """Phoneme ids → English text via the inverse lexicon (the ASR output
+        direction; see ``phonemes_to_text``)."""
+        return phonemes_to_text(self.decode(ids))
+
 
 _CONS_LETTERS = set('bcdfghjklmnpqrstvwxz')
 
@@ -232,3 +237,35 @@ def _fallback_phonemize(text: str) -> list[str]:
         else:
             tokens.extend(_word_to_phonemes(piece.lower()))
     return tokens
+
+
+def phonemes_to_text(symbols) -> str:
+    """ARPAbet symbol stream (with ' '/','/'.' separators) → English text.
+
+    The ASR direction's final step (BASELINE config #5: codec tokens → text):
+    groups between separators invert through the bundled lexicon
+    (``lexicon.invert_phonemes`` — exact match, then Viterbi segmentation,
+    then hyphen-joined raw phonemes for OOV spans).  Punctuation attaches to
+    the preceding word; specials act as separators and are dropped."""
+    from .lexicon import invert_phonemes
+    out: list[str] = []
+    group: list[str] = []
+
+    def flush():
+        if group:
+            out.extend(invert_phonemes(tuple(group)))
+            group.clear()
+
+    for s in symbols:
+        if s == ' ' or s in _SPECIALS:
+            flush()
+        elif s in (',', '.'):
+            flush()
+            if out:
+                out[-1] += s
+            else:
+                out.append(s)
+        else:
+            group.append(s)
+    flush()
+    return ' '.join(out)

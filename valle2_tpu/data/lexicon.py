@@ -330,3 +330,107 @@ def lookup(word: str) -> tuple[str, ...] | None:
     if w.endswith('er') and w[:-2] in LEXICON:
         return LEXICON[w[:-2]] + ('ER0',)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Inverse lexicon: pronunciation → word (the ASR text-output direction).
+# The forward table above is exactly the mapping to invert — no external data.
+# ---------------------------------------------------------------------------
+
+def _derived_spellings(w: str) -> list[str]:
+    """Orthographic suffixed forms of ``w`` whose pronunciations ``lookup``
+    can derive (plural/-'s, -ing, -ed, -ly, -er).  Standard spelling rules:
+    final silent e drops before -ing/-ed/-er; sibilant finals take -es."""
+    forms = []
+    if w.endswith(('s', 'x', 'z', 'ch', 'sh')):
+        forms.append(w + 'es')
+    elif not w.endswith('s'):
+        forms.append(w + 's')
+    if w.endswith('e'):
+        forms += [w[:-1] + 'ing', w + 'd', w + 'r']
+    else:
+        forms += [w + 'ing', w + 'ed', w + 'er']
+    forms.append(w + 'ly')
+    return forms
+
+
+_INVERSE: dict[tuple[str, ...], str] | None = None
+_MAX_PRON = 0
+
+
+def inverse_index() -> dict[tuple[str, ...], str]:
+    """Pronunciation → word over the lexicon plus its derivable suffixed forms.
+
+    Homophones (to/too/two, see/sea) resolve to the FIRST entry in LEXICON
+    insertion order — the table is laid out high-frequency-first, so the tie
+    break is 'most common spelling', deterministically.  Derived forms are
+    verified through ``lookup`` (the forward path) before insertion, so the
+    index inverts exactly what the tokenizer can produce."""
+    global _INVERSE, _MAX_PRON
+    if _INVERSE is None:
+        idx: dict[tuple[str, ...], str] = {}
+        for w, pron in LEXICON.items():
+            idx.setdefault(pron, w)
+        for w in list(LEXICON):
+            for form in _derived_spellings(w):
+                pron = lookup(form)
+                if pron is not None:
+                    idx.setdefault(pron, form)
+        _INVERSE = idx
+        _MAX_PRON = max(len(p) for p in idx)
+    return _INVERSE
+
+
+def invert_phonemes(phones: tuple[str, ...]) -> list[str]:
+    """One space-free phoneme group → word sequence.
+
+    Exact match first; otherwise a forward Viterbi over the pronunciation
+    trie minimizing (OOV phonemes, then word count) — so a group that is
+    really two concatenated words ('DH AH0 K AE1 T') still segments, and
+    spans no lexicon word covers come back as hyphen-joined raw ARPAbet
+    ('K-AE1-T'), never silently dropped."""
+    idx = inverse_index()
+    if not phones:
+        return []
+    if phones in idx:
+        return [idx[phones]]
+    n = len(phones)
+    inf = (n + 1, n + 1)
+    dp: list[tuple[int, int]] = [inf] * (n + 1)
+    dp[0] = (0, 0)
+    back: list[tuple[int, str | None] | None] = [None] * (n + 1)
+    for i in range(n):
+        if dp[i] == inf:
+            continue
+        oov, words = dp[i]
+        for j in range(i + 1, min(n, i + _MAX_PRON) + 1):
+            w = idx.get(phones[i:j])
+            if w is not None and (oov, words + 1) < dp[j]:
+                dp[j] = (oov, words + 1)
+                back[j] = (i, w)
+        if (oov + 1, words + 1) < dp[i + 1]:       # OOV: consume one phoneme
+            dp[i + 1] = (oov + 1, words + 1)
+            back[i + 1] = (i, None)
+    segs: list[str | None] = []
+    j = n
+    while j > 0:
+        i, w = back[j]                              # dp[n] always reachable
+        segs.append(w)
+        j = i
+    segs.reverse()
+    out: list[str] = []
+    oov_run: list[str] = []
+    pos = 0
+    for w in segs:
+        if w is None:
+            oov_run.append(phones[pos])
+            pos += 1
+            continue
+        if oov_run:
+            out.append('-'.join(oov_run))
+            oov_run = []
+        out.append(w)
+        pos += len(lookup(w) or ())
+    if oov_run:
+        out.append('-'.join(oov_run))
+    return out

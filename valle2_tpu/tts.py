@@ -382,15 +382,25 @@ class ValleASRPipeline:
         self.codec = codec if codec is not None else EncodecTPU()
         self.tokenizer = tokenizer if tokenizer is not None else PhonemeTokenizer()
 
-    def transcribe(self, audio, sr: int, rng: jax.Array | None = None) -> list[str]:
-        """One utterance → phoneme strings."""
-        return self.batch_transcribe([audio], [sr], rng)[0]
+    def transcribe(self, audio, sr: int, rng: jax.Array | None = None,
+                   output: str = 'text'):
+        """One utterance → English text (``output='phonemes'`` for the raw
+        ARPAbet symbol list instead)."""
+        return self.batch_transcribe([audio], [sr], rng, output=output)[0]
 
     def batch_transcribe(self, audios: list, srs: list[int],
-                         rng: jax.Array | None = None) -> list[list[str]]:
+                         rng: jax.Array | None = None, output: str = 'text'):
         """Batched transcription (BASELINE config #5): all utterances' codec tokens
         decode through ONE on-device loop via ValleAR.generate_batch; per-item masks
-        keep each result identical to a solo decode."""
+        keep each result identical to a solo decode.
+
+        ``output='text'`` (default) inverts the decoded phoneme stream to words
+        through the bundled lexicon (exact match → Viterbi segmentation →
+        hyphen-joined raw ARPAbet for OOV spans; data/lexicon.invert_phonemes),
+        completing BASELINE #5's 'codec tokens → text transcription'.
+        ``output='phonemes'`` returns the ARPAbet symbol lists."""
+        if output not in ('text', 'phonemes'):
+            raise ValueError(f"output must be 'text' or 'phonemes', got {output!r}")
         tokens_list, codes_list = [], []
         for audio, sr in zip(audios, srs):
             wav = normalize_audio(jnp.asarray(audio), sr, self.codec.sampling_rate)
@@ -400,7 +410,9 @@ class ValleASRPipeline:
             tokens_list.append(jnp.asarray(codes0, jnp.int32))
             codes_list.append(np.zeros((0, self.config.num_quantizers), np.int32))
         outs = self.ar.generate_batch(tokens_list, codes_list, rng=rng)
-        return [self.tokenizer.decode(np.asarray(ids)) for ids in outs]
+        if output == 'phonemes':
+            return [self.tokenizer.decode(np.asarray(ids)) for ids in outs]
+        return [self.tokenizer.to_text(np.asarray(ids)) for ids in outs]
 
 
 def main(argv=None):
@@ -443,8 +455,7 @@ def main(argv=None):
         if args.ar_ckpt:
             asr.ar.load(args.ar_ckpt)
         wav = np.asarray(load_audio(args.transcribe, target_sr=codec.sampling_rate))
-        phonemes = asr.transcribe(wav, codec.sampling_rate)
-        print(' '.join(phonemes))
+        print(asr.transcribe(wav, codec.sampling_rate))
         return
 
     assert args.text and args.prompt_wav, '--text and --prompt-wav required for TTS'
