@@ -357,18 +357,27 @@ def _derived_spellings(w: str) -> list[str]:
 _INVERSE: dict[tuple[str, ...], str] | None = None
 _MAX_PRON = 0
 
+# Homophone tie-breaks the insertion order gets wrong (the table groups by part
+# of speech, so e.g. 'knew' precedes 'new').  These spellings claim their
+# pronunciation first; everything else resolves by insertion order.
+_PREFERRED_SPELLINGS = ('the', 'a', 'to', 'new', 'no', 'know', 'see', 'one',
+                        'here', 'there', 'for', 'by', 'right', 'sun')
+
 
 def inverse_index() -> dict[tuple[str, ...], str]:
     """Pronunciation → word over the lexicon plus its derivable suffixed forms.
 
-    Homophones (to/too/two, see/sea) resolve to the FIRST entry in LEXICON
-    insertion order — the table is laid out high-frequency-first, so the tie
-    break is 'most common spelling', deterministically.  Derived forms are
-    verified through ``lookup`` (the forward path) before insertion, so the
-    index inverts exactly what the tokenizer can produce."""
+    Homophones (to/too/two, new/knew, see/sea) resolve to the most common
+    spelling: an explicit preference list first, then LEXICON insertion order
+    — deterministic either way.  Derived forms are verified through ``lookup``
+    (the forward path) before insertion, so the index inverts exactly what the
+    tokenizer can produce."""
     global _INVERSE, _MAX_PRON
     if _INVERSE is None:
         idx: dict[tuple[str, ...], str] = {}
+        for w in _PREFERRED_SPELLINGS:
+            if w in LEXICON:
+                idx.setdefault(LEXICON[w], w)
         for w, pron in LEXICON.items():
             idx.setdefault(pron, w)
         for w in list(LEXICON):
