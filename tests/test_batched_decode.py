@@ -182,3 +182,47 @@ class TestBucketedAttention:
                                              decode_attn_buckets=nb)).generate(
                     jnp.asarray(t), jnp.asarray(c), rng=jax.random.key(7)))
                 np.testing.assert_array_equal(out, ref, err_msg=f'buckets={nb}')
+
+
+class TestShardMapFusedDecode:
+    """r2 VERDICT item 3: the fused Pallas decode kernel survives onto a mesh
+    via jax.shard_map (data-only axis; per-shard the kernel sees local shapes).
+    On CPU the kernel runs in interpret mode — same code path the dryrun
+    compiles."""
+
+    def test_fused_decode_on_mesh_matches_solo(self):
+        from valle2_tpu.parallel import make_mesh
+        c = cfg(use_fused_decode=True, matmul_precision='default',
+                kv_cache_dtype='float32', dtype='float32')
+        mesh = make_mesh(data=8, model=1)
+        solo = ValleAR(c)
+        meshed = ValleAR(c, params=solo.params, mesh=mesh)
+        assert meshed._decode_data_sharded       # the shard_map path is live
+        rs = np.random.RandomState(7)
+        items = [(rs.randint(0, 24, (4 + i % 3,)), rs.randint(0, 96, (3 + i % 4, 8)))
+                 for i in range(5)]               # 5 rows -> padded to 8
+        batched = meshed.generate_batch([t for t, _ in items],
+                                        [c_ for _, c_ in items])
+        for (t, c_), got in zip(items, batched):
+            want = solo.generate(jnp.asarray(t), jnp.asarray(c_))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_fused_tts_pipeline_on_mesh_matches_solo(self):
+        from valle2_tpu.parallel import make_mesh
+        from valle2_tpu.tts import ValleTTS
+        c = cfg(use_fused_decode=True, matmul_precision='default',
+                kv_cache_dtype='float32', dtype='float32', num_beams=1,
+                max_audio_len=12)
+        mesh = make_mesh(data=8, model=1)
+        solo = ValleTTS(c)
+        meshed = ValleTTS(c, ar=ValleAR(c, params=solo.ar.params),
+                          nar=solo.nar, codec=solo.codec, mesh=mesh)
+        rs = np.random.RandomState(8)
+        reqs = [(f'sentence {i}.', rs.randint(0, 24, (3,)),
+                 rs.randint(0, 96, (4, 8))) for i in range(3)]
+        got = meshed.batch_synthesize([r[0] for r in reqs], [r[1] for r in reqs],
+                                      [r[2] for r in reqs])
+        for (text, pt, pc), g in zip(reqs, got):
+            want = solo.synthesize_fused(text, pt, pc)
+            np.testing.assert_array_equal(g.codes, want.codes)
+            np.testing.assert_allclose(g.waveform, want.waveform, atol=2e-5)

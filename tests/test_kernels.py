@@ -575,3 +575,86 @@ class TestPickChunk:
                 break
             total = -(-total // c) * c
         assert total % chunk_for(total, 8, 1024, 16, jnp.bfloat16) == 0
+
+
+class TestFlashV2:
+    """Round-3 kernel upgrades: causal/padding block skip (exact — skipped
+    blocks are fully masked) and the head-folded forward."""
+
+    @pytest.mark.parametrize('causal', [True, False])
+    def test_block_skip_matches_reference(self, causal):
+        """Small blocks force many kv blocks; the dynamic bound must skip
+        masked ones without changing a single output value."""
+        b, h, s, hd = 2, 2, 256, 32
+        q, k, v = make_qkv(11, b, h, s, hd)
+        meta = jnp.asarray([[40, 180], [64, 256]], jnp.int32)
+        out = flash_attention(q, k, v, meta, 64, causal, block_q=64, block_k=64)
+        want = reference_attention(q, k, v, meta, 64, causal)
+        o, w = np.asarray(out), np.asarray(want)
+        np.testing.assert_allclose(o[0, :, :180], w[0, :, :180], atol=2e-5)
+        np.testing.assert_allclose(o[1], w[1], atol=2e-5)
+
+    def test_block_skip_gradients_match_full_visit(self):
+        """dq/dk/dv with skip == the jnp reference gradients (the dkv lower
+        bound and dq upper bound drop only zero-contribution blocks)."""
+        b, h, s, hd = 1, 2, 256, 32
+        q, k, v = make_qkv(12, b, h, s, hd)
+        meta = jnp.asarray([[48, 200]], jnp.int32)
+
+        def loss_flash(q, k, v):
+            o = flash_attention(q, k, v, meta, 64, True, block_q=64, block_k=64)
+            return jnp.sum(jnp.where(jnp.arange(s)[None, None, :, None] < 200,
+                                     o, 0.0) ** 2)
+
+        def loss_ref(q, k, v):
+            o = reference_attention(q, k, v, meta, 64, True)
+            return jnp.sum(jnp.where(jnp.arange(s)[None, None, :, None] < 200,
+                                     o, 0.0) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-4, rtol=1e-3)
+
+    @pytest.mark.parametrize('causal', [True, False])
+    def test_folded_forward_matches_reference(self, causal):
+        b, h, s, hd = 2, 4, 192, 32
+        q, k, v = make_qkv(13, b, h, s, hd)
+        meta = jnp.asarray([[40, 150], [64, 192]], jnp.int32)
+        out = flash_attention(q, k, v, meta, 64, causal, fold_heads=True)
+        want = reference_attention(q, k, v, meta, 64, causal)
+        o, w = np.asarray(out), np.asarray(want)
+        np.testing.assert_allclose(o[0, :, :150], w[0, :, :150], atol=2e-5)
+        np.testing.assert_allclose(o[1], w[1], atol=2e-5)
+
+    def test_folded_forward_multiblock(self):
+        """Folded kernel with an explicit small block_k exercises its online
+        softmax across kv chunks + the skip bound."""
+        b, h, s, hd = 1, 4, 256, 32
+        q, k, v = make_qkv(14, b, h, s, hd)
+        meta = jnp.asarray([[48, 256]], jnp.int32)
+        out = flash_attention(q, k, v, meta, 48, True, block_q=128, block_k=64,
+                              fold_heads=True)
+        want = reference_attention(q, k, v, meta, 48, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    def test_folded_gradients_match(self):
+        """fold_heads=True backward (shared blockwise kernels, folded-fwd lse)
+        equals the reference grads."""
+        b, h, s, hd = 1, 2, 128, 32
+        q, k, v = make_qkv(15, b, h, s, hd)
+        meta = jnp.asarray([[32, 128]], jnp.int32)
+        g1 = jax.grad(lambda q: jnp.sum(flash_attention(
+            q, k, v, meta, 32, True, fold_heads=True) ** 2))(q)
+        g2 = jax.grad(lambda q: jnp.sum(reference_attention(
+            q, k, v, meta, 32, True) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_env_override_controls_fold(self, monkeypatch):
+        from valle2_tpu.kernels.flash_attention import _fold_default
+        monkeypatch.setenv('VALLE2_FLASH_FOLD', '1')
+        assert _fold_default(4, 512) is True
+        monkeypatch.setenv('VALLE2_FLASH_FOLD', '0')
+        assert _fold_default(4, 512) is False

@@ -78,6 +78,24 @@ def _attend_block(q_ids, k_ids, tokens_valid, kv_end, tokens_total: int,
     return ((k_ids < tokens_valid) | audio_vis) & (k_ids < kv_end)
 
 
+def _kv_block_bound(q_blk, block_q: int, block_k: int, tokens_valid, kv_end,
+                    causal: bool):
+    """Number of kv blocks a q-block can SEE — the causal/padding block skip.
+
+    Visible keys are [0, tokens_valid) ∪ [tokens_total, min(q_max, kv_end - 1)]
+    (causal) or [0, kv_end) (bidirectional; tokens_valid ≤ kv_end always), so
+    every visible key index is < max(tokens_valid, min(q_end, kv_end)).  Blocks
+    past that bound are fully masked — skipping them is exact, and at large
+    sequence lengths removes up to half the kernel's work (the BENCHMARKS.md
+    frames=1024 MFU collapse)."""
+    if causal:
+        vis_end = jnp.maximum(tokens_valid,
+                              jnp.minimum((q_blk + 1) * block_q, kv_end))
+    else:
+        vis_end = kv_end
+    return jax.lax.div(vis_end + (block_k - 1), block_k)
+
+
 def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q: int,
                 block_k: int, sm_scale: float, seq_len: int, n_heads: int,
                 tokens_total: int, causal: bool):
@@ -120,13 +138,118 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q: int,
     acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m_f, l_f = jax.lax.fori_loop(0, pl.cdiv(seq_len, block_k), body,
-                                      (acc, m0, l0))
+    n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid, kv_end,
+                               causal)
+    acc, m_f, l_f = jax.lax.fori_loop(0, n_blocks, body, (acc, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
     # lse block is the full (1, seq_len) row (Mosaic requires the trailing dims of a
     # block to be lane/sublane aligned or full); write just this program's slice.
     lse_ref[0, 0, pl.ds(q_blk * block_q, block_q)] = \
         (m_f + jnp.log(jnp.maximum(l_f, 1e-30)))[:, 0]
+
+
+def _fwd_kernel_folded(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                       block_q: int, block_k: int, sm_scale: float,
+                       seq_len: int, causal: bool, tokens_total: int):
+    """Head-folded forward: one (batch, q-block) program carries ALL heads.
+
+    q_ref: (1, h, block_q, hd); k/v_ref: (1, h, seq, hd); o like q;
+    lse_ref: (1, h, seq).  The score/PV dots batch over the head axis, so one
+    program issues h MXU contractions back to back with no grid turnaround
+    between them — h× fewer programs, same bytes, and the per-program mask/
+    softmax bookkeeping amortizes across heads (it is broadcast, not repeated).
+    """
+    b_idx = pl.program_id(0)
+    q_blk = pl.program_id(1)
+    tokens_valid = meta_ref[b_idx, 0]
+    kv_end = meta_ref[b_idx, 1]
+
+    q = q_ref[0]                                            # (h, bq, hd)
+    h, _, hd = q.shape
+    q_ids = q_blk * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, :, pl.ds(kb * block_k, block_k), :]   # (h, bk, hd)
+        v_blk = v_ref[0, :, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k_blk, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * sm_scale
+        k_ids = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        attend = _attend_block(q_ids, k_ids, tokens_valid, kv_end,
+                               tokens_total, causal)           # (bq, bk)
+        s = jnp.where(attend[None], s, NEG_INF)                # (h, bq, bk)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v_blk.dtype), v_blk,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        return acc * alpha + pv, m_cur, l_cur
+
+    acc = jnp.zeros((h, block_q, hd), jnp.float32)
+    m0 = jnp.full((h, block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, block_q, 1), jnp.float32)
+    n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid, kv_end,
+                               causal)
+    acc, m_f, l_f = jax.lax.fori_loop(0, n_blocks, body, (acc, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0, :, pl.ds(q_blk * block_q, block_q)] = \
+        (m_f + jnp.log(jnp.maximum(l_f, 1e-30)))[..., 0]
+
+
+def _folded_blocks(h: int, s_pad: int, block_q, block_k) -> tuple[int, int]:
+    """Block sizes for the folded kernel: the (h, bq, bk) f32 score tile is the
+    VMEM driver, so cap h*bq*bk*4 ≈ 4 MB (two such temporaries live at once)."""
+    bk = block_k or min(512, s_pad)
+    if block_q:
+        return block_q, bk
+    budget = 4 * 1024 * 1024 // 4
+    bq = budget // max(h * bk, 1)
+    bq = max(128, min(s_pad, (bq // 128) * 128))
+    return bq, bk
+
+
+def _flash_fwd_folded(q, k, v, meta, tokens_total: int, causal: bool,
+                      block_q, block_k):
+    b, h, s, hd = q.shape
+    sm_scale = 1.0 / math.sqrt(hd)
+    s128 = -(-s // 128) * 128
+    block_q, block_k = _folded_blocks(h, s128, block_q, block_k)
+    blk = math.lcm(block_q, block_k)
+    s_pad = -(-s // blk) * blk
+    if s_pad != s:
+        pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    kernel = functools.partial(_fwd_kernel_folded, block_q=block_q,
+                               block_k=block_k, sm_scale=sm_scale,
+                               seq_len=s_pad, causal=causal,
+                               tokens_total=tokens_total)
+    interpret = jax.default_backend() != 'tpu'
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, s_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((1, h, block_q, hd), lambda bi, qi, meta: (bi, 0, qi, 0)),
+                pl.BlockSpec((1, h, s_pad, hd), lambda bi, qi, meta: (bi, 0, 0, 0)),
+                pl.BlockSpec((1, h, s_pad, hd), lambda bi, qi, meta: (bi, 0, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, h, block_q, hd), lambda bi, qi, meta: (bi, 0, qi, 0)),
+                pl.BlockSpec((1, h, s_pad), lambda bi, qi, meta: (bi, 0, 0)),
+            ),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, h, s_pad, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, s_pad), jnp.float32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(meta, q, k, v)
+    return out[:, :, :s], lse[:, :, :s]
 
 
 def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
@@ -173,25 +296,43 @@ def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
             lse.reshape(b, h, s_pad)[:, :, :s])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _flash_attention_vjp(q, k, v, meta, tokens_total: int, causal: bool,
-                         block_q: int, block_k: int):
-    out, _ = _flash_fwd(q, k, v, meta, tokens_total, causal, block_q, block_k)
+                         block_q: int, block_k: int, fold: bool):
+    fwd = _flash_fwd_folded if fold else _flash_fwd
+    out, _ = fwd(q, k, v, meta, tokens_total, causal,
+                 None if fold else block_q, None if fold else block_k)
     return out
 
 
+def _fold_default(h: int, s: int) -> bool:
+    """Head-fold policy: fold when the per-(batch*head) grid would be fine-
+    grained relative to the work per program — measured win at many heads /
+    long rows (v2 A/B, BENCHMARKS.md).  Env override: VALLE2_FLASH_FOLD=0/1."""
+    import os
+    env = os.environ.get('VALLE2_FLASH_FOLD')
+    if env is not None:
+        return env not in ('0', 'false', '')
+    return False
+
+
 def flash_attention(q, k, v, meta, tokens_total: int, causal: bool = True,
-                    block_q: int | None = None, block_k: int | None = None):
+                    block_q: int | None = None, block_k: int | None = None,
+                    fold_heads: bool | None = None):
     """Prefix-LM flash attention.
 
     q, k, v: (b, h, s, hd); meta: (b, 2) int32 = [tokens_valid, kv_end] per row;
     tokens_total: static width of the source block; causal=False for the NAR's
     bidirectional audio block.  block_q/block_k default to adaptive sizes
-    (see _auto_blocks); pass explicit values to override.
+    (see _auto_blocks); pass explicit values to override.  fold_heads=True runs
+    the head-folded forward (one program per (batch, q-block) carrying all
+    heads); None applies _fold_default.
     """
+    if fold_heads is None:
+        fold_heads = _fold_default(q.shape[1], q.shape[2])
     block_q, block_k = _auto_blocks(q.shape[2], block_q, block_k)
     return _flash_attention_vjp(q, k, v, meta, tokens_total, causal,
-                                block_q, block_k)
+                                block_q, block_k, bool(fold_heads))
 
 
 def reference_attention(q, k, v, meta, tokens_total: int, causal: bool = True):
@@ -257,7 +398,9 @@ def _bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         ds = (p * (dp - delta)).astype(k_blk.dtype)
         return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, pl.cdiv(seq_len, block_k), body,
+    n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid, kv_end,
+                               causal)
+    dq = jax.lax.fori_loop(0, n_blocks, body,
                            jnp.zeros((block_q, q.shape[-1]), jnp.float32))
     dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
 
@@ -303,8 +446,20 @@ def _bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         return dk, dv
 
     hd = k_blk.shape[-1]
+    # Block skip, mirrored from the forward bound: a pure-audio kv block
+    # (first key ≥ tokens_valid, so no always-visible token keys) is invisible
+    # to every q row before it (causal); a fully-padded block (first key ≥
+    # kv_end) is invisible to everyone.  Skipped iterations contribute exactly
+    # zero grads, so the skip is exact.
+    n_q_blocks = pl.cdiv(seq_len, block_q)
+    k0 = k_blk_idx * block_k
+    if causal:
+        lower = jnp.where(k0 < tokens_valid, 0, jax.lax.div(k0, block_q))
+    else:
+        lower = 0
+    lower = jnp.where(k0 >= kv_end, n_q_blocks, lower)
     dk, dv = jax.lax.fori_loop(
-        0, pl.cdiv(seq_len, block_q), body,
+        lower, n_q_blocks, body,
         (jnp.zeros((block_k, hd), jnp.float32), jnp.zeros((block_k, hd), jnp.float32)))
     dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -443,12 +598,16 @@ def _flash_bwd(q, k, v, meta, out, lse, dout, tokens_total: int, causal: bool,
     return unpad(dq), unpad(dk), unpad(dv)
 
 
-def _fwd_rule(q, k, v, meta, tokens_total, causal, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, meta, tokens_total, causal, block_q, block_k)
+def _fwd_rule(q, k, v, meta, tokens_total, causal, block_q, block_k, fold):
+    fwd = _flash_fwd_folded if fold else _flash_fwd
+    out, lse = fwd(q, k, v, meta, tokens_total, causal,
+                   None if fold else block_q, None if fold else block_k)
     return out, (q, k, v, meta, out, lse)
 
 
-def _bwd_rule(tokens_total, causal, block_q, block_k, residuals, g):
+def _bwd_rule(tokens_total, causal, block_q, block_k, fold, residuals, g):
+    # The backward always runs the blockwise (b*h)-grid kernels — the folded
+    # layout only changes the forward; lse comes back in (b, h, s) either way.
     q, k, v, meta, out, lse = residuals
     dq, dk, dv = _flash_bwd(q, k, v, meta, out, lse, g, tokens_total, causal,
                             block_q, block_k)

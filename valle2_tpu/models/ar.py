@@ -451,17 +451,50 @@ class ValleAR:
         prec = config.matmul_precision
 
         decode_config = config
+        self._decode_data_sharded = False
         if mesh is not None and mesh.size > 1:
-            # A pallas_call does not partition under GSPMD — the fused decode
-            # kernel is a single-chip optimization; multi-device decode takes
-            # the XLA path (GSPMD shards it from the param/batch annotations).
-            import dataclasses
-            decode_config = dataclasses.replace(config, use_fused_decode=False)
+            if mesh.shape.get('model', 1) == 1:
+                # Data-only mesh: run the WHOLE decode per-shard under
+                # jax.shard_map — utterance rows are independent, so each
+                # shard decodes its local rows with replicated weights.
+                # Crucially this keeps the fused Pallas kernel available on a
+                # mesh: a pallas_call cannot partition under GSPMD, but inside
+                # shard_map it sees only local shapes (r2 VERDICT item 3).
+                self._decode_data_sharded = True
+            else:
+                # TP mesh: the kernel would need the qkv/out feature split
+                # respected in-kernel; the XLA path shards from the Megatron
+                # annotations instead (GSPMD inserts the per-block psums).
+                import dataclasses
+                decode_config = dataclasses.replace(config,
+                                                    use_fused_decode=False)
 
-        def _decode_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
-            with jax.default_matmul_precision(prec):
-                return _decode_fn(p, tokens, tokens_lens, codes, codes_lens, rng,
-                                  decode_config)
+        if self._decode_data_sharded:
+            shard_map = jax.shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def _decode_body(p, tokens, tokens_lens, codes, codes_lens, rng):
+                # Decorrelate sampling across shards (greedy outputs — the
+                # parity surface — are rng-independent and stay bit-identical
+                # to the solo decode; tests/test_batched_decode.py).
+                rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
+                with jax.default_matmul_precision(prec):
+                    return _decode_fn(p, tokens, tokens_lens, codes, codes_lens,
+                                      rng, decode_config)
+
+            def _decode_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
+                return shard_map(
+                    _decode_body, mesh=mesh,
+                    in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
+                              P()),
+                    out_specs=(P('data'), P('data'), P('data')),
+                    check_vma=False,
+                )(p, tokens, tokens_lens, codes, codes_lens, rng)
+        else:
+            def _decode_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
+                with jax.default_matmul_precision(prec):
+                    return _decode_fn(p, tokens, tokens_lens, codes, codes_lens,
+                                      rng, decode_config)
 
         def _loss_wrapped(p, b, r):
             with jax.default_matmul_precision(prec):

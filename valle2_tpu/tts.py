@@ -102,16 +102,41 @@ class ValleTTS:
         prec = config.matmul_precision
 
         pipe_config = config
+        data_sharded = False
         if mesh is not None and mesh.size > 1:
-            # Mirror ValleAR: a pallas_call does not partition under GSPMD, so
-            # the sharded fused pipeline must take the XLA decode path.
-            import dataclasses
-            pipe_config = dataclasses.replace(config, use_fused_decode=False)
+            if mesh.shape.get('model', 1) == 1:
+                # Data-only mesh: shard_map the whole pipeline over utterance
+                # rows — keeps the fused Pallas decode kernel on a mesh
+                # (mirrors ValleAR; a pallas_call cannot partition under GSPMD
+                # but per-shard it sees only local shapes).
+                data_sharded = True
+            else:
+                import dataclasses
+                pipe_config = dataclasses.replace(config, use_fused_decode=False)
 
-        def _fused(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
-            with jax.default_matmul_precision(prec):
-                return _fused_tts_fn(ar_p, nar_p, cod_p, tokens, tl, codes, pl,
-                                     rng, pipe_config)
+        if data_sharded:
+            shard_map = jax.shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def _pipe_body(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
+                with jax.default_matmul_precision(prec):
+                    return _fused_tts_fn(ar_p, nar_p, cod_p, tokens, tl, codes,
+                                         pl, rng, pipe_config)
+
+            def _fused(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
+                return shard_map(
+                    _pipe_body, mesh=mesh,
+                    in_specs=(P(), P(), P(), P('data'), P('data'), P('data'),
+                              P('data'), P()),
+                    out_specs=(P('data'), P('data'), P('data')),
+                    check_vma=False,
+                )(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng)
+        else:
+            def _fused(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
+                with jax.default_matmul_precision(prec):
+                    return _fused_tts_fn(ar_p, nar_p, cod_p, tokens, tl, codes,
+                                         pl, rng, pipe_config)
 
         self._fused_jit = jax.jit(_fused)
 
