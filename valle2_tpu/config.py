@@ -181,6 +181,15 @@ class ConfigValle:
                           'for any K; amortizes loop-turn overhead on runtimes '
                           'where that dominates — benchmark per target)'},
     )
+    decode_chunk: int = field(
+        default=0,
+        metadata={'help': 'Fused-decode cache chunk (slots per grid step). '
+                          '0 = auto (whole-S when it fits the VMEM block cap). '
+                          'A forced chunk bounds per-step HBM traffic by the '
+                          'OCCUPIED prefix instead of the full cache width — '
+                          'streaming sets this so first-audio latency stops '
+                          'scaling with max_audio_len'},
+    )
     use_fused_decode: bool | str = field(
         default='auto',
         metadata={'help': "Pallas fused whole-stack decode step: True | False | "

@@ -138,8 +138,14 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q: int,
     acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid, kv_end,
-                               causal)
+    if seq_len <= block_k:
+        # Single kv block (the whole-row adaptive default at s ≤ 1024): a
+        # dynamic bound can skip nothing and only turns the unrollable
+        # single-iteration loop into a while_loop — keep the static bound.
+        n_blocks = 1
+    else:
+        n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid,
+                                   kv_end, causal)
     acc, m_f, l_f = jax.lax.fori_loop(0, n_blocks, body, (acc, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
     # lse block is the full (1, seq_len) row (Mosaic requires the trailing dims of a
@@ -306,9 +312,13 @@ def _flash_attention_vjp(q, k, v, meta, tokens_total: int, causal: bool,
 
 
 def _fold_default(h: int, s: int) -> bool:
-    """Head-fold policy: fold when the per-(batch*head) grid would be fine-
-    grained relative to the work per program — measured win at many heads /
-    long rows (v2 A/B, BENCHMARKS.md).  Env override: VALLE2_FLASH_FOLD=0/1."""
+    """Head-fold policy: OFF — measured a consistent LOSS on v5e (r3 A/B,
+    BENCHMARKS.md: 204M b=16x512 36.4% MFU folded vs 39.7% per-head; neutral
+    to -1% everywhere else).  The batched (h, bq, hd) dots do not beat h
+    separate grid programs: the per-head hd=64 contraction is the same MXU
+    shape either way and Mosaic already pipelines the finer grid well.  Kept
+    as an option for other head counts/hardware.  Env override:
+    VALLE2_FLASH_FOLD=0/1."""
     import os
     env = os.environ.get('VALLE2_FLASH_FOLD')
     if env is not None:
@@ -398,8 +408,11 @@ def _bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         ds = (p * (dp - delta)).astype(k_blk.dtype)
         return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
 
-    n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid, kv_end,
-                               causal)
+    if seq_len <= block_k:                 # single kv block: static bound
+        n_blocks = 1
+    else:
+        n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid,
+                                   kv_end, causal)
     dq = jax.lax.fori_loop(0, n_blocks, body,
                            jnp.zeros((block_q, q.shape[-1]), jnp.float32))
     dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
@@ -453,11 +466,13 @@ def _bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     # zero grads, so the skip is exact.
     n_q_blocks = pl.cdiv(seq_len, block_q)
     k0 = k_blk_idx * block_k
-    if causal:
-        lower = jnp.where(k0 < tokens_valid, 0, jax.lax.div(k0, block_q))
-    else:
+    if seq_len <= block_q:                 # single q block: static bound
         lower = 0
-    lower = jnp.where(k0 >= kv_end, n_q_blocks, lower)
+    elif causal:
+        lower = jnp.where(k0 < tokens_valid, 0, jax.lax.div(k0, block_q))
+        lower = jnp.where(k0 >= kv_end, n_q_blocks, lower)
+    else:
+        lower = jnp.where(k0 >= kv_end, n_q_blocks, 0)
     dk, dv = jax.lax.fori_loop(
         lower, n_q_blocks, body,
         (jnp.zeros((block_k, hd), jnp.float32), jnp.zeros((block_k, hd), jnp.float32)))

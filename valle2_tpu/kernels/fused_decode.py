@@ -25,9 +25,11 @@ Design:
   in SMEM, f32 accumulator in VMEM scratch).  The chunk index map CLAMPS at the
   last chunk containing ``index`` — Pallas skips the DMA when consecutive grid
   steps map to the same block, so slots past the valid prefix are neither fetched
-  from HBM nor computed on (``@pl.when`` gates the arithmetic).  Chunking is
-  opt-in (VALLE2_FUSED_CHUNK): measured NEGATIVE at default scale (BENCHMARKS.md
-  r2 — grid-step overhead beats the skipped bytes), whole-S is the default.
+  from HBM nor computed on (``@pl.when`` gates the arithmetic).  Chunking
+  defaults to whole-S when it fits the VMEM block cap (forcing it measured
+  NEGATIVE for full-length batch decodes, BENCHMARKS.md r2); the streaming
+  path forces a chunk via ``config.decode_chunk`` so first-audio latency stops
+  scaling with the cache width (r3), and ``VALLE2_FUSED_CHUNK`` overrides.
 - The new token's k/v are merged IN REGISTER (the score/value for slot ``index``
   is patched via iota masks in the chunk that contains it), and the kernel emits
   per-layer k_new/v_new which the caller writes into the cache with two
@@ -70,7 +72,8 @@ BLOCK_BYTES_CAP = 8 * 1024 * 1024   # per-chunk k+v VMEM block budget
 
 
 def pick_chunk(seq: int, rows: int, d: int, n_heads: int,
-               cache_itemsize: int, quant: bool) -> int:
+               cache_itemsize: int, quant: bool,
+               forced: int | None = None) -> int:
     """Cache slots per grid step.
 
     Whole-``seq`` (single chunk) whenever the k+v block fits BLOCK_BYTES_CAP —
@@ -79,9 +82,14 @@ def pick_chunk(seq: int, rows: int, d: int, n_heads: int,
     rows×d, e.g. 204M at num_beams=4: 28 MB), auto-chunk to the largest
     lane-aligned chunk under the cap — measured 1.59x over the XLA path there
     (the per-chunk compute is large enough to amortize the grid steps).
-    ``VALLE2_FUSED_CHUNK`` overrides.  Callers pad the cache length to a chunk
+    ``forced`` (config.decode_chunk via chunk_for) or ``VALLE2_FUSED_CHUNK``
+    override — streaming sets a forced chunk so the per-step HBM traffic stays
+    bounded by the OCCUPIED prefix (the clamped index map re-reads the same
+    chunk until the write index crosses into the next one) instead of scaling
+    with the full cache width.  Callers pad the cache length to a chunk
     multiple (ar._decode_prefill does)."""
-    forced = env_chunk()
+    if not forced:
+        forced = env_chunk()
     if forced is not None and 0 < forced < seq:
         return forced
     # k+v at cache_itemsize bytes each; int8 mode adds per-(slot, head) k/v
@@ -94,13 +102,16 @@ def pick_chunk(seq: int, rows: int, d: int, n_heads: int,
     return min(chunk, seq)
 
 
-def chunk_for(seq: int, rows: int, d: int, n_heads: int, cache_dtype) -> int:
+def chunk_for(seq: int, rows: int, d: int, n_heads: int, cache_dtype,
+              forced: int | None = None) -> int:
     """pick_chunk with itemsize/quant derived from the cache dtype — the ONE
     derivation shared by the gate, the prefill padding, and the kernel, so
-    their chunk choices can never drift apart."""
+    their chunk choices can never drift apart.  ``forced`` carries
+    config.decode_chunk (0/None = auto)."""
     cd = jnp.dtype(cache_dtype)
     quant = cd == jnp.int8
-    return pick_chunk(seq, rows, d, n_heads, 1 if quant else cd.itemsize, quant)
+    return pick_chunk(seq, rows, d, n_heads, 1 if quant else cd.itemsize, quant,
+                      forced=forced)
 
 
 def fused_cache_layout(cache):
@@ -354,7 +365,7 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
 
 
 def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
-                      ttm: int, pm: int):
+                      ttm: int, pm: int, chunk_override: int | None = None):
     """One token step through the whole stacked-layer transformer as one kernel.
 
     p: stacked layer pytree (L, ...) (see ops.transformer.transformer_init);
@@ -372,7 +383,8 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     h = n_heads
     quant = cache.k_scale is not None
     quant_w = 'q' in p['attn']['qkv']      # int8 weights (quantize.py layout)
-    chunk = chunk_for(seq, rows, d, n_heads, cache.k.dtype)
+    chunk = chunk_for(seq, rows, d, n_heads, cache.k.dtype,
+                      forced=chunk_override)
     if seq % chunk:
         # Falling back to whole-S here would re-create the Mosaic VMEM OOM
         # that chunking exists to prevent — fail informatively instead.

@@ -194,7 +194,7 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     # Same chunk choice the kernel will make (auto-chunks oversize blocks —
     # 204M at 4 beams measured 1.59x over XLA with the 8 MB-capped chunks).
     chunk_est = chunk_for(total_max, rows, config.d_model, config.n_heads,
-                          cache_dtype)
+                          cache_dtype, forced=config.decode_chunk or None)
     cache_block_bytes = (rows * config.n_heads * chunk_est * config.head_dim
                          * 2 * (1 if quant else cache_dtype.itemsize)
                          + (rows * chunk_est * 4 * config.n_heads
@@ -259,7 +259,8 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
         # honored there (auto chunks are length-independent — one pass).
         for _ in range(3):
             chunk_est = chunk_for(total_max, rows, config.d_model,
-                                  config.n_heads, cache_dtype)
+                                  config.n_heads, cache_dtype,
+                                  forced=config.decode_chunk or None)
             if chunk_est >= total_max or total_max % chunk_est == 0:
                 break
             total_max = -(-total_max // chunk_est) * chunk_est
@@ -385,7 +386,9 @@ def _decode_advance(params: Params, state: DecodeState, tl_f: jax.Array,
         if use_fused:
             from ..kernels.fused_decode import fused_decode_step
             y, cache = fused_decode_step(tparams, x, n_heads, s.cache,
-                                         ttm + pm + s.step, tl_f, pl_f, ttm, pm)
+                                         ttm + pm + s.step, tl_f, pl_f, ttm, pm,
+                                         chunk_override=config.decode_chunk
+                                         or None)
         else:
             attend = base_valid | ((slots >= ttm + pm) & (slots <= ttm + pm + s.step))
             y, cache = transformer_decode_step(
@@ -452,7 +455,7 @@ class ValleAR:
 
         decode_config = config
         self._decode_data_sharded = False
-        if mesh is not None and mesh.size > 1:
+        if mesh is not None:
             if mesh.shape.get('model', 1) == 1:
                 # Data-only mesh: run the WHOLE decode per-shard under
                 # jax.shard_map — utterance rows are independent, so each

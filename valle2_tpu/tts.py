@@ -103,7 +103,7 @@ class ValleTTS:
 
         pipe_config = config
         data_sharded = False
-        if mesh is not None and mesh.size > 1:
+        if mesh is not None:
             if mesh.shape.get('model', 1) == 1:
                 # Data-only mesh: shard_map the whole pipeline over utterance
                 # rows — keeps the fused Pallas decode kernel on a mesh
@@ -282,7 +282,16 @@ class ValleTTS:
             # Under the lock: concurrent streams (serve.TTSServer max_streams>1)
             # must not race the lazy init into duplicate models/jit caches.
             if getattr(self, '_stream_ar', None) is None:
-                cfg1 = dataclasses.replace(self.config, num_beams=1)
+                # Streaming default: force a fused-decode cache chunk so the
+                # first-audio latency stops scaling with the FULL cache width
+                # (max_audio_len) — early steps re-read only the occupied
+                # chunk(s) (r2 VERDICT item 9; the clamped chunk index map is
+                # the prefix skip).  Explicit decode_chunk configs win.
+                chunk = self.config.decode_chunk
+                if chunk == 0 and self.config.max_audio_len >= 1024:
+                    chunk = 512
+                cfg1 = dataclasses.replace(self.config, num_beams=1,
+                                           decode_chunk=chunk)
                 prec = self.config.matmul_precision
 
                 def _nar_wav(nar_p, cod_p, tokens, tl, pcodes, pl, first_layer,
