@@ -833,3 +833,32 @@ class TestInverseLexicon:
         from valle2_tpu.data.frontend import phonemes_to_text
         assert phonemes_to_text([]) == ''
         assert phonemes_to_text([' ', '.']) == '.'
+
+
+class TestInverseLexiconProperties:
+    def test_every_lexicon_word_inverts_pronunciation_preserving(self):
+        """For EVERY lexicon word: inversion returns exactly one word whose
+        pronunciation equals the input's — spelling may differ only for
+        homophones (to/too/two), never the sound."""
+        from valle2_tpu.data.lexicon import LEXICON, invert_phonemes, lookup
+        for w, pron in LEXICON.items():
+            out = invert_phonemes(pron)
+            assert len(out) == 1, (w, out)
+            assert lookup(out[0]) == pron, (w, out)
+
+    def test_random_sentences_roundtrip_by_pronunciation(self):
+        """Random multi-word strings of lexicon words: the phoneme stream
+        (with spaces) inverts to a same-length word sequence with identical
+        pronunciations, word for word."""
+        from valle2_tpu.data.frontend import PhonemeTokenizer, phonemes_to_text
+        from valle2_tpu.data.lexicon import LEXICON, lookup
+        tok = PhonemeTokenizer(use_g2p=False)
+        words = sorted(LEXICON)
+        rs = np.random.RandomState(42)
+        for _ in range(25):
+            sent = ' '.join(words[i] for i in rs.randint(0, len(words), 6))
+            got = phonemes_to_text(tok.decode(tok(sent))).split(' ')
+            want = sent.split(' ')
+            assert len(got) == len(want), (sent, got)
+            for g, w in zip(got, want):
+                assert lookup(g) == lookup(w), (sent, g, w)
