@@ -399,3 +399,22 @@ class TestLoadShedding:
             r = make_requests(1, seed=23)[0]
             server.synthesize(*r, timeout=300)
         assert tts._fused_jit._cache_size() == size_after_warm   # no new compile
+
+
+class TestStreamWarmup:
+    def test_warmup_streams_compiles_streaming_path(self):
+        tts1 = ValleTTS(tiny_cfg(num_beams=1))
+        server = TTSServer(tts1, max_batch=2)
+        dt = server.warmup(streams=True)
+        assert dt >= 0.0
+        # Streaming now runs against warm caches; a stream still works.
+        text, pt, pc = make_requests(1, seed=30)[0]
+        with server:
+            chunks = list(server.stream(text, pt, pc, chunk_frames=5,
+                                        lookahead_frames=3))
+        assert sum(len(c) for c in chunks) > 0
+
+    def test_warmup_streams_requires_single_beam(self, tts):
+        server = TTSServer(tts, max_batch=2)     # module cfg has num_beams=2
+        with pytest.raises(ValueError, match='num_beams'):
+            server.warmup(streams=True)

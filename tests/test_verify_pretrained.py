@@ -63,3 +63,16 @@ class TestValleGate:
         results = verify_valle(str(path), 'ValleAR', cfg)
         assert results.get('ar-decode-finite') is True
         assert results.get('ar-greedy-parity[torch-mirror]') is True
+
+
+class TestFrontendGate:
+    def test_skips_cleanly_without_g2p(self):
+        """In this image g2p_en is absent: the gate must report unavailable,
+        not crash — and the CLI must not fail on it."""
+        from valle2_tpu.tools.verify_pretrained import main, verify_frontend
+        out = verify_frontend(verbose=False)
+        if not out['available']:
+            assert out == {'available': False}
+            assert main(['--frontend']) == 0      # nothing to fail on
+        else:                                      # network-day behavior
+            assert 0.0 <= out['phoneme_agreement'] <= 1.0

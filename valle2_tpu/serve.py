@@ -299,7 +299,8 @@ class TTSServer:
         out['max_queue'] = self.max_queue
         return out
 
-    def warmup(self, all_lengths: bool = False, prompt_frames: int = 8) -> float:
+    def warmup(self, all_lengths: bool = False, prompt_frames: int = 8,
+               streams: bool = False) -> float:
         """Pre-compile the fused pipeline so no user request ever pays the
         first-compile cost (~3 min at 204M on the target runtime — BENCH_r02
         measured 180 s for decode compile + first run).
@@ -308,7 +309,9 @@ class TTSServer:
         worker actually dispatches); with ``all_lengths=True`` additionally
         one per (batch bucket x prompt length bucket) — the full compile
         surface, at the cost of ``len(batch_buckets) * len(bucket_sizes)``
-        compiles.  Runs on the caller's thread, before or after ``start()``.
+        compiles.  ``streams=True`` additionally compiles the streaming path
+        (prefill/advance/NAR-chunk programs; requires ``num_beams == 1``).
+        Runs on the caller's thread, before or after ``start()``.
         Returns wall seconds spent."""
         t0 = time.perf_counter()
         nq = self.tts.config.num_quantizers
@@ -325,6 +328,15 @@ class TTSServer:
                 self.tts.batch_synthesize(['warm up.'] * b, [tokens] * b,
                                           [codes] * b)
                 n_done += 1
+        if streams:
+            if self.tts.config.num_beams != 1:
+                raise ValueError('streams warmup requires num_beams=1')
+            pf = min(max(int(prompt_frames), 1), pm_buckets[0])
+            gen = self.tts.synthesize_streaming(
+                'warm up.', np.zeros((2,), np.int32), np.zeros((pf, nq), np.int32))
+            next(gen, None)            # compiles prefill + advance + NAR chunk
+            gen.close()
+            n_done += 1
         dt = time.perf_counter() - t0
         log_info('Warmup: %d pipeline shapes compiled in %.1f s', n_done, dt)
         return dt
@@ -603,6 +615,8 @@ def main(argv=None):
                         help='Per-request wait bound on the batching worker (504 on expiry)')
     parser.add_argument('--warmup', action='store_true',
                         help='Pre-compile one pipeline shape per batch bucket before serving')
+    parser.add_argument('--warmup-streams', action='store_true',
+                        help='Also pre-compile the streaming path (needs num_beams=1)')
     parser.add_argument('--warmup-all-lengths', action='store_true',
                         help='Warm every (batch bucket x length bucket) shape (slow, thorough)')
     parser.add_argument('--ar-ckpt', type=Path, default=None)
@@ -624,10 +638,11 @@ def main(argv=None):
     server = TTSServer(tts, max_batch=args.max_batch,
                        max_wait_ms=args.max_wait_ms,
                        max_queue=args.max_queue, max_streams=args.max_streams)
-    if args.warmup or args.warmup_all_lengths:
+    if args.warmup or args.warmup_all_lengths or args.warmup_streams:
         # Compile before the port opens: the first real request must never pay
         # the ~3 min first-compile cost (BENCH_r02: 180 s at 204M).
-        server.warmup(all_lengths=args.warmup_all_lengths)
+        server.warmup(all_lengths=args.warmup_all_lengths,
+                      streams=args.warmup_streams)
     with server:
         serve_http(server, host=args.host, port=args.port,
                    request_timeout_s=args.request_timeout_s)

@@ -233,6 +233,52 @@ def verify_valle(checkpoint: str, model_name: str, config) -> dict[str, bool]:
     return results
 
 
+_G2P_SENTENCES = (
+    'the quick brown fox jumps over the lazy dog.',
+    'hello world, this is a test of the speech frontend.',
+    'she said they would go home tomorrow morning.',
+    'i have 3 cats and $2.50 in my pocket.',
+    'the president spoke about education and health.',
+)
+
+
+def verify_frontend(sentences=_G2P_SENTENCES, verbose: bool = True) -> dict:
+    """Compare the bundled no-dependency frontend against the REAL ``g2p_en``
+    (the reference's actual dependency, data.py:18-25) when it is importable —
+    the network-day gate for the text side.  Returns
+    {'available': bool, 'vocab_identical': bool, 'phoneme_agreement': float}.
+
+    The fallback's tier-2 letter-to-sound rules are approximate by design, so
+    the gate reports token-level agreement rather than demanding exactness;
+    vocab layout (symbol → id) must match exactly or trained checkpoints are
+    not interchangeable."""
+    from ..data.frontend import PHONEMES, PUNCTUATION, PhonemeTokenizer
+    try:
+        from g2p_en import G2p
+    except Exception:
+        if verbose:
+            print('[SKIP] g2p_en not importable — frontend gate needs network day')
+        return {'available': False}
+    g2p = G2p()
+    vocab_ok = list(g2p.phonemes) == PHONEMES[:len(list(g2p.phonemes))] \
+        and PUNCTUATION == [' ', ',', '.']
+    ours = PhonemeTokenizer(use_g2p=False)
+    agree = total = 0
+    for s in sentences:
+        a = list(g2p(s))
+        b = ours.phonemize(s)
+        total += max(len(a), len(b))
+        agree += sum(x == y for x, y in zip(a, b))
+    out = {'available': True, 'vocab_identical': bool(vocab_ok),
+           'phoneme_agreement': agree / max(total, 1)}
+    if verbose:
+        print(f'[{"PASS" if vocab_ok else "FAIL"}] frontend vocab layout '
+              f'identical to g2p_en')
+        print(f'[INFO] fallback-vs-g2p_en phoneme agreement: '
+              f'{out["phoneme_agreement"]:.1%}')
+    return out
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -247,9 +293,12 @@ def main(argv=None) -> int:
     parser.add_argument('--nar', type=Path, default=None,
                         help='Reference-trained ValleNAR checkpoint')
     parser.add_argument('-c', '--config', type=Path, default=None)
+    parser.add_argument('--frontend', action='store_true',
+                        help='Also cross-check the phoneme frontend against a '
+                             'real g2p_en install (auto-skips when absent)')
     args = parser.parse_args(argv)
-    if not (args.codec or args.ar or args.nar):
-        parser.error('nothing to verify: pass --codec and/or --ar/--nar')
+    if not (args.codec or args.ar or args.nar or args.frontend):
+        parser.error('nothing to verify: pass --codec, --ar/--nar, or --frontend')
     config = ConfigValle.from_json(args.config) if args.config else ConfigValle()
 
     results: dict[str, bool] = {}
@@ -259,6 +308,10 @@ def main(argv=None) -> int:
         results.update(verify_valle(str(args.ar), 'ValleAR', config))
     if args.nar:
         results.update(verify_valle(str(args.nar), 'ValleNAR', config))
+    if args.frontend:
+        fr = verify_frontend()
+        if fr.get('available'):
+            results['frontend-vocab-layout[g2p_en]'] = fr['vocab_identical']
     for stage, ok in results.items():
         print(f'{stage}: {"PASS" if ok else "FAIL"}')
     n_fail = sum(not ok for ok in results.values())
