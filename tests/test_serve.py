@@ -418,3 +418,52 @@ class TestStreamWarmup:
         server = TTSServer(tts, max_batch=2)     # module cfg has num_beams=2
         with pytest.raises(ValueError, match='num_beams'):
             server.warmup(streams=True)
+
+
+class TestASREndpoint:
+    def test_transcribe_http_roundtrip(self):
+        """POST /transcribe with WAV bytes (and with JSON audio) returns the
+        same text the pipeline produces directly; stats count it."""
+        from valle2_tpu.tts import ValleASRPipeline
+        from valle2_tpu.utils import wav_pcm16_bytes
+        cfg = tiny_cfg(num_beams=1, vocab_size=70)
+        asr = ValleASRPipeline(cfg)
+        tts1 = ValleTTS(tiny_cfg(num_beams=1), codec=asr.codec)
+        rs = np.random.RandomState(31)
+        wav = (rs.randn(4800) * 0.1).astype(np.float32)
+        want = asr.transcribe(wav, 24000)
+        with TTSServer(tts1, max_batch=2, asr=asr) as server:
+            assert server.transcribe(wav, 24000) == want
+            httpd = serve_http(server, port=0, block=False)
+            try:
+                base = f'http://127.0.0.1:{httpd.server_address[1]}'
+                req = urllib.request.Request(
+                    f'{base}/transcribe', data=wav_pcm16_bytes(wav, 24000))
+                resp = urllib.request.urlopen(req, timeout=300)
+                out = json.loads(resp.read())
+                assert isinstance(out['text'], str)
+                # PCM16 quantization perturbs the audio slightly; the codec
+                # ids can shift, so compare the JSON float path exactly.
+                body = json.dumps({'audio': wav.tolist(), 'sr': 24000}).encode()
+                req2 = urllib.request.Request(f'{base}/transcribe', data=body)
+                out2 = json.loads(urllib.request.urlopen(req2, timeout=300).read())
+                assert out2['text'] == want
+            finally:
+                httpd.shutdown()
+        stats = server.stats()
+        assert stats['asr_requests'] == 3 and stats['errors'] == 0
+
+    def test_transcribe_unconfigured_is_501(self, tts):
+        import urllib.error
+        with TTSServer(tts, max_batch=2) as server:
+            with pytest.raises(ValueError, match='ASR'):
+                server.transcribe(np.zeros(2400, np.float32), 24000)
+            httpd = serve_http(server, port=0, block=False)
+            try:
+                base = f'http://127.0.0.1:{httpd.server_address[1]}'
+                req = urllib.request.Request(f'{base}/transcribe', data=b'RIFFxxxx')
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=30)
+                assert ei.value.code == 501
+            finally:
+                httpd.shutdown()

@@ -76,6 +76,7 @@ class ServerStats:
     """Aggregate serving counters (monotonic since ``start``)."""
     requests: int = 0                  # served through the batched pipeline
     stream_requests: int = 0           # served through /stream
+    asr_requests: int = 0              # served through /transcribe
     batches: int = 0
     errors: int = 0
     rejected: int = 0                  # load-shed at submit/stream time (429)
@@ -94,6 +95,7 @@ class ServerStats:
         return {
             'requests': self.requests,
             'stream_requests': self.stream_requests,
+            'asr_requests': self.asr_requests,
             'batches': self.batches,
             'errors': self.errors,
             'rejected': self.rejected,
@@ -131,9 +133,11 @@ class TTSServer:
 
     def __init__(self, tts: ValleTTS, max_batch: int = 8,
                  max_wait_ms: float = 10.0, rng: jax.Array | None = None,
-                 max_queue: int = 256, max_streams: int = 1):
+                 max_queue: int = 256, max_streams: int = 1, asr=None):
         assert max_batch >= 1
         self.tts = tts
+        # Optional ValleASRPipeline: enables transcribe() and POST /transcribe.
+        self.asr = asr
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
         # Load shedding: beyond this many queued requests, submit() raises
@@ -280,6 +284,30 @@ class TTSServer:
                     self._stats.latencies_ms.append(
                         (time.perf_counter() - t0) * 1e3)
         return gen()
+
+    def transcribe(self, audio, sr: int) -> str:
+        """ASR: waveform → English text (requires an ``asr`` pipeline).
+
+        Dispatches from the caller's thread (JAX dispatch is thread-safe; the
+        device interleaves with the batching worker's TTS programs) — ASR
+        decodes are single batched on-device loops already, so no queueing
+        layer is needed at this request volume."""
+        if self.asr is None:
+            raise ValueError('server was built without an ASR pipeline '
+                             '(pass asr=ValleASRPipeline(...))')
+        if self._stop.is_set():
+            raise ServerStopped('server is stopped')
+        t0 = time.perf_counter()
+        try:
+            text = self.asr.transcribe(np.asarray(audio, np.float32), int(sr))
+        except Exception:
+            with self._stats_lock:
+                self._stats.errors += 1
+            raise
+        with self._stats_lock:
+            self._stats.asr_requests += 1
+            self._stats.latencies_ms.append((time.perf_counter() - t0) * 1e3)
+        return text
 
     def stats(self) -> dict:
         import dataclasses
@@ -496,6 +524,37 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             else:
                 self._send(404, b'not found', 'text/plain')
 
+        def _do_transcribe(self):
+            """ASR: body = a complete WAV file (any Content-Type) or JSON
+            {'audio': [float...], 'sr': int} → {'text': ...}."""
+            if server.asr is None:
+                self._send(501, b'server not configured with an ASR pipeline',
+                           'text/plain')
+                return
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                body = self.rfile.read(length)
+                if body[:4] == b'RIFF':
+                    from .utils import wav_bytes_to_float
+                    audio, in_sr = wav_bytes_to_float(body)
+                else:
+                    payload = json.loads(body)
+                    audio = np.asarray(payload['audio'], np.float32)
+                    in_sr = int(payload['sr'])
+            except Exception as exc:   # noqa: BLE001 — malformed request
+                self._send(400, str(exc).encode(), 'text/plain')
+                return
+            try:
+                text = server.transcribe(audio, in_sr)
+            except ServerStopped as exc:
+                self._send(503, str(exc).encode(), 'text/plain')
+                return
+            except Exception as exc:   # noqa: BLE001
+                self._send(500, str(exc).encode(), 'text/plain')
+                return
+            self._send(200, json.dumps({'text': text}).encode(),
+                       'application/json')
+
         def _do_stream(self, text, pt, pc, payload):
             """Chunked-transfer raw PCM16 (audio/L16) from the streaming path.
             The first chunk is produced BEFORE headers go out so setup errors
@@ -545,6 +604,9 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
                 gen.close()                # releases the server's stream lock
 
         def do_POST(self):
+            if self.path == '/transcribe':
+                self._do_transcribe()
+                return
             if self.path not in ('/synthesize', '/stream'):
                 self._send(404, b'not found', 'text/plain')
                 return
@@ -623,6 +685,10 @@ def main(argv=None):
     parser.add_argument('--nar-ckpt', type=Path, default=None)
     parser.add_argument('--codec-ckpt', type=Path, default=None,
                         help='Pretrained EnCodec torch checkpoint to convert')
+    parser.add_argument('--asr', action='store_true',
+                        help='Enable POST /transcribe (audio -> text)')
+    parser.add_argument('--asr-ckpt', type=Path, default=None,
+                        help='ASR-direction AR checkpoint (implies --asr)')
     args = parser.parse_args(argv)
 
     from .codec import EncodecTPU
@@ -635,9 +701,16 @@ def main(argv=None):
         tts.ar.load(args.ar_ckpt)
     if args.nar_ckpt:
         tts.nar.load(args.nar_ckpt)
+    asr = None
+    if args.asr or args.asr_ckpt:
+        from .tts import ValleASRPipeline
+        asr = ValleASRPipeline(config, codec=codec)
+        if args.asr_ckpt:
+            asr.ar.load(args.asr_ckpt)
     server = TTSServer(tts, max_batch=args.max_batch,
                        max_wait_ms=args.max_wait_ms,
-                       max_queue=args.max_queue, max_streams=args.max_streams)
+                       max_queue=args.max_queue, max_streams=args.max_streams,
+                       asr=asr)
     if args.warmup or args.warmup_all_lengths or args.warmup_streams:
         # Compile before the port opens: the first real request must never pay
         # the ~3 min first-compile cost (BENCH_r02: 180 s at 204M).

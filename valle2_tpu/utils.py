@@ -160,3 +160,29 @@ def save_wav(path: Path | str, wav: np.ndarray, sr: int) -> None:
     """Write mono float waveform to a 16-bit WAV."""
     with open(path, 'wb') as f:
         f.write(wav_pcm16_bytes(wav, sr))
+
+
+def wav_bytes_to_float(data: bytes) -> tuple[np.ndarray, int]:
+    """Complete WAV file bytes → (mono float32 waveform in [-1, 1], sample
+    rate).  Inverse of ``wav_pcm16_bytes`` for 16-bit mono; multi-channel
+    input mixes down; 8/32-bit PCM widths are scaled by their own full range.
+    Shared by the HTTP ASR endpoint (serve.py) and tests."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), 'rb') as f:
+        sr = f.getframerate()
+        n_ch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        pcm = np.frombuffer(raw, '<i2').astype(np.float32) / 32767.0
+    elif width == 4:
+        pcm = np.frombuffer(raw, '<i4').astype(np.float32) / 2147483647.0
+    elif width == 1:                      # 8-bit WAV is unsigned
+        pcm = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 127.0
+    else:
+        raise ValueError(f'unsupported WAV sample width {width}')
+    if n_ch > 1:
+        pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+    return pcm, sr
