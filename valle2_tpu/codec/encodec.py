@@ -102,8 +102,10 @@ class EncodecTPU:
     def fingerprint(self) -> str:
         """Stable hex identity of the ENCODE weights (encoder + RVQ codebooks),
         whether they came from a converted checkpoint or a seeded random init —
-        keys the persistent codec-token disk cache (data/dataset.py).  Samples
-        each leaf (shape + first 64 values) rather than hashing all ~15 MB."""
+        keys the persistent codec-token disk cache (data/dataset.py).  Hashes
+        the FULL leaf contents (~15 MB, ~10 ms, once per process): sampling
+        would let checkpoints that differ only in later codebook entries
+        collide and serve tokens from the wrong codec."""
         import hashlib
 
         import numpy as np
@@ -113,7 +115,7 @@ class EncodecTPU:
             arr = np.asarray(leaf)
             h.update(jax.tree_util.keystr(path).encode())
             h.update(str(arr.shape).encode())
-            h.update(np.ascontiguousarray(arr.reshape(-1)[:64]).tobytes())
+            h.update(np.ascontiguousarray(arr).tobytes())
         return h.hexdigest()[:16]
 
     @property

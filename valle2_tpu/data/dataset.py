@@ -75,12 +75,24 @@ class ValleDataset:
         hf_fp = getattr(self.dataset, '_fingerprint', None)
         if hf_fp:                          # HF datasets carry a content hash
             h.update(str(hf_fp).encode())
-        else:                              # plain sequences: probe a few items
-            for idx in sorted({0, n // 2, n - 1} if n else set()):
+        else:
+            # Plain sequences: probe up to 16 evenly-spaced items, hashing
+            # transcript + audio CONTENT samples (ends + global sum), so
+            # regenerated/renormalized audio with unchanged lengths still
+            # invalidates the key.  Boundary: an edit confined to un-probed
+            # items with identical global stats can slip through — HF datasets
+            # (the production path) are covered by their content fingerprint.
+            probes = sorted(set(np.linspace(0, n - 1, min(n, 16), dtype=int))
+                            if n else [])
+            for idx in probes:
                 item = self.dataset[idx]
+                audio = np.asarray(item['audio']['array'], np.float32)
                 h.update(item['text'].encode())
-                h.update(str(len(item['audio']['array'])).encode())
+                h.update(str(len(audio)).encode())
                 h.update(str(item['audio']['sampling_rate']).encode())
+                h.update(np.ascontiguousarray(audio[:64]).tobytes())
+                h.update(np.ascontiguousarray(audio[-64:]).tobytes())
+                h.update(np.float64(audio.sum()).tobytes())
         return h.hexdigest()[:24]
 
     def _cache_file(self, cache_dir) -> 'Path':

@@ -49,6 +49,7 @@ class GrammarSpec:
     num_audio_tokens: int = 256      # code vocabulary V (motifs are mod V)
     motif_len: int = 2               # codec frames per phoneme token
     stage_shift: int = 41            # codebook q = (codebook 0 + q*shift) % V
+    num_quantizers: int = 8          # must match the model config's
 
 
 def all_sentences() -> list[str]:
@@ -86,7 +87,7 @@ def synthesize_codes(token_ids: np.ndarray, spec: GrammarSpec) -> np.ndarray:
     t = np.asarray(token_ids, np.int64)
     code0 = np.stack([(m * t + a) % v for m, a in zip(muls, adds)],
                      axis=1).reshape(-1)                      # (Tt*motif,)
-    q = np.arange(8)[:, None]
+    q = np.arange(spec.num_quantizers)[:, None]
     return ((code0[None, :] + q * spec.stage_shift) % v).astype(np.int32)
 
 
@@ -160,6 +161,9 @@ def evaluate_closed_loop(ar_tts, nar, ar_asr, sentences: list[str],
 
     tok = tokenizer or PhonemeTokenizer(use_g2p=False)
     nq = ar_tts.config.num_quantizers
+    assert nq == spec.num_quantizers, \
+        f'model num_quantizers {nq} != GrammarSpec.num_quantizers ' \
+        f'{spec.num_quantizers} — ground truth and model codes would misalign'
     empty = np.zeros((0, nq), np.int32)
     token_lists = [tok(s) for s in sentences]
     truth = [synthesize_codes(t, spec) for t in token_lists]
@@ -191,8 +195,8 @@ def evaluate_closed_loop(ar_tts, nar, ar_asr, sentences: list[str],
         codes = np.asarray(nar.generate(jnp.asarray(p_toks), jnp.asarray(pcodes),
                                         jnp.asarray(t),
                                         jnp.asarray(g)))          # (T, nq)
-        want = ((g[None, :] + np.arange(8)[:, None] * spec.stage_shift)
-                % spec.num_audio_tokens)                          # (8, T)
+        want = ((g[None, :] + np.arange(nq)[:, None] * spec.stage_shift)
+                % spec.num_audio_tokens)                          # (nq, T)
         nar_accs.append(_token_acc(codes[:, 1:].T.reshape(-1), want[1:].reshape(-1)))
 
     # ASR on the synthesized codes — the closed loop's second half.
@@ -264,6 +268,13 @@ def train_grammar_model(model_name: str, config, train_ds: GrammarDataset,
         for batch in loader:
             batch = jax.tree.map(jnp.asarray, batch)
             state, m = step_fn(state, batch, rng)
+        if m is None:
+            # drop_last + a dataset smaller than batch_size yields ZERO
+            # batches — fail with the cause, not a NoneType crash.
+            raise ValueError(
+                f'train dataset ({len(train_ds)} items) produced no batches '
+                f'at batch_size={config.batch_size}; shrink batch_size or '
+                f'grow the grammar')
         curves['train_loss'].append(float(m['loss']))
         if valid_batch is not None:
             vm = eval_fn(state.params, valid_batch, jax.random.fold_in(rng, _epoch))

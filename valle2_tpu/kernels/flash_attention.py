@@ -322,7 +322,9 @@ def _fold_default(h: int, s: int) -> bool:
     import os
     env = os.environ.get('VALLE2_FLASH_FOLD')
     if env is not None:
-        return env not in ('0', 'false', '')
+        # Accept the common falsey spellings — 'False' silently enabling the
+        # measured-slower path would be a nasty footgun.
+        return env.strip().lower() not in ('0', 'false', 'off', 'no', '')
     return False
 
 

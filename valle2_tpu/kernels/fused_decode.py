@@ -88,8 +88,9 @@ def pick_chunk(seq: int, rows: int, d: int, n_heads: int,
     chunk until the write index crosses into the next one) instead of scaling
     with the full cache width.  Callers pad the cache length to a chunk
     multiple (ar._decode_prefill does)."""
-    if not forced:
-        forced = env_chunk()
+    # Env var WINS over config (and the implicit streaming default): it is the
+    # operator's debugging escape hatch, documented as the final override.
+    forced = env_chunk() or forced
     if forced is not None and 0 < forced < seq:
         return forced
     # k+v at cache_itemsize bytes each; int8 mode adds per-(slot, head) k/v

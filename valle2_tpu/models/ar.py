@@ -473,8 +473,7 @@ class ValleAR:
                                                     use_fused_decode=False)
 
         if self._decode_data_sharded:
-            shard_map = jax.shard_map
-            from jax.sharding import PartitionSpec as P
+            from ..parallel import data_shard_map
 
             def _decode_body(p, tokens, tokens_lens, codes, codes_lens, rng):
                 # Decorrelate sampling across shards (greedy outputs — the
@@ -485,14 +484,8 @@ class ValleAR:
                     return _decode_fn(p, tokens, tokens_lens, codes, codes_lens,
                                       rng, decode_config)
 
-            def _decode_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
-                return shard_map(
-                    _decode_body, mesh=mesh,
-                    in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
-                              P()),
-                    out_specs=(P('data'), P('data'), P('data')),
-                    check_vma=False,
-                )(p, tokens, tokens_lens, codes, codes_lens, rng)
+            _decode_wrapped = data_shard_map(mesh, _decode_body, n_args=6,
+                                             sharded=(1, 2, 3, 4), n_out=3)
         else:
             def _decode_wrapped(p, tokens, tokens_lens, codes, codes_lens, rng):
                 with jax.default_matmul_precision(prec):

@@ -1,7 +1,7 @@
 """SPMD parallelism: mesh construction + declarative sharding rules."""
 
-from .mesh import (batch_sharding, make_mesh, param_sharding, replicated,
-                   shard_batch, shard_params)
+from .mesh import (batch_sharding, data_shard_map, make_mesh, param_sharding,
+                   replicated, shard_batch, shard_params)
 
-__all__ = ['batch_sharding', 'make_mesh', 'param_sharding', 'replicated',
-           'shard_batch', 'shard_params']
+__all__ = ['batch_sharding', 'data_shard_map', 'make_mesh', 'param_sharding',
+           'replicated', 'shard_batch', 'shard_params']

@@ -101,3 +101,21 @@ def shard_params(mesh: Mesh, params: Params) -> Params:
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.device_put(batch, batch_sharding(mesh, batch))
+
+
+def data_shard_map(mesh: Mesh, fn, n_args: int, sharded: tuple[int, ...],
+                   n_out: int):
+    """Wrap ``fn`` to run per-shard over the 'data' axis (jax.shard_map).
+
+    ``sharded`` argnums split their leading axis over 'data'; every other
+    argument replicates (P()); all ``n_out`` outputs are data-sharded.  The
+    ONE mesh-dispatch wrapper shared by ValleAR decode and the fused TTS
+    pipeline — a pallas_call cannot partition under GSPMD, but per shard it
+    sees only local shapes, so this is how fused kernels survive onto meshes.
+    check_vma off: the decode while_loop carry mixes shard-varying and
+    replicated leaves by design.
+    """
+    in_specs = tuple(P('data') if i in sharded else P() for i in range(n_args))
+    out_specs = tuple(P('data') for _ in range(n_out))
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)

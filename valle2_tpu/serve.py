@@ -329,29 +329,36 @@ class TTSServer:
 
     def warmup(self, all_lengths: bool = False, prompt_frames: int = 8,
                streams: bool = False) -> float:
-        """Pre-compile the fused pipeline so no user request ever pays the
+        """Pre-compile the fused pipeline so common requests never pay the
         first-compile cost (~3 min at 204M on the target runtime — BENCH_r02
         measured 180 s for decode compile + first run).
 
-        Synthesizes one dummy group per **batch bucket** (the shapes the
-        worker actually dispatches); with ``all_lengths=True`` additionally
-        one per (batch bucket x prompt length bucket) — the full compile
-        surface, at the cost of ``len(batch_buckets) * len(bucket_sizes)``
-        compiles.  ``streams=True`` additionally compiles the streaming path
-        (prefill/advance/NAR-chunk programs; requires ``num_beams == 1``).
-        Runs on the caller's thread, before or after ``start()``.
-        Returns wall seconds spent."""
+        The compile key is (batch bucket, token-length bucket, prompt-length
+        bucket).  Default: one dummy group per **batch bucket** at the
+        smallest length buckets — covers short requests.  ``all_lengths=True``
+        covers every batch bucket x the DIAGONAL of the length buckets (token
+        bucket == prompt bucket L for each L in ``bucket_sizes`` — the shape
+        of typical traffic, where longer prompts come with longer text);
+        off-diagonal combinations (short text + very long prompt, etc.) still
+        compile on first use.  ``streams=True`` additionally compiles the
+        streaming path (prefill/advance/NAR-chunk programs; requires
+        ``num_beams == 1``).  Runs on the caller's thread, before or after
+        ``start()``.  Returns wall seconds spent."""
         t0 = time.perf_counter()
         nq = self.tts.config.num_quantizers
         pm_buckets = ([min(self.tts.config.bucket_sizes)] if not all_lengths
                       else list(self.tts.config.bucket_sizes))
         n_done = 0
         for pm in pm_buckets:
-            # The prompt length must LAND in bucket pm (bucket_len picks the
-            # smallest bucket >= len), so all_lengths uses pm itself.
+            # Lengths must LAND in bucket pm (bucket_len picks the smallest
+            # bucket >= len), so all_lengths uses pm itself — for BOTH the
+            # prompt codes and the token stream (the diagonal).
             pf = pm if all_lengths else min(max(int(prompt_frames), 1), pm)
             codes = np.zeros((pf, nq), np.int32)
-            tokens = np.zeros((2,), np.int32)
+            # batch_synthesize appends the tokenized text (a few ids) to the
+            # prompt tokens; undershoot so the total stays inside bucket pm.
+            n_tok = max(2, pm - 16) if all_lengths else 2
+            tokens = np.zeros((n_tok,), np.int32)
             for b in self.batch_buckets:
                 self.tts.batch_synthesize(['warm up.'] * b, [tokens] * b,
                                           [codes] * b)

@@ -115,8 +115,7 @@ class ValleTTS:
                 pipe_config = dataclasses.replace(config, use_fused_decode=False)
 
         if data_sharded:
-            shard_map = jax.shard_map
-            from jax.sharding import PartitionSpec as P
+            from .parallel import data_shard_map
 
             def _pipe_body(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
                 rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
@@ -124,14 +123,8 @@ class ValleTTS:
                     return _fused_tts_fn(ar_p, nar_p, cod_p, tokens, tl, codes,
                                          pl, rng, pipe_config)
 
-            def _fused(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
-                return shard_map(
-                    _pipe_body, mesh=mesh,
-                    in_specs=(P(), P(), P(), P('data'), P('data'), P('data'),
-                              P('data'), P()),
-                    out_specs=(P('data'), P('data'), P('data')),
-                    check_vma=False,
-                )(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng)
+            _fused = data_shard_map(mesh, _pipe_body, n_args=8,
+                                    sharded=(3, 4, 5, 6), n_out=3)
         else:
             def _fused(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
                 with jax.default_matmul_precision(prec):
