@@ -467,3 +467,23 @@ class TestASREndpoint:
                 assert ei.value.code == 501
             finally:
                 httpd.shutdown()
+
+
+class TestWarmupAllLengths:
+    def test_diagonal_length_buckets_covered(self):
+        """warmup(all_lengths=True) pre-compiles every batch bucket at every
+        DIAGONAL length bucket (ttm == pm == L) — a later long-text +
+        long-prompt request must not trigger a new compile."""
+        tts1 = ValleTTS(tiny_cfg(num_beams=1, bucket_sizes=(32, 64)))
+        server = TTSServer(tts1, max_batch=2)
+        server.warmup(all_lengths=True)
+        size = tts1._fused_jit._cache_size()
+        assert size >= len(server.batch_buckets) * 2   # 2 length buckets
+        rs = np.random.RandomState(33)
+        long_text = 'the quick brown fox jumps over the lazy dog again. '
+        with server:
+            # Long prompt (~40 frames -> pm bucket 64) + long text
+            # (~50 phonemes -> ttm bucket 64): the all_lengths diagonal.
+            server.synthesize(long_text, rs.randint(0, 70, (8,)),
+                              rs.randint(0, 1024, (40, 8)), timeout=300)
+        assert tts1._fused_jit._cache_size() == size   # no new compile

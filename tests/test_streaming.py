@@ -171,3 +171,30 @@ class TestStreamingSynthesis:
                                                lookahead_frames=1, rng=rng))
         total = np.concatenate(chunks)
         assert total.shape[0] == fused.codes.shape[0] * 320
+
+
+class TestNARWidthBucketing:
+    def test_streamed_output_invariant_to_nar_width_buckets(self):
+        """The per-chunk NAR pass runs over a bucketed prefix width (long-form
+        TTFA optimization); positions past gen_lens are masked, so the
+        emitted audio must be bit-identical whether the pass uses narrow
+        buckets or the full max_audio_len width."""
+        cfg_narrow = tiny_cfg(max_audio_len=48, bucket_sizes=(16, 32))
+        cfg_full = tiny_cfg(max_audio_len=48, bucket_sizes=(64, 128))
+        tts_n = ValleTTS(cfg_narrow)
+        tts_f = ValleTTS(cfg_full, ar=ValleAR(cfg_full, params=tts_n.ar.params),
+                         nar=tts_n.nar, codec=tts_n.codec)
+        rs = np.random.RandomState(4)
+        pt = rs.randint(0, 70, (5,))
+        pc = rs.randint(0, 1024, (6, 8))
+        a = np.concatenate(list(tts_n.synthesize_streaming(
+            'a longer test sentence here.', pt, pc, chunk_frames=7,
+            lookahead_frames=4)) or [np.zeros(0, np.float32)])
+        b = np.concatenate(list(tts_f.synthesize_streaming(
+            'a longer test sentence here.', pt, pc, chunk_frames=7,
+            lookahead_frames=4)) or [np.zeros(0, np.float32)])
+        # Masked positions contribute exactly zero, but XLA's reduction tiling
+        # differs per buffer shape, so the codec waveform matches to f32
+        # accumulation order (~1e-7), not bit-for-bit.
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        assert len(a) > 0

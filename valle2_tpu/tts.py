@@ -318,8 +318,7 @@ class ValleTTS:
             -1, self.config.num_quantizers)
         stream = DecodeStream(self._stream_ar, tokens, pcodes, rng=rng_ar,
                               bucket=bucket)
-        # Static NAR input shapes (one compile): bucket the prompt dims like
-        # batch_synthesize; the first-layer buffer is max_audio_len wide.
+        # Static NAR input shapes: bucket the prompt dims like batch_synthesize.
         ttm, pm = len(tokens), len(pcodes)
         if bucket:
             ttm = bucket_len(self.config.bucket_sizes, ttm)
@@ -329,6 +328,18 @@ class ValleTTS:
             np.pad(pcodes, ((0, pm - len(pcodes)), (0, 0)))[None])
         tl = jnp.asarray([len(tokens)], jnp.int32)
         pl = jnp.asarray([len(pcodes)], jnp.int32)
+        # The per-chunk NAR/codec pass runs over a BUCKETED prefix width, not
+        # the full max_audio_len buffer: the NAR masks every position past
+        # gen_lens, so widening only adds masked work — early chunks of a
+        # long-form stream pay for the frames generated so far, not for the
+        # whole budget (TTFA at max_audio_len=4096 measured 469 ms with the
+        # full-width pass).  bucket_sizes extended by doublings bounds the
+        # compile count at len(buckets)+log2(max_new/max_bucket) widths.
+        nar_widths = [b for b in self.config.bucket_sizes if b < max_new]
+        w = nar_widths[-1] if nar_widths else 0
+        while w < max_new:                   # always ends with max_new itself
+            w = max_new if w == 0 else min(w * 2, max_new)
+            nar_widths.append(w)
 
         def chunks():
             buf = np.zeros((max_new,), np.int32)
@@ -341,9 +352,10 @@ class ValleTTS:
                 done = stream.finished
                 finalize = n_buf if done else max(0, n_buf - lookahead_frames)
                 if finalize > emitted:
+                    width = next(b for b in nar_widths if b >= n_buf)
                     wav, _codes = self._nar_wav_jit(
                         self.nar.params, self.codec.dec_params, tokens_pad,
-                        tl, pcodes_pad, pl, jnp.asarray(buf[None]),
+                        tl, pcodes_pad, pl, jnp.asarray(buf[None, :width]),
                         jnp.asarray([n_buf], jnp.int32), rng_nar)
                     yield np.asarray(wav)[0, emitted * 320:finalize * 320]
                     emitted = finalize
