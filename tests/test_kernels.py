@@ -658,3 +658,24 @@ class TestFlashV2:
         assert _fold_default(4, 512) is True
         monkeypatch.setenv('VALLE2_FLASH_FOLD', '0')
         assert _fold_default(4, 512) is False
+
+
+class TestChunkOverridePrecedence:
+    def test_env_wins_over_config_forced(self, monkeypatch):
+        """VALLE2_FUSED_CHUNK is the operator escape hatch: it must beat
+        config.decode_chunk (which streaming sets implicitly)."""
+        from valle2_tpu.kernels.fused_decode import chunk_for
+        monkeypatch.setenv('VALLE2_FUSED_CHUNK', '256')
+        assert chunk_for(2048, 1, 256, 2, jnp.bfloat16, forced=512) == 256
+        monkeypatch.delenv('VALLE2_FUSED_CHUNK')
+        assert chunk_for(2048, 1, 256, 2, jnp.bfloat16, forced=512) == 512
+        # forced >= seq falls back to auto (whole-S when it fits the cap).
+        assert chunk_for(512, 1, 256, 2, jnp.bfloat16, forced=10**6) == 512
+
+    def test_fold_env_accepts_falsey_spellings(self, monkeypatch):
+        from valle2_tpu.kernels.flash_attention import _fold_default
+        for v in ('0', 'false', 'False', 'FALSE', 'off', 'no', ''):
+            monkeypatch.setenv('VALLE2_FLASH_FOLD', v)
+            assert _fold_default(4, 512) is False, v
+        monkeypatch.setenv('VALLE2_FLASH_FOLD', '1')
+        assert _fold_default(4, 512) is True
