@@ -154,6 +154,16 @@ class ConfigValle:
                           'later runs with ZERO re-encodes.  Empty = in-RAM '
                           'memoization only (re-encodes each process)'},
     )
+    compile_cache_dir: str = field(
+        default='',
+        metadata={'help': 'Persistent XLA compilation cache directory '
+                          '(compile_cache.py): compiled executables are '
+                          'serialized so restarted servers / re-run CLIs / '
+                          'resumed training jobs deserialize instead of '
+                          're-paying minutes of compilation.  Overridable by '
+                          '$VALLE2_COMPILE_CACHE and --compile-cache.  '
+                          'Empty = disabled (every process recompiles)'},
+    )
     prefetch_batches: int = field(
         default=2,
         metadata={'help': 'Train input pipeline: background-thread device '

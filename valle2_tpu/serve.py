@@ -696,11 +696,18 @@ def main(argv=None):
                         help='Enable POST /transcribe (audio -> text)')
     parser.add_argument('--asr-ckpt', type=Path, default=None,
                         help='ASR-direction AR checkpoint (implies --asr)')
+    parser.add_argument('--compile-cache', type=Path, default=None,
+                        help='Persistent XLA compilation cache dir: restarted '
+                             'servers deserialize compiled executables instead '
+                             'of re-paying minutes of compilation (also '
+                             '$VALLE2_COMPILE_CACHE / config.compile_cache_dir)')
     args = parser.parse_args(argv)
 
     from .codec import EncodecTPU
+    from .compile_cache import enable_compilation_cache
 
     config = ConfigValle.from_json(args.config) if args.config else ConfigValle()
+    enable_compilation_cache(args.compile_cache, fallback=config.compile_cache_dir)
     codec = EncodecTPU(checkpoint=str(args.codec_ckpt) if args.codec_ckpt else None,
                        decode_dtype=config.dtype)
     tts = ValleTTS(config, codec=codec)

@@ -312,6 +312,8 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
           mesh=None, resume: bool = False) -> TrainState:
     """End-to-end training entry (reference train_model.py:13-35)."""
     config = ConfigValle.from_json(hparams_fp)
+    from .compile_cache import enable_compilation_cache
+    enable_compilation_cache(fallback=config.compile_cache_dir)
     if mesh is None and config.mesh_data * config.mesh_model > 1:
         # The config's mesh request (mesh_data x mesh_model) builds the device
         # mesh here so `-c cfg.json` alone scales a run across chips.

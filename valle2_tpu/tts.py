@@ -481,9 +481,14 @@ def main(argv=None):
     parser.add_argument('--codec-ckpt', type=Path, default=None,
                         help='Pretrained EnCodec torch checkpoint to convert')
     parser.add_argument('--seed', type=int, default=None)
+    parser.add_argument('--compile-cache', type=Path, default=None,
+                        help='Persistent XLA compilation cache dir (also '
+                             '$VALLE2_COMPILE_CACHE / config.compile_cache_dir)')
     args = parser.parse_args(argv)
 
     config = ConfigValle.from_json(args.config) if args.config else ConfigValle()
+    from .compile_cache import enable_compilation_cache
+    enable_compilation_cache(args.compile_cache, fallback=config.compile_cache_dir)
     if args.seed is not None:
         config.seed = args.seed
     codec = EncodecTPU(checkpoint=str(args.codec_ckpt) if args.codec_ckpt else None,
