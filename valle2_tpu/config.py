@@ -154,6 +154,23 @@ class ConfigValle:
                           'later runs with ZERO re-encodes.  Empty = in-RAM '
                           'memoization only (re-encodes each process)'},
     )
+    async_checkpoint: bool = field(
+        default=True,
+        metadata={'help': 'Checkpoint saves return once the device→host copy '
+                          'lands; serialization/IO runs on a background thread '
+                          '(orbax AsyncCheckpointer) so the step loop never '
+                          'blocks on disk.  The trailing save is awaited '
+                          'before fit() returns'},
+    )
+    preempt_checkpoint: bool = field(
+        default=True,
+        metadata={'help': 'Install a SIGTERM handler during fit(): on '
+                          'preemption notice, finish the in-flight micro-step, '
+                          'save a checkpoint, and return cleanly so --resume '
+                          'continues from it.  False = default signal '
+                          'semantics (die, losing progress since the last '
+                          'periodic save)'},
+    )
     compile_cache_dir: str = field(
         default='',
         metadata={'help': 'Persistent XLA compilation cache directory '

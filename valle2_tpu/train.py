@@ -17,6 +17,7 @@ SURVEY Q2; this one works).
 from __future__ import annotations
 
 import argparse
+import signal
 import time
 from pathlib import Path
 from typing import Any, NamedTuple
@@ -140,6 +141,43 @@ def make_eval_step(config: ConfigValle, model_name: str):
     return eval_fn
 
 
+class _PreemptGuard:
+    """SIGTERM → request a clean stop.
+
+    TPU pods get a termination notice (maintenance/eviction) delivered as
+    SIGTERM with a short grace window; the reference's Lightning stack dies and
+    loses everything since the last periodic save.  Here ``fit()`` installs
+    this guard (``config.preempt_checkpoint``), finishes the in-flight
+    micro-step, writes a checkpoint, and returns — ``--resume`` then continues
+    from the preemption point.  The previous handler is restored on exit;
+    off the main thread (where ``signal.signal`` raises) the guard degrades to
+    a no-op and default delivery applies.
+    """
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.requested = False
+        self._prev = None
+        self._installed = False
+
+    def install(self) -> None:
+        if not self.enabled:
+            return
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+            self._installed = True
+        except ValueError:      # not the main thread
+            pass
+
+    def uninstall(self) -> None:
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev)
+            self._installed = False
+
+    def _on_signal(self, signum, frame):
+        self.requested = True
+
+
 class Trainer:
     """Step-driven train loop (max_steps, log_every_n_steps, ckpt_every_n_steps)."""
 
@@ -150,6 +188,7 @@ class Trainer:
         self.mesh = mesh
         self.train_step = make_train_step(config, model_name, mesh)
         self.eval_step = make_eval_step(config, model_name)
+        self._async_ckptr = None
         self.writer = None
         if use_tensorboard:
             try:
@@ -160,7 +199,16 @@ class Trainer:
                 pass
 
     # ---- checkpointing (orbax) ----
-    def save_checkpoint(self, state: TrainState) -> None:
+    def save_checkpoint(self, state: TrainState, wait: bool = True) -> None:
+        """Save {params, opt_state, step}.
+
+        With ``config.async_checkpoint`` the serialization/IO runs on orbax's
+        background thread; ``wait=False`` (the step loop's periodic saves)
+        returns as soon as the device→host copy lands, so training never
+        blocks on disk.  The default ``wait=True`` keeps blocking semantics
+        for direct API callers (save → restore is immediately safe) and for
+        the trailing/preemption saves.
+        """
         import orbax.checkpoint as ocp
         self.config.ensure_dirs()
         # Directory names use OPTIMIZER steps (what max_steps/ckpt_every count);
@@ -168,10 +216,32 @@ class Trainer:
         opt_step = int(state.step) // max(1, self.config.grad_accum)
         path = (Path(self.config.ckpt_path).resolve() / self.model_name
                 / f'step_{opt_step}')
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, {'params': state.params, 'opt_state': state.opt_state,
-                              'step': state.step}, force=True)
-        log_info('Saved checkpoint at step %d → %s', opt_step, path)
+        item = {'params': state.params, 'opt_state': state.opt_state,
+                'step': state.step}
+        if self.config.async_checkpoint:
+            if self._async_ckptr is None:
+                self._async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler())
+            # One save in flight: the previous write must land before a new
+            # directory starts (also surfaces any background write error here
+            # rather than silently at interpreter exit).
+            self._async_ckptr.wait_until_finished()
+            self._async_ckptr.save(path, item, force=True)
+            if wait:
+                self._async_ckptr.wait_until_finished()
+        else:
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(path, item, force=True)
+        log_info('Saved checkpoint at step %d → %s%s', opt_step, path,
+                 '' if wait or not self.config.async_checkpoint
+                 else ' (async, write in flight)')
+
+    def finish_checkpoints(self) -> None:
+        """Block until any in-flight async save lands and release the writer."""
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait_until_finished()
+            self._async_ckptr.close()
+            self._async_ckptr = None
 
     def restore_checkpoint(self, state: TrainState, path: str | Path) -> TrainState:
         """Mesh-agnostic restore: the checkpoint is read back as host arrays (so a
@@ -227,43 +297,58 @@ class Trainer:
         accum = max(1, cfg.grad_accum)
         micro = int(state.step)
         step = micro // accum
-        while step < cfg.max_steps:
-            served_any = False
-            for batch in self._batches(train_loader):
-                if step >= cfg.max_steps:
-                    break
-                served_any = True
-                state, metrics = self.train_step(state, batch, rng)
-                frames += int(np.prod(batch['codes'].shape[:2]))
-                micro += 1
-                if micro % accum:
-                    continue               # mid-accumulation: no update applied
-                step += 1
-                if cfg.log_every_n_steps and (step % cfg.log_every_n_steps == 0
-                                              or step == 1):
-                    m = {k: float(v) for k, v in metrics.items()}
-                    elapsed = time.time() - t_start
-                    log_info('step %d | loss %.4f | acc %.3f | %.0f frames/s',
-                             step, m['loss'], m.get('acc', 0.0), frames / max(elapsed, 1e-6))
-                    if self.writer:
-                        self.writer.add_scalar('train/loss', m['loss'], step)
-                        for k, v in m.items():
-                            if k != 'loss':
-                                self.writer.add_scalar(f'train/{k}', v, step)
-                if cfg.ckpt_every_n_steps and step % cfg.ckpt_every_n_steps == 0:
-                    self.save_checkpoint(state)
-            if not served_any and step < cfg.max_steps:
-                # Empty epoch (empty dataset, or every batch dropped by the
-                # mesh divisibility filter): spinning here forever with
-                # validation passes per spin is an outage, not training.
-                raise RuntimeError(
-                    'train loader produced no usable batches in a full epoch '
-                    '(empty dataset, or all batches dropped by the data-axis '
-                    'divisibility filter)')
-            if valid_loader is not None:
-                self.validate(state, valid_loader, step, rng)
-        self.save_checkpoint(state)
-        return state
+        guard = _PreemptGuard(enabled=cfg.preempt_checkpoint)
+        guard.install()
+        try:
+            while step < cfg.max_steps and not guard.requested:
+                served_any = False
+                for batch in self._batches(train_loader):
+                    if step >= cfg.max_steps:
+                        break
+                    served_any = True
+                    state, metrics = self.train_step(state, batch, rng)
+                    frames += int(np.prod(batch['codes'].shape[:2]))
+                    micro += 1
+                    if guard.requested:
+                        # Preemption notice: save THIS micro-state and leave —
+                        # resume restores the exact micro count (rng fold and
+                        # accumulation position included).
+                        log_info('SIGTERM: checkpointing at step %d and exiting',
+                                 micro // accum)
+                        self.save_checkpoint(state, wait=True)
+                        return state
+                    if micro % accum:
+                        continue           # mid-accumulation: no update applied
+                    step += 1
+                    if cfg.log_every_n_steps and (step % cfg.log_every_n_steps == 0
+                                                  or step == 1):
+                        m = {k: float(v) for k, v in metrics.items()}
+                        elapsed = time.time() - t_start
+                        log_info('step %d | loss %.4f | acc %.3f | %.0f frames/s',
+                                 step, m['loss'], m.get('acc', 0.0),
+                                 frames / max(elapsed, 1e-6))
+                        if self.writer:
+                            self.writer.add_scalar('train/loss', m['loss'], step)
+                            for k, v in m.items():
+                                if k != 'loss':
+                                    self.writer.add_scalar(f'train/{k}', v, step)
+                    if cfg.ckpt_every_n_steps and step % cfg.ckpt_every_n_steps == 0:
+                        self.save_checkpoint(state, wait=False)
+                if not served_any and step < cfg.max_steps:
+                    # Empty epoch (empty dataset, or every batch dropped by the
+                    # mesh divisibility filter): spinning here forever with
+                    # validation passes per spin is an outage, not training.
+                    raise RuntimeError(
+                        'train loader produced no usable batches in a full epoch '
+                        '(empty dataset, or all batches dropped by the data-axis '
+                        'divisibility filter)')
+                if valid_loader is not None:
+                    self.validate(state, valid_loader, step, rng)
+            self.save_checkpoint(state, wait=True)
+            return state
+        finally:
+            guard.uninstall()
+            self.finish_checkpoints()
 
     def _place(self, batch):
         """Host batch → device arrays (mesh-sharded when configured); None drops
