@@ -100,6 +100,60 @@ class TestAsyncCheckpoint:
         assert trainer._async_ckptr is None
 
 
+class TestDataStreamResume:
+    def test_set_epoch_matches_fresh_iteration(self):
+        """set_epoch(n) reproduces the order a fresh loader reaches after
+        iterating n epochs (shuffle is a pure function of seed + epoch)."""
+        ds = list(range(20))
+        ident = lambda items: items                                  # noqa: E731
+        a = DataLoader(ds, 4, ident, shuffle=True, seed=7)
+        epochs_a = [[batch for batch in a] for _ in range(3)]
+        b = DataLoader(ds, 4, ident, shuffle=True, seed=7)
+        b.set_epoch(2)
+        assert list(b) == epochs_a[2]
+        # and iteration advanced it to epoch 3's order, not back to 0
+        c = DataLoader(ds, 4, ident, shuffle=True, seed=7)
+        c.set_epoch(3)
+        assert list(b) == list(c)
+
+    def test_interrupted_run_bit_identical_to_straight_through(self, tmp_path):
+        """Stop at step 3, resume in a fresh trainer/loader, finish at step 6:
+        final params match an uninterrupted 6-step run exactly.  This only
+        holds if the resumed loader replays the same shuffled batch stream
+        (set_epoch + in-epoch fast-forward) — without data-stream resume the
+        shuffle restarts at epoch 0 and the runs diverge."""
+        def shuffled_loader(cfg):
+            collate = get_collate('ValleAR')(cfg)
+            ds = SyntheticValleDataset(cfg, size=8, min_frames=30, max_frames=60)
+            return DataLoader(ds, cfg.batch_size, collate, shuffle=True,
+                              seed=cfg.seed)
+
+        # A: straight through to 6 (6 steps over 4-batch epochs => crosses an
+        # epoch boundary; the interruption at 3 lands mid-epoch).
+        cfg_a = tiny_cfg(tmp_path / 'a', max_steps=6)
+        tr_a = Trainer(cfg_a, 'ValleAR', use_tensorboard=False)
+        final_a = tr_a.fit(init_state(cfg_a, 'ValleAR', jax.random.key(0)),
+                           shuffled_loader(cfg_a))
+
+        # B: stop at 3, then a FRESH trainer + FRESH loader (new process
+        # equivalent: loader epoch state gone) resumes to 6.
+        cfg_b3 = tiny_cfg(tmp_path / 'b', max_steps=3)
+        tr_b3 = Trainer(cfg_b3, 'ValleAR', use_tensorboard=False)
+        tr_b3.fit(init_state(cfg_b3, 'ValleAR', jax.random.key(0)),
+                  shuffled_loader(cfg_b3))
+        cfg_b6 = tiny_cfg(tmp_path / 'b', max_steps=6)
+        tr_b6 = Trainer(cfg_b6, 'ValleAR', use_tensorboard=False)
+        final_b = tr_b6.fit(init_state(cfg_b6, 'ValleAR', jax.random.key(0)),
+                            shuffled_loader(cfg_b6), resume=True)
+
+        assert int(final_a.step) == int(final_b.step)
+        diffs = jax.tree.map(
+            lambda x, y: float(np.max(np.abs(np.asarray(x, np.float64)
+                                             - np.asarray(y, np.float64)))),
+            final_a.params, final_b.params)
+        assert max(jax.tree.leaves(diffs)) == 0.0, diffs
+
+
 class TestPreemption:
     def test_guard_restores_previous_handler(self):
         prev = signal.getsignal(signal.SIGTERM)

@@ -255,6 +255,14 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the NEXT iteration's shuffle epoch (torch DistributedSampler's
+        set_epoch analog).  Shuffle order is a pure function of
+        ``seed + epoch``, so a resumed run that sets the epoch it was
+        preempted in replays the exact batch stream of the original run
+        (Trainer.fit fast-forwards within the epoch)."""
+        self._epoch = int(epoch)
+
     def _batches(self) -> Iterator[dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:

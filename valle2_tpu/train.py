@@ -297,12 +297,29 @@ class Trainer:
         accum = max(1, cfg.grad_accum)
         micro = int(state.step)
         step = micro // accum
+        # Data-stream resume: shuffle order is a pure function of (seed,
+        # epoch), and the step rng folds on state.step — so fast-forwarding
+        # the loader to the interruption point makes a resumed run replay the
+        # EXACT batch/rng stream of an uninterrupted one (bit-identical
+        # params, tested).  Skipped batches only pay host-side collate once.
+        skip = 0
+        if (micro > 0 and hasattr(train_loader, 'set_epoch')
+                and (per_epoch := len(train_loader)) > 0):
+            train_loader.set_epoch(micro // per_epoch)
+            skip = micro % per_epoch
+            if skip:
+                log_info('Resuming data stream: epoch %d, skipping %d batches',
+                         micro // per_epoch, skip)
         guard = _PreemptGuard(enabled=cfg.preempt_checkpoint)
         guard.install()
         try:
             while step < cfg.max_steps and not guard.requested:
                 served_any = False
                 for batch in self._batches(train_loader):
+                    if skip:
+                        skip -= 1
+                        served_any = True
+                        continue
                     if step >= cfg.max_steps:
                         break
                     served_any = True
