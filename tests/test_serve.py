@@ -157,6 +157,12 @@ class TestHTTPFrontend:
                 stats = json.loads(
                     urllib.request.urlopen(f'{base}/stats').read())
                 assert stats['requests'] == 1
+                # Prometheus scrape mirrors the JSON counters.
+                resp = urllib.request.urlopen(f'{base}/metrics')
+                assert resp.headers['Content-Type'].startswith('text/plain')
+                metrics = resp.read().decode()
+                assert 'valle2_requests_total 1' in metrics
+                assert '# TYPE valle2_queue_depth gauge' in metrics
                 # malformed request → 400, not a server crash
                 bad = urllib.request.Request(f'{base}/synthesize', data=b'{}')
                 with pytest.raises(urllib.error.HTTPError) as ei:
@@ -164,6 +170,26 @@ class TestHTTPFrontend:
                 assert ei.value.code == 400
             finally:
                 httpd.shutdown()
+
+
+class TestPrometheusFormat:
+    def test_counters_and_gauges(self):
+        from valle2_tpu.serve import stats_to_prometheus
+        text = stats_to_prometheus({'requests': 3, 'errors': 0,
+                                    'latency_ms_p50': 12.5, 'queue_depth': 2})
+        lines = text.splitlines()
+        assert '# TYPE valle2_requests_total counter' in lines
+        assert 'valle2_requests_total 3' in lines
+        assert 'valle2_errors_total 0' in lines
+        assert '# TYPE valle2_latency_ms_p50 gauge' in lines
+        assert 'valle2_latency_ms_p50 12.5' in lines
+        assert 'valle2_queue_depth 2' in lines
+        assert text.endswith('\n')
+        # every sample line is "name value" with a finite float value
+        for ln in lines:
+            if not ln.startswith('#'):
+                name, val = ln.split(' ')
+                float(val)
 
 
 class TestHTTPStreaming:

@@ -107,6 +107,44 @@ class ServerStats:
         }
 
 
+# /stats keys that are monotonic counts (Prometheus counters, `_total`
+# suffix); everything else is exposed as a gauge.
+_PROM_COUNTERS = frozenset({'requests', 'stream_requests', 'asr_requests',
+                            'batches', 'errors', 'rejected',
+                            'audio_seconds', 'busy_seconds'})
+
+_PROM_HELP = {
+    'requests': 'Requests served through the batched pipeline',
+    'stream_requests': 'Requests served through /stream',
+    'asr_requests': 'Requests served through /transcribe',
+    'batches': 'Batched pipeline dispatches',
+    'errors': 'Requests that ended in an error',
+    'rejected': 'Requests load-shed with HTTP 429',
+    'audio_seconds': 'Audio synthesized, in seconds',
+    'busy_seconds': 'Wall time inside batch_synthesize, in seconds',
+    'mean_batch_size': 'Served requests per dispatched batch',
+    'latency_ms_p50': 'Submit-to-result latency p50 (bounded window), ms',
+    'latency_ms_p95': 'Submit-to-result latency p95 (bounded window), ms',
+    'queue_depth': 'Requests currently waiting in the batching queue',
+    'queue_oldest_age_s': 'Age of the oldest queued request, seconds',
+    'max_queue': 'Queue bound beyond which requests get HTTP 429',
+}
+
+
+def stats_to_prometheus(stats: dict) -> str:
+    """Render a ``TTSServer.stats()`` snapshot in the Prometheus text
+    exposition format (0.0.4) for ``GET /metrics`` scrapes."""
+    lines = []
+    for key, value in stats.items():
+        kind = 'counter' if key in _PROM_COUNTERS else 'gauge'
+        name = f'valle2_{key}' + ('_total' if kind == 'counter' else '')
+        if key in _PROM_HELP:
+            lines.append(f'# HELP {name} {_PROM_HELP[key]}')
+        lines.append(f'# TYPE {name} {kind}')
+        lines.append(f'{name} {float(value):g}')
+    return '\n'.join(lines) + '\n'
+
+
 @dataclass
 class _Request:
     text: str
@@ -493,6 +531,7 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
       "prompt_codes": [[int]*nq]}`` → ``audio/wav`` (24 kHz mono PCM16).
     - ``GET /healthz`` → 200 ``ok``.
     - ``GET /stats`` → JSON serving counters.
+    - ``GET /metrics`` → the same counters in Prometheus text format.
 
     ``request_timeout_s`` bounds how long a handler thread waits on the
     batching worker (a hung device dispatch otherwise pins handler threads
@@ -528,6 +567,9 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
             elif self.path == '/stats':
                 self._send(200, json.dumps(server.stats()).encode(),
                            'application/json')
+            elif self.path == '/metrics':
+                self._send(200, stats_to_prometheus(server.stats()).encode(),
+                           'text/plain; version=0.0.4')
             else:
                 self._send(404, b'not found', 'text/plain')
 
