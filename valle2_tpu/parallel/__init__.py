@@ -1,7 +1,10 @@
 """SPMD parallelism: mesh construction + declarative sharding rules."""
 
-from .mesh import (batch_sharding, data_shard_map, make_mesh, param_sharding,
-                   replicated, shard_batch, shard_params)
+from .distributed import init_distributed, is_primary
+from .mesh import (batch_sharding, data_shard_map, device_put_global,
+                   make_mesh, param_sharding, replicated, shard_batch,
+                   shard_params)
 
-__all__ = ['batch_sharding', 'data_shard_map', 'make_mesh', 'param_sharding',
+__all__ = ['batch_sharding', 'data_shard_map', 'device_put_global',
+           'init_distributed', 'is_primary', 'make_mesh', 'param_sharding',
            'replicated', 'shard_batch', 'shard_params']

@@ -94,13 +94,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def device_put_global(value, sharding: NamedSharding):
+    """``device_put`` that also works on multi-process (multi-host) meshes.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: every host holds
+    the FULL host value (the data path feeds all hosts the same deterministic
+    batch stream; params init identically from the same seed), and each host
+    device_puts only the slices its addressable devices own, assembled into
+    one global ``jax.Array`` — ``device_put`` alone cannot place onto
+    non-addressable devices.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    shape = np.shape(value)
+    idx_map = sharding.addressable_devices_indices_map(shape)
+    shards = [jax.device_put(np.asarray(value)[idx], d)
+              for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(shape, sharding, shards)
+
+
 def shard_params(mesh: Mesh, params: Params) -> Params:
     """Place params according to the sharding rules."""
-    return jax.device_put(params, param_sharding(mesh, params))
+    return jax.tree.map(device_put_global, params, param_sharding(mesh, params))
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    return jax.device_put(batch, batch_sharding(mesh, batch))
+    return jax.tree.map(device_put_global, batch, batch_sharding(mesh, batch))
 
 
 def data_shard_map(mesh: Mesh, fn, n_args: int, sharded: tuple[int, ...],

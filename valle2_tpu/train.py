@@ -414,6 +414,11 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
           mesh=None, resume: bool = False) -> TrainState:
     """End-to-end training entry (reference train_model.py:13-35)."""
     config = ConfigValle.from_json(hparams_fp)
+    # Multi-host: connect into the pod BEFORE any other jax call so
+    # jax.devices() is global.  No-op unless $VALLE2_COORDINATOR (or pod
+    # metadata) configures a cluster (parallel/distributed.py).
+    from .parallel import init_distributed, is_primary
+    init_distributed()
     from .compile_cache import enable_compilation_cache
     enable_compilation_cache(fallback=config.compile_cache_dir)
     if mesh is None and config.mesh_data * config.mesh_model > 1:
@@ -426,7 +431,10 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
     log_info('Training %s with %s', model_name, config)
     state = init_state(config, model_name, jax.random.key(config.seed))
     train_loader, valid_loader = get_dataloaders(model_name, config, synthetic=synthetic)
-    trainer = Trainer(config, model_name, mesh=mesh)
+    # Singleton side effects (TensorBoard) live on the primary process only;
+    # the step loop and orbax saves are collective and run on every process.
+    trainer = Trainer(config, model_name, mesh=mesh,
+                      use_tensorboard=is_primary())
     return trainer.fit(state, train_loader, valid_loader, resume=resume)
 
 
