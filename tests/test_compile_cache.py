@@ -67,6 +67,23 @@ class TestEnable:
         entries = list((tmp_path / 'cc').iterdir())
         assert entries, 'enable_compilation_cache persisted nothing'
 
+    def test_enable_after_first_compile_takes_effect(
+            self, tmp_path, restore_cache_config, monkeypatch):
+        """JAX binds the persistent cache lazily on the first compile and then
+        ignores `jax_compilation_cache_dir` updates; enable_compilation_cache
+        must reset the handle so a late enable (any warm process — the test
+        suite itself has compiled plenty by now) still lands entries."""
+        monkeypatch.delenv('VALLE2_COMPILE_CACHE', raising=False)
+        # Ensure the persistent-cache handle is bound to some other dir.
+        enable_compilation_cache(tmp_path / 'first', min_compile_time_s=0.0)
+        jax.jit(lambda x: (x * 17.117).sum())(
+            jax.numpy.ones((64, 64))).block_until_ready()
+        enable_compilation_cache(tmp_path / 'second', min_compile_time_s=0.0)
+        jax.jit(lambda x: (x * 19.119).sum())(
+            jax.numpy.ones((64, 64))).block_until_ready()
+        assert list((tmp_path / 'second').iterdir()), \
+            'cache-dir switch after first compile was silently ignored'
+
 
 _PROBE = """
 import pathlib, sys

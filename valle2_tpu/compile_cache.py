@@ -22,8 +22,11 @@ Resolution order for the directory (first non-empty wins):
 
 Empty/None everywhere = disabled (JAX's default behavior, nothing written).
 
-Call this BEFORE the first jit execution in the process.  Calling later is
-harmless but anything already compiled is not retroactively cached.
+Call this BEFORE the first jit execution in the process.  Calling later
+still takes effect for subsequent compilations (JAX initializes its
+persistent-cache handle lazily on first compile and then ignores config
+updates, so this module explicitly resets the handle when the directory
+changes) — but anything already compiled is not retroactively cached.
 """
 
 from __future__ import annotations
@@ -64,8 +67,15 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None,
         return None
     Path(path).mkdir(parents=True, exist_ok=True)
     import jax
+    changed = jax.config.jax_compilation_cache_dir != path
     jax.config.update('jax_enable_compilation_cache', True)
     jax.config.update('jax_compilation_cache_dir', path)
+    if changed:
+        # JAX binds the persistent cache to a directory lazily on the first
+        # compile and ignores later config updates; drop the handle so the
+        # new directory actually takes effect in already-warm processes.
+        from jax.experimental.compilation_cache import compilation_cache
+        compilation_cache.reset_cache()
     jax.config.update('jax_persistent_cache_min_compile_time_secs',
                       float(min_compile_time_s))
     jax.config.update('jax_compilation_cache_max_size', int(max_size_bytes))
