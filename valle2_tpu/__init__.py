@@ -14,8 +14,10 @@ A from-scratch JAX/XLA/Pallas re-design of KubiakJakub01/Valle2 (PyTorch+Lightni
 - ``tts``       — end-to-end text→waveform and audio→phonemes pipelines
 """
 
+from .aot import enable_aot_cache
 from .compile_cache import enable_compilation_cache
 from .config import ConfigValle
 
 __version__ = '0.3.0'
-__all__ = ['ConfigValle', 'enable_compilation_cache', '__version__']
+__all__ = ['ConfigValle', 'enable_aot_cache', 'enable_compilation_cache',
+           '__version__']

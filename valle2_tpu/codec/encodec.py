@@ -89,11 +89,16 @@ class EncodecTPU:
             def _encode_fused(params, wav, n_q):
                 latents = seanet.encode(params['encoder'], wav)
                 return rvq_encode_fused(params['rvq']['codebooks'], latents, n_q)
-            self._encode = jax.jit(_encode_fused, static_argnums=(2,))
+            from ..aot import cached_jit
+            self._encode = cached_jit(_encode_fused, tag='codec_encode_rvq',
+                                      static_argnums=(2,))
         else:
-            self._encode = jax.jit(encode, static_argnums=(2,))
-        self._decode = jax.jit(decode)
-        self._embed = jax.jit(embed)
+            from ..aot import cached_jit
+            self._encode = cached_jit(encode, tag='codec_encode',
+                                      static_argnums=(2,))
+        self._decode = cached_jit(decode, tag='codec_decode',
+                                  extra_key=str(ddtype))
+        self._embed = cached_jit(embed, tag='codec_embed')
 
     @property
     def sampling_rate(self) -> int:

@@ -181,6 +181,18 @@ class ConfigValle:
                           '$VALLE2_COMPILE_CACHE and --compile-cache.  '
                           'Empty = disabled (every process recompiles)'},
     )
+    aot_cache_dir: str = field(
+        default='',
+        metadata={'help': 'AOT compiled-executable cache directory (aot.py): '
+                          'serving/decode programs are serialized per call '
+                          'signature and restarted processes LOAD them (~ms) '
+                          'instead of re-tracing + re-lowering + re-compiling '
+                          '(minutes) — the layer above compile_cache_dir, '
+                          'which still pays trace/lower and a compile-server '
+                          'round trip per program.  Overridable by '
+                          '$VALLE2_AOT_CACHE and --aot-cache.  '
+                          'Empty = disabled'},
+    )
     prefetch_batches: int = field(
         default=2,
         metadata={'help': 'Train input pipeline: background-thread device '

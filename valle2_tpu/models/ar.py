@@ -508,13 +508,21 @@ class ValleAR:
 
         self._qdecode = None           # cached int8 view of params (weight_dtype)
         self._qdecode_src = None
-        self._decode_jit = jax.jit(_decode_wrapped)
-        self._loss_jit = jax.jit(_loss_wrapped)
-        self._prefill_jit = jax.jit(_prefill_wrapped)
+        # cached_jit == jax.jit until an AOT executable cache dir is enabled
+        # (aot.py) — then serving/decode programs persist across processes.
+        from ..aot import cached_jit, config_key
+        ck = config_key(config) + ('|mesh' if mesh is not None else '')
+        self._decode_jit = cached_jit(_decode_wrapped, tag='ar_decode',
+                                      extra_key=ck)
+        self._loss_jit = cached_jit(_loss_wrapped, tag='ar_loss', extra_key=ck)
+        self._prefill_jit = cached_jit(_prefill_wrapped, tag='ar_prefill',
+                                       extra_key=ck)
         # Donate the loop state: segments update the (L, rows, h, S, hd) cache
         # in place instead of copying it per advance() call.
-        self._advance_jit = jax.jit(_advance_wrapped, static_argnames=('ttm', 'pm'),
-                                    donate_argnums=(1,))
+        self._advance_jit = cached_jit(_advance_wrapped, tag='ar_advance',
+                                       extra_key=ck,
+                                       static_argnames=('ttm', 'pm'),
+                                       donate_argnums=(1,))
 
     @property
     def decode_params(self) -> Params:

@@ -301,8 +301,10 @@ class ValleNAR:
             with jax.default_matmul_precision(prec):
                 return _generate_fn(p, tokens, tl, codes, pl, first, nl, rng, config)
 
-        self._loss_jit = jax.jit(_loss_wrapped)
-        self._gen_jit = jax.jit(_gen_wrapped)
+        from ..aot import cached_jit, config_key
+        ck = config_key(config)
+        self._loss_jit = cached_jit(_loss_wrapped, tag='nar_loss', extra_key=ck)
+        self._gen_jit = cached_jit(_gen_wrapped, tag='nar_generate', extra_key=ck)
 
     def training_step(self, batch: dict[str, jax.Array], rng: jax.Array):
         return self._loss_jit(self.params, batch, rng)

@@ -743,13 +743,21 @@ def main(argv=None):
                              'servers deserialize compiled executables instead '
                              'of re-paying minutes of compilation (also '
                              '$VALLE2_COMPILE_CACHE / config.compile_cache_dir)')
+    parser.add_argument('--aot-cache', type=Path, default=None,
+                        help='AOT executable cache dir (aot.py): restarted '
+                             'servers LOAD serialized compiled executables in '
+                             'milliseconds — no re-trace/lower/compile at all '
+                             '(also $VALLE2_AOT_CACHE / config.aot_cache_dir). '
+                             'Run once with --warmup to populate it')
     args = parser.parse_args(argv)
 
+    from .aot import enable_aot_cache
     from .codec import EncodecTPU
     from .compile_cache import enable_compilation_cache
 
     config = ConfigValle.from_json(args.config) if args.config else ConfigValle()
     enable_compilation_cache(args.compile_cache, fallback=config.compile_cache_dir)
+    enable_aot_cache(args.aot_cache, fallback=config.aot_cache_dir)
     codec = EncodecTPU(checkpoint=str(args.codec_ckpt) if args.codec_ckpt else None,
                        decode_dtype=config.dtype)
     tts = ValleTTS(config, codec=codec)

@@ -117,7 +117,11 @@ def make_train_step(config: ConfigValle, model_name: str, mesh=None):
     # With a mesh, params are placed by parallel.shard_params and the batch by
     # parallel.shard_batch before the call; GSPMD propagates the shardings through
     # the whole step and inserts the grad psum / TP collectives itself.
-    return jax.jit(step_fn, donate_argnums=(0,))
+    # cached_jit: with an AOT cache dir enabled, a restarted/resumed run loads
+    # the serialized step executable instead of re-compiling it.
+    from .aot import cached_jit, config_key
+    return cached_jit(step_fn, tag=f'train_step_{model_name}',
+                      extra_key=config_key(config), donate_argnums=(0,))
 
 
 def make_eval_step(config: ConfigValle, model_name: str):
@@ -421,6 +425,8 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
     init_distributed()
     from .compile_cache import enable_compilation_cache
     enable_compilation_cache(fallback=config.compile_cache_dir)
+    from .aot import enable_aot_cache
+    enable_aot_cache(fallback=config.aot_cache_dir)
     if mesh is None and config.mesh_data * config.mesh_model > 1:
         # The config's mesh request (mesh_data x mesh_model) builds the device
         # mesh here so `-c cfg.json` alone scales a run across chips.

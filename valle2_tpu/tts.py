@@ -131,7 +131,10 @@ class ValleTTS:
                     return _fused_tts_fn(ar_p, nar_p, cod_p, tokens, tl, codes,
                                          pl, rng, pipe_config)
 
-        self._fused_jit = jax.jit(_fused)
+        from .aot import cached_jit, config_key
+        self._cfg_key = config_key(config) + ('|mesh' if mesh is not None else '')
+        self._fused_jit = cached_jit(_fused, tag='tts_fused',
+                                     extra_key=self._cfg_key)
 
     def _mesh_params(self, ar_p, nar_p, cod_p):
         """Mesh-sharded views of the three param trees, cached by source
@@ -296,7 +299,9 @@ class ValleTTS:
                         wav = codec_mod.decode(cod_p, codes.transpose(0, 2, 1))
                     return wav.astype(jnp.float32), codes
 
-                self._nar_wav_jit = jax.jit(_nar_wav)
+                from .aot import cached_jit
+                self._nar_wav_jit = cached_jit(_nar_wav, tag='tts_stream_narwav',
+                                               extra_key=self._cfg_key)
                 # Assign _stream_ar LAST: it is the lazy-init sentinel.
                 self._stream_ar = ValleAR(cfg1, params=self.ar.params)
         if self._stream_ar.params is not self.ar.params:
@@ -484,11 +489,18 @@ def main(argv=None):
     parser.add_argument('--compile-cache', type=Path, default=None,
                         help='Persistent XLA compilation cache dir (also '
                              '$VALLE2_COMPILE_CACHE / config.compile_cache_dir)')
+    parser.add_argument('--aot-cache', type=Path, default=None,
+                        help='AOT executable cache dir: re-run CLIs load '
+                             'serialized executables in ms instead of '
+                             're-compiling (also $VALLE2_AOT_CACHE / '
+                             'config.aot_cache_dir)')
     args = parser.parse_args(argv)
 
     config = ConfigValle.from_json(args.config) if args.config else ConfigValle()
+    from .aot import enable_aot_cache
     from .compile_cache import enable_compilation_cache
     enable_compilation_cache(args.compile_cache, fallback=config.compile_cache_dir)
+    enable_aot_cache(args.aot_cache, fallback=config.aot_cache_dir)
     if args.seed is not None:
         config.seed = args.seed
     codec = EncodecTPU(checkpoint=str(args.codec_ckpt) if args.codec_ckpt else None,
