@@ -24,6 +24,14 @@ import numpy as np
 
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
+# AOT executable cache: a bench re-run with unchanged sources loads its
+# compiled programs in ms instead of re-paying trace+lower+compile-server
+# round trips (the cache self-invalidates on any source change via the
+# package content hash — aot.py).
+from valle2_tpu.aot import enable_aot_cache  # noqa: E402
+
+enable_aot_cache('/tmp/aot_cache_tpu')
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)

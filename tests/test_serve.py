@@ -55,6 +55,10 @@ class TestTTSServer:
         stats = server.stats()
         assert stats['requests'] == 3
         assert stats['batches'] == 1                   # all pre-queued → one batch
+        # AOT counters surface (zero with the cache disabled, never absent)
+        assert stats['aot_compiles'] == 0
+        assert stats['aot_disk_loads'] == 0
+        assert stats['aot_fallbacks'] == 0
         for (text, pt, pc), got in zip(reqs, results):
             want = tts.synthesize_fused(text, pt, pc)
             np.testing.assert_array_equal(got.codes, want.codes)

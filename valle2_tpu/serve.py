@@ -111,7 +111,9 @@ class ServerStats:
 # suffix); everything else is exposed as a gauge.
 _PROM_COUNTERS = frozenset({'requests', 'stream_requests', 'asr_requests',
                             'batches', 'errors', 'rejected',
-                            'audio_seconds', 'busy_seconds'})
+                            'audio_seconds', 'busy_seconds',
+                            'aot_compiles', 'aot_disk_loads',
+                            'aot_fallbacks'})
 
 _PROM_HELP = {
     'requests': 'Requests served through the batched pipeline',
@@ -128,6 +130,10 @@ _PROM_HELP = {
     'queue_depth': 'Requests currently waiting in the batching queue',
     'queue_oldest_age_s': 'Age of the oldest queued request, seconds',
     'max_queue': 'Queue bound beyond which requests get HTTP 429',
+    'aot_compiles': 'Fused-pipeline programs compiled (AOT cache misses)',
+    'aot_disk_loads': 'Fused-pipeline executables deserialized from the '
+                      'AOT cache (compilation skipped)',
+    'aot_fallbacks': 'AOT entries that failed and fell back to plain jit',
 }
 
 
@@ -363,6 +369,15 @@ class TTSServer:
         out['queue_depth'] = len(pending)
         out['queue_oldest_age_s'] = (now - min(pending)) if pending else 0.0
         out['max_queue'] = self.max_queue
+        # AOT executable-cache health (aot.py): all zero when disabled.
+        # disk_loads > 0 on a restarted server means cold start skipped
+        # compilation; fallbacks > 0 means stale/incompatible entries were
+        # served through the plain jit path (look for warnings in the log).
+        fused = getattr(self.tts, '_fused_jit', None)
+        if fused is not None and hasattr(fused, 'n_compiles'):
+            out['aot_compiles'] = fused.n_compiles
+            out['aot_disk_loads'] = fused.n_disk_loads
+            out['aot_fallbacks'] = fused.n_fallbacks
         return out
 
     def warmup(self, all_lengths: bool = False, prompt_frames: int = 8,
