@@ -24,13 +24,12 @@ import numpy as np
 
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-# AOT executable cache: a bench re-run with unchanged sources loads its
-# compiled programs in ms instead of re-paying trace+lower+compile-server
-# round trips (the cache self-invalidates on any source change via the
-# package content hash — aot.py).
-from valle2_tpu.aot import enable_aot_cache  # noqa: E402
-
-enable_aot_cache('/tmp/aot_cache_tpu')
+# Deliberately NOT enabling the AOT executable cache here: on this
+# compile-server-backed runtime the first execution of a DESERIALIZED
+# executable measured ~5x slower than a compile-cache-served program's first
+# run (154 s vs 29 s for the fused TTS program — BENCHMARKS.md "Cold start"),
+# so an AOT hit would blow the bench's warm-up budget.  The XLA persistent
+# compilation cache above is the effective restart accelerator on this box.
 
 
 def log(*args):

@@ -7,7 +7,13 @@ with a warm compile cache on this runtime (docs/serving.md "Warm-start").
 This module removes that too: after a program compiles once, its *compiled
 executable* is serialized to disk (`jax.experimental.serialize_executable`);
 a later process deserializes and runs it directly — no trace, no lower, no
-compile-server round trip (measured ~1 ms to load vs minutes to compile).
+compile-server round trip (~ms to load on runtimes with local executable
+finalization, e.g. the CPU tests).  Caveat, measured: on compile-server-backed
+runtimes the *first execution* of a deserialized executable can pay the
+server-side finalization that a compile-cache-served program amortizes —
+154 s vs 29 s for the fused TTS program on the axon v5e runtime — so measure
+with ``tools/coldstart_bench.py`` before enabling in production there
+(docs/serving.md "Compile-count management").
 
 The torch reference has no compile step and therefore no analog; this is the
 TPU-native deployment story for the reference's serving gap (it has no serving

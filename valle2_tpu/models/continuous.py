@@ -1,0 +1,331 @@
+"""Continuous batching for the AR decode: concurrent sessions share ONE
+batched decode program, each row at its own depth.
+
+The serving problem this solves: N concurrent streaming sessions each drive
+their own batch-1 ``DecodeStream`` — the device runs N small programs
+back-to-back, so aggregate token throughput is ~1/N of what the SAME weights
+read once per step could produce (decode is weight/cache-bandwidth bound;
+the weight reads amortize across rows for free).  Continuous batching keeps
+one (rows = n_slots) decode loop resident and lets sessions JOIN a free row
+mid-flight (prefill → insert) and LEAVE when they hit EOS — the standard
+production-serving design (vLLM-style), built here from the same primitives
+as the batched decode: per-row lengths were always masked per row
+(``ar._decode_prefill``), so the only new machinery is a per-row *decode
+position* (``ops.transformer.transformer_decode_step`` accepts an index
+vector) and per-row codes-buffer writes.
+
+No reference counterpart: the reference's inference is a host-driven batch-1
+Python loop (``/root/reference/valle/models/valle_ar.py:141-171``).
+
+Semantics:
+
+- All slots share one static geometry (ttm, pm, max_audio_len) — prompts pad
+  up to it, masks make the padding invisible (same invariant the batched
+  decode relies on).  One compiled program serves every occupancy.
+- **Greedy (temperature=0) tokens are bit-identical to the solo decode** for
+  every session regardless of join order / co-tenants (tested,
+  tests/test_continuous.py).  Sampled decode draws from a shared per-step rng
+  chain, so samples depend on join timing (documented; same class of
+  non-determinism as any dynamic batcher).
+- A finished (or empty) row is an exact no-op: its sampled token is forced
+  EOS, its step does not advance, its statistics freeze.  Its cache row does
+  keep absorbing the frozen position's k/v write (a dynamic_update_slice must
+  write somewhere) — harmless: only the row itself attends those slots, and
+  its outputs are discarded; a reused slot is fully overwritten at insert.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigValle
+from ..ops import (KVCache, embedding, linear, sinusoidal_table,
+                   topk_sampling, transformer_decode_step)
+from .ar import MAX_POS, DecodeState, ValleAR, _dims, _specials, _to_compute
+
+Params = dict[str, Any]
+
+__all__ = ['ContinuousDecoder', 'BatcherFull']
+
+
+class BatcherFull(RuntimeError):
+    """Raised by ``ContinuousDecoder.join`` when no slot is free."""
+
+
+def _cb_advance(params: Params, state: DecodeState, tl_f: jax.Array,
+                pl_f: jax.Array, k: jax.Array, config: ConfigValle,
+                ttm: int, pm: int) -> DecodeState:
+    """Advance every ACTIVE row by up to ``k`` tokens (traced scalar — one
+    compilation serves any segment length).  ``state.step`` is a (rows,)
+    vector: rows sit at different decode depths.  Mirrors
+    ``ar._decode_advance``'s one_step with the scalar step/index replaced by
+    per-row vectors; finished and empty rows are exact no-ops."""
+    eos, _ = _specials(config)
+    max_new = config.max_audio_len
+    rows = state.cache.k.shape[1]
+    total_max = state.cache.k.shape[3]
+    n_heads = config.n_heads
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    dtype = jnp.dtype(config.dtype)
+    tparams = jax.tree.map(_to_compute(dtype), params['transformer'])
+
+    slots = jnp.arange(total_max)[None, :]
+    base_valid = ((slots < tl_f[:, None])
+                  | ((slots >= ttm) & (slots < ttm + pl_f[:, None])))
+    width = state.codes.shape[1]
+    cols = jnp.arange(width)[None, :]
+
+    def one_step(s: DecodeState) -> DecodeState:
+        steps = s.step                                    # (rows,) int32
+        active = (~s.finished) & (steps < max_new)
+        rng, sample_rng = jax.random.split(s.rng)
+        samples, logprobs = topk_sampling(
+            sample_rng, s.logits, top_k=config.top_k, tok_p=config.tok_p,
+            temperature=config.temperature)
+        sum_logprobs = s.sum_logprobs + logprobs * active
+        samples = jnp.where(active, samples.astype(jnp.int32), eos)
+        finished = s.finished | (samples == eos) | ~active
+        # Per-row codes write at column pm + steps (elementwise mask — the
+        # buffer is a tiny int32 plane, a (rows, width) where is ~free).
+        colmask = (cols == (pm + steps)[:, None]) & active[:, None]
+        codes_new = jnp.where(colmask, samples[:, None], s.codes)
+        x = embedding(params['audio_emb'], samples[:, None])
+        x = (x + jnp.take(pe, pl_f + steps, axis=0)[:, None]).astype(dtype)
+        write_idx = ttm + pm + steps                      # (rows,)
+        attend = base_valid | ((slots >= ttm + pm)
+                               & (slots <= write_idx[:, None]))
+        y, cache = transformer_decode_step(
+            tparams, x, n_heads, s.cache, write_idx, attend_mask=attend,
+            attn_buckets=config.decode_attn_buckets)
+        logits = linear(params['proj'], y[:, 0].astype(jnp.float32))
+        return DecodeState(steps + active, codes_new, logits, cache,
+                           sum_logprobs, finished, rng)
+
+    unroll = max(1, config.decode_unroll)
+
+    def cond(carry):
+        i, s = carry
+        return (i < k) & jnp.any((~s.finished) & (s.step < max_new))
+
+    def body(carry):
+        i, s = carry
+        for _ in range(unroll):      # straight-line steps amortize loop-turn cost
+            s = one_step(s)
+        return i + unroll, s
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return final
+
+
+def _cb_insert(state: DecodeState, tl_f: jax.Array, pl_f: jax.Array,
+               row: DecodeState, row_tl: jax.Array, row_pl: jax.Array,
+               slot: jax.Array):
+    """Write a freshly prefilled single-session state into joint row ``slot``
+    (traced scalar — one compilation serves every slot).  The row's cache is
+    (L, 1, h, S, hd) from the SAME geometry prefill, so every leaf is one
+    ``dynamic_update_slice`` along the rows axis."""
+    zero = jnp.int32(0)
+    slot = jnp.int32(slot)
+    cache = jax.tree.map(
+        lambda joint, one: jax.lax.dynamic_update_slice(
+            joint, one, (zero, slot) + (zero,) * (joint.ndim - 2)),
+        state.cache, row.cache)
+    codes = jax.lax.dynamic_update_slice(state.codes, row.codes, (slot, zero))
+    logits = jax.lax.dynamic_update_slice(state.logits, row.logits,
+                                          (slot, zero))
+    new_state = DecodeState(
+        step=state.step.at[slot].set(0),
+        codes=codes, logits=logits, cache=cache,
+        sum_logprobs=state.sum_logprobs.at[slot].set(0.0),
+        finished=state.finished.at[slot].set(False),
+        rng=state.rng)
+    return (new_state, tl_f.at[slot].set(row_tl[0]),
+            pl_f.at[slot].set(row_pl[0]))
+
+
+def _cb_finish(state: DecodeState, slot: jax.Array) -> DecodeState:
+    """Force-finish a row (session released/aborted before EOS)."""
+    return state._replace(finished=state.finished.at[jnp.int32(slot)].set(True))
+
+
+class ContinuousDecoder:
+    """Host-side slot manager over the continuous-batching decode loop.
+
+    ``join`` prefills a session and claims a free row; ``advance(k)`` steps
+    every live session up to ``k`` tokens in ONE device program and returns
+    the newly generated first-codebook ids per slot; ``release`` frees a row
+    for the next session.  Thread-safe (one lock around the device state —
+    callers like serve.TTSServer drive it from several request threads).
+
+    ``model``: a ValleAR (its params are shared; a num_beams=1, unfused-decode
+    sibling config drives the loop — the fused whole-stack kernel needs a
+    per-row index variant, planned; the XLA path already wins the aggregate
+    throughput that motivates batching).
+    ``n_slots``: rows in the joint state (compiled size — pick the expected
+    peak concurrency).  ``ttm``/``pm``: shared prompt geometry (token / code
+    slots); default to the largest ``config.bucket_sizes`` bucket.
+    """
+
+    def __init__(self, model: ValleAR, n_slots: int = 4,
+                 ttm: int | None = None, pm: int | None = None,
+                 rng: jax.Array | None = None):
+        import dataclasses
+        config = model.config
+        if config.num_beams != 1:
+            raise ValueError('continuous batching requires num_beams == 1')
+        if n_slots < 1:
+            raise ValueError(f'n_slots must be >= 1, got {n_slots}')
+        cfg = dataclasses.replace(config, num_beams=1, use_fused_decode=False)
+        self._ar = ValleAR(cfg, params=model.params)
+        # Share any int8 decode view instead of re-quantizing a duplicate.
+        if config.weight_dtype == 'int8':
+            self._ar._qdecode = model.decode_params
+            self._ar._qdecode_src = (self._ar.params,
+                                     self._ar.params['transformer'])
+        self.config = cfg
+        self.n_slots = n_slots
+        self.ttm = int(ttm if ttm is not None else max(config.bucket_sizes))
+        self.pm = int(pm if pm is not None else max(config.bucket_sizes))
+        self.eos = self._ar.eos_token
+        self.max_new = cfg.max_audio_len
+
+        unroll = max(1, cfg.decode_unroll)
+        max_new_pad = -(-self.max_new // unroll) * unroll
+        total_max = self.ttm + self.pm + max_new_pad
+        width = self.pm + max_new_pad
+        cache_dtype = jnp.dtype(cfg.kv_cache_dtype)
+        cache = KVCache.zeros(cfg.num_layers, n_slots, cfg.n_heads, total_max,
+                              cfg.head_dim,
+                              cache_dtype if cache_dtype == jnp.int8
+                              else jnp.dtype(cfg.dtype))
+        _, tgt_vocab = _dims(cfg)
+        if rng is None:
+            rng = jax.random.key(cfg.seed)
+        self._state = DecodeState(
+            step=jnp.zeros((n_slots,), jnp.int32),
+            codes=jnp.full((n_slots, width), self.eos, jnp.int32),
+            logits=jnp.zeros((n_slots, tgt_vocab - 1), jnp.float32),
+            cache=cache,
+            sum_logprobs=jnp.zeros((n_slots,), jnp.float32),
+            finished=jnp.ones((n_slots,), bool),
+            rng=jnp.asarray(rng))
+        self._tl = jnp.zeros((n_slots,), jnp.int32)
+        self._pl = jnp.zeros((n_slots,), jnp.int32)
+
+        from ..aot import cached_jit, config_key
+        ck = config_key(cfg) + f'|cb{n_slots}x{self.ttm}x{self.pm}'
+        prec = cfg.matmul_precision
+
+        def _advance_wrapped(p, state, tl, pl, k):
+            with jax.default_matmul_precision(prec):
+                return _cb_advance(p, state, tl, pl, k, cfg, self.ttm, self.pm)
+
+        self._advance_jit = cached_jit(_advance_wrapped, tag='cb_advance',
+                                       extra_key=ck, donate_argnums=(1,))
+        self._insert_jit = cached_jit(_cb_insert, tag='cb_insert',
+                                      extra_key=ck, donate_argnums=(0, 1, 2))
+        self._finish_jit = cached_jit(_cb_finish, tag='cb_finish',
+                                      extra_key=ck, donate_argnums=(0,))
+        self._lock = threading.Lock()
+        # Host bookkeeping per slot: None = free; else dict(emitted=…).
+        self._sessions: list[dict | None] = [None] * n_slots
+
+    # -- session lifecycle -------------------------------------------------
+
+    def free_slots(self) -> int:
+        with self._lock:
+            return sum(s is None for s in self._sessions)
+
+    def join(self, tokens, prompt_codes) -> int:
+        """Prefill a session (tokens: (Tt,) source ids incl. target text;
+        prompt_codes: (Tp, num_quantizers)) and claim a free slot.  Returns
+        the slot id; raises BatcherFull when every row is occupied, and
+        ValueError when the prompt exceeds the shared geometry."""
+        tokens = np.asarray(tokens, np.int32).reshape(-1)
+        pcodes = np.asarray(prompt_codes, np.int32).reshape(
+            -1, self.config.num_quantizers)
+        codes0 = np.concatenate([[self._ar.bos_token], pcodes[:, 0]]) \
+            .astype(np.int32)
+        if len(tokens) > self.ttm:
+            raise ValueError(f'prompt tokens ({len(tokens)}) exceed the '
+                             f'batcher geometry ttm={self.ttm}')
+        if len(codes0) > self.pm:
+            raise ValueError(f'prompt codes ({len(codes0) - 1}) exceed the '
+                             f'batcher geometry pm={self.pm - 1}')
+        tokens_pad = jnp.asarray(np.pad(tokens, (0, self.ttm - len(tokens))))[None]
+        codes_pad = jnp.asarray(np.pad(codes0, (0, self.pm - len(codes0))))[None]
+        with self._lock:
+            slot = next((i for i, s in enumerate(self._sessions) if s is None),
+                        None)
+            if slot is None:
+                raise BatcherFull(f'all {self.n_slots} slots busy')
+            self._sessions[slot] = {'emitted': 0, 'finished': False}
+        try:
+            # Any key works here: _decode_prefill only STORES the rng (sampling
+            # happens in advance), and the joint state keeps its own chain —
+            # and self._state leaves must not be read outside the lock (advance
+            # donates them).
+            row, row_tl, row_pl = self._ar._prefill_jit(
+                self._ar.decode_params, tokens_pad,
+                jnp.asarray([len(tokens)], jnp.int32), codes_pad,
+                jnp.asarray([len(codes0)], jnp.int32),
+                jax.random.key(self.config.seed))
+            with self._lock:
+                self._state, self._tl, self._pl = self._insert_jit(
+                    self._state, self._tl, self._pl, row, row_tl, row_pl,
+                    jnp.int32(slot))
+        except Exception:
+            with self._lock:
+                self._sessions[slot] = None
+            raise
+        return slot
+
+    def advance(self, k: int) -> dict[int, np.ndarray]:
+        """One joint device step of up to ``k`` tokens for every live row.
+        Returns {slot: newly generated ids (EOS stripped)} for every occupied
+        slot that produced tokens or just finished; consult ``finished(slot)``
+        afterwards.  No-op (empty dict) when nothing is live."""
+        with self._lock:
+            live = [i for i, s in enumerate(self._sessions)
+                    if s is not None and not s['finished']]
+            if not live:
+                return {}
+            self._state = self._advance_jit(
+                self._ar.decode_params, self._state, self._tl, self._pl,
+                jnp.int32(k))
+            steps = np.asarray(self._state.step)
+            fin = np.asarray(self._state.finished)
+            codes = np.asarray(self._state.codes)
+            out: dict[int, np.ndarray] = {}
+            for slot in live:
+                sess = self._sessions[slot]
+                row = codes[slot, self.pm + sess['emitted']:
+                            self.pm + int(steps[slot])]
+                sess['emitted'] = int(steps[slot])
+                done = bool(fin[slot]) or int(steps[slot]) >= self.max_new
+                sess['finished'] = done
+                new = row[row != self.eos]
+                if len(new) or done:
+                    out[slot] = new
+            return out
+
+    def finished(self, slot: int) -> bool:
+        with self._lock:
+            sess = self._sessions[slot]
+            if sess is None:
+                raise KeyError(f'slot {slot} is not occupied')
+            return sess['finished']
+
+    def release(self, slot: int) -> None:
+        """Free a row (idempotent).  Safe mid-decode: the row is force-
+        finished on device so the loop stops advancing it."""
+        with self._lock:
+            if self._sessions[slot] is None:
+                return
+            self._state = self._finish_jit(self._state, jnp.int32(slot))
+            self._sessions[slot] = None

@@ -176,6 +176,14 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
     v5e than unrolled single-slot ``dynamic_update_slice`` writes, which XLA performs
     in place inside the enclosing while_loop.  Returns (y (b, 1, d), new_cache).
 
+    ``index`` may be a scalar (all rows at the same absolute position — the batched
+    decode, where a shared prompt layout keeps positions in lockstep) or a (b,)
+    vector of PER-ROW positions (continuous batching: sessions at different decode
+    depths share one step program; models/continuous.py).  Per-row writes go
+    through a vmapped single-row ``dynamic_update_slice`` (an XLA scatter over the
+    batch axis — one (h, 1, hd) slot per row per layer, negligible next to the
+    cache-read bandwidth that dominates decode).
+
     ``attend_mask``: optional (b, max_len) bool of cache slots this token may attend
     (batched decode with per-row lengths); defaults to slots [0, index].
     ``attn_buckets`` > 1: lax.switch over that many static cache prefixes, reading
@@ -190,19 +198,40 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
     num_layers = cache.k.shape[0]
     max_len = cache.k.shape[3]
     quant = cache.k_scale is not None
+    per_row = jnp.ndim(index) == 1
     ck, cv, cks, cvs = cache.k, cache.v, cache.k_scale, cache.v_scale
     if attend_mask is None:
-        attend_mask = (jnp.arange(max_len) <= index)[None, :]
+        if per_row:
+            attend_mask = jnp.arange(max_len)[None, :] <= index[:, None]
+        else:
+            attend_mask = (jnp.arange(max_len) <= index)[None, :]
     bias = jnp.where(attend_mask, 0.0, NEG_INF)[:, None, None, :]
 
     if attn_buckets > 1:
         # Static prefix lengths (lane-aligned); smallest covering index+1 wins.
+        # With per-row indices the deepest row picks the bucket (conservative —
+        # shallower rows' extra slots are masked).
+        idx_top = jnp.max(index) if per_row else index
         lens = [min(-(-(max_len * (i + 1) // attn_buckets) // 128) * 128, max_len)
                 for i in range(attn_buckets)]
         lens = sorted(set(lens))
-        bucket_idx = sum((index + 1 > jnp.int32(L)).astype(jnp.int32)
+        bucket_idx = sum((idx_top + 1 > jnp.int32(L)).astype(jnp.int32)
                          for L in lens[:-1])
     zero = jnp.int32(0)
+
+    def _write(buf, new, li):
+        """Write one (b, h, 1, *) slab into layer ``li`` of a (L, b, h, S, *)
+        buffer at ``index`` — scalar (one slice op) or per-row (vmapped)."""
+        if per_row:
+            def one_row(row_buf, row_new, i):
+                # row_buf (L, h, S, w); row_new (h, 1, w)
+                return jax.lax.dynamic_update_slice(
+                    row_buf, row_new[None], (jnp.int32(li), zero, i, zero))
+            return jax.vmap(one_row, in_axes=(1, 0, 0), out_axes=1)(
+                buf, new, index)
+        return jax.lax.dynamic_update_slice(
+            buf, new[None], (jnp.int32(li), zero, zero, index, zero))
+
     for li in range(num_layers):
         lp = jax.tree.map(lambda a: a[li], p)
         h = _norm(lp['norm1'], x, cond)
@@ -210,21 +239,15 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
         if quant:
             kq, ks_ = quantize_kv(k)
             vq, vs_ = quantize_kv(v)
-            ck = jax.lax.dynamic_update_slice(
-                ck, kq[None], (jnp.int32(li), zero, zero, index, zero))
-            cv = jax.lax.dynamic_update_slice(
-                cv, vq[None], (jnp.int32(li), zero, zero, index, zero))
-            cks = jax.lax.dynamic_update_slice(
-                cks, ks_[None], (jnp.int32(li), zero, zero, index, zero))
-            cvs = jax.lax.dynamic_update_slice(
-                cvs, vs_[None], (jnp.int32(li), zero, zero, index, zero))
+            ck = _write(ck, kq, li)
+            cv = _write(cv, vq, li)
+            cks = _write(cks, ks_, li)
+            cvs = _write(cvs, vs_, li)
             k_full = ck[li].astype(x.dtype) * cks[li].astype(x.dtype)
             v_full = cv[li].astype(x.dtype) * cvs[li].astype(x.dtype)
         else:
-            ck = jax.lax.dynamic_update_slice(
-                ck, k[None].astype(ck.dtype), (jnp.int32(li), zero, zero, index, zero))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v[None].astype(cv.dtype), (jnp.int32(li), zero, zero, index, zero))
+            ck = _write(ck, k.astype(ck.dtype), li)
+            cv = _write(cv, v.astype(cv.dtype), li)
             k_full, v_full = ck[li], cv[li]
         if attn_buckets > 1 and not quant:
             attn = jax.lax.switch(
