@@ -1,0 +1,180 @@
+"""Continuous batching (models/continuous.py): concurrent sessions share one
+batched decode loop, each row at its own depth.
+
+The parity surface: every session's GREEDY tokens must be bit-identical to
+its solo ``ValleAR.generate`` decode, regardless of join order, co-tenants,
+or when it joined (rows are mathematically independent; masks and per-row
+positions make the shared program exact).  The reference has no batched or
+incremental inference at all (/root/reference/valle/models/valle_ar.py:141-171
+is a host-driven batch-1 loop).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valle2_tpu.config import ConfigValle
+from valle2_tpu.models.ar import ValleAR
+from valle2_tpu.models.continuous import BatcherFull, ContinuousDecoder
+from valle2_tpu.ops import KVCache, transformer_decode_step, transformer_init
+
+
+def tiny_cfg(**kw):
+    base = dict(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                max_audio_len=12, num_beams=1, dropout=0.0, temperature=0.0,
+                bucket_sizes=(32, 64, 128))
+    base.update(kw)
+    return ConfigValle(**base)
+
+
+def solo(model, tokens, pcodes):
+    return np.asarray(model.generate(tokens, pcodes,
+                                     rng=jax.random.key(model.config.seed)))
+
+
+def drain(cb, slots):
+    """advance() until every slot in ``slots`` is finished; returns the
+    accumulated tokens per slot."""
+    got = {s: [] for s in slots}
+    for _ in range(200):
+        out = cb.advance(4)
+        for s, new in out.items():
+            if s in got:
+                got[s].extend(new)
+        if all(cb.finished(s) for s in slots):
+            return {s: np.asarray(v, np.int32) for s, v in got.items()}
+    raise AssertionError('batcher did not finish in 200 advances')
+
+
+class TestPerRowDecodeStep:
+    """ops.transformer.transformer_decode_step with a per-row index vector."""
+
+    def _setup(self, b=3, quant=False):
+        key = jax.random.key(0)
+        d, h, L, S = 32, 2, 2, 16
+        p = transformer_init(key, L, d, h, d * 2, adaptive_norm=False)
+        cache = KVCache.zeros(L, b, h, S, d // h,
+                              jnp.int8 if quant else jnp.float32)
+        # Pre-fill some slots so attention has context.
+        k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+        x = jax.random.normal(k3, (b, 1, d))
+        return p, cache, x, h
+
+    @pytest.mark.parametrize('quant', [False, True])
+    def test_vector_index_equals_scalar(self, quant):
+        """All rows at the same position: vector index == scalar index."""
+        p, cache, x, h = self._setup(quant=quant)
+        idx = 5
+        y_s, c_s = transformer_decode_step(p, x, h, cache, jnp.int32(idx))
+        y_v, c_v = transformer_decode_step(
+            p, x, h, cache, jnp.full((x.shape[0],), idx, jnp.int32))
+        np.testing.assert_allclose(np.asarray(y_v), np.asarray(y_s),
+                                   rtol=1e-6, atol=1e-6)
+        for a, b_ in zip(jax.tree.leaves(c_v), jax.tree.leaves(c_s)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_distinct_rows_equal_solo_rows(self):
+        """Rows at DIFFERENT positions equal per-row batch-1 scalar steps."""
+        p, cache, x, h = self._setup(b=3)
+        idx = jnp.asarray([2, 7, 11], jnp.int32)
+        y_v, c_v = transformer_decode_step(p, x, h, cache, idx)
+        for r in range(3):
+            row_cache = jax.tree.map(lambda a: a[:, r:r + 1], cache)
+            y_r, c_r = transformer_decode_step(
+                p, x[r:r + 1], h, row_cache, idx[r])
+            np.testing.assert_allclose(np.asarray(y_v[r]), np.asarray(y_r[0]),
+                                       rtol=1e-6, atol=1e-6)
+            for a, b_ in zip(jax.tree.leaves(c_v), jax.tree.leaves(c_r)):
+                np.testing.assert_allclose(np.asarray(a[:, r]),
+                                           np.asarray(b_[:, 0]),
+                                           rtol=1e-6, atol=1e-6)
+
+
+class TestContinuousDecoder:
+    def _prompts(self, n, seed=0):
+        rs = np.random.RandomState(seed)
+        return [(rs.randint(0, 70, (rs.randint(4, 9),)),
+                 rs.randint(0, 1024, (rs.randint(3, 8), 8))) for _ in range(n)]
+
+    def test_joint_greedy_equals_solo(self):
+        model = ValleAR(tiny_cfg(), seed=0)
+        prompts = self._prompts(3)
+        want = [solo(model, t, c) for t, c in prompts]
+        cb = ContinuousDecoder(model, n_slots=3)
+        slots = [cb.join(t, c) for t, c in prompts]
+        got = drain(cb, slots)
+        for s, w in zip(slots, want):
+            np.testing.assert_array_equal(got[s], w)
+
+    def test_staggered_joins(self):
+        """A session joining mid-flight decodes exactly as if it were solo."""
+        model = ValleAR(tiny_cfg(), seed=1)
+        (ta, ca), (tb, cb_codes) = self._prompts(2, seed=3)
+        want_a, want_b = solo(model, ta, ca), solo(model, tb, cb_codes)
+        cb = ContinuousDecoder(model, n_slots=2)
+        sa = cb.join(ta, ca)
+        got_a = list(cb.advance(5).get(sa, []))
+        sb = cb.join(tb, cb_codes)
+        got_b = []
+        while not (cb.finished(sa) and cb.finished(sb)):
+            out = cb.advance(4)
+            got_a.extend(out.get(sa, []))
+            got_b.extend(out.get(sb, []))
+        np.testing.assert_array_equal(np.asarray(got_a, np.int32), want_a)
+        np.testing.assert_array_equal(np.asarray(got_b, np.int32), want_b)
+
+    def test_release_and_slot_reuse(self):
+        model = ValleAR(tiny_cfg(), seed=2)
+        (ta, ca), (tc, cc) = self._prompts(2, seed=7)
+        want_c = solo(model, tc, cc)
+        cb = ContinuousDecoder(model, n_slots=1)
+        sa = cb.join(ta, ca)
+        cb.advance(3)
+        cb.release(sa)                      # abort mid-decode
+        assert cb.free_slots() == 1
+        sc = cb.join(tc, cc)
+        assert sc == sa                     # same row, fully overwritten
+        got = drain(cb, [sc])
+        np.testing.assert_array_equal(got[sc], want_c)
+
+    def test_batcher_full_and_geometry_errors(self):
+        model = ValleAR(tiny_cfg(), seed=0)
+        cb = ContinuousDecoder(model, n_slots=1, ttm=16, pm=16)
+        t, c = self._prompts(1)[0]
+        cb.join(t, c)
+        with pytest.raises(BatcherFull):
+            cb.join(t, c)
+        cb2 = ContinuousDecoder(model, n_slots=1, ttm=4, pm=16)
+        with pytest.raises(ValueError, match='exceed'):
+            cb2.join(np.zeros(10, np.int32), c)
+
+    def test_requires_single_beam(self):
+        model = ValleAR(tiny_cfg(num_beams=2), seed=0)
+        with pytest.raises(ValueError, match='num_beams'):
+            ContinuousDecoder(model, n_slots=2)
+
+    def test_advance_empty_is_noop(self):
+        model = ValleAR(tiny_cfg(), seed=0)
+        cb = ContinuousDecoder(model, n_slots=2)
+        assert cb.advance(8) == {}
+
+    def test_decode_unroll_roundtrip(self):
+        """decode_unroll > 1 advances in unroll-sized turns; tokens unchanged."""
+        model = ValleAR(tiny_cfg(decode_unroll=4, max_audio_len=11), seed=3)
+        t, c = self._prompts(1, seed=5)[0]
+        want = solo(model, t, c)
+        cb = ContinuousDecoder(model, n_slots=2)
+        s = cb.join(t, c)
+        got = drain(cb, [s])
+        np.testing.assert_array_equal(got[s], want)
+
+    def test_int8_kv_cache_runs(self):
+        """Quantized KV cache: per-row writes cover the scale planes too."""
+        model = ValleAR(tiny_cfg(kv_cache_dtype='int8'), seed=4)
+        t, c = self._prompts(1, seed=9)[0]
+        want = solo(model, t, c)
+        cb = ContinuousDecoder(model, n_slots=2)
+        s = cb.join(t, c)
+        got = drain(cb, [s])
+        np.testing.assert_array_equal(got[s], want)

@@ -198,11 +198,10 @@ class ContinuousDecoder:
         max_new_pad = -(-self.max_new // unroll) * unroll
         total_max = self.ttm + self.pm + max_new_pad
         width = self.pm + max_new_pad
-        cache_dtype = jnp.dtype(cfg.kv_cache_dtype)
+        # Same element dtype the prefill writes (ar._decode_prefill passes
+        # config.kv_cache_dtype through transformer_prefill).
         cache = KVCache.zeros(cfg.num_layers, n_slots, cfg.n_heads, total_max,
-                              cfg.head_dim,
-                              cache_dtype if cache_dtype == jnp.int8
-                              else jnp.dtype(cfg.dtype))
+                              cfg.head_dim, jnp.dtype(cfg.kv_cache_dtype))
         _, tgt_vocab = _dims(cfg)
         if rng is None:
             rng = jax.random.key(cfg.seed)
