@@ -169,6 +169,39 @@ class TestContinuousDecoder:
         got = drain(cb, [s])
         np.testing.assert_array_equal(got[s], want)
 
+    def test_fused_joint_equals_fused_solo(self):
+        """Joint decode through the per-row fused kernel (interpret mode on
+        CPU) matches each session's solo fused decode."""
+        cfg = tiny_cfg(use_fused_decode=True, max_audio_len=8)
+        model = ValleAR(cfg, seed=5)
+        prompts = self._prompts(2, seed=11)
+        want = [solo(model, t, c) for t, c in prompts]
+        cb = ContinuousDecoder(model, n_slots=2, ttm=16, pm=16)
+        assert cb._use_fused
+        slots = [cb.join(t, c) for t, c in prompts]
+        got = drain(cb, slots)
+        for s, w in zip(slots, want):
+            np.testing.assert_array_equal(got[s], w)
+
+    def test_fused_staggered_join(self):
+        """A session joining a fused joint loop mid-flight still matches its
+        solo fused decode (per-row indices + chunk clamp at the deepest row)."""
+        cfg = tiny_cfg(use_fused_decode=True, max_audio_len=8)
+        model = ValleAR(cfg, seed=6)
+        (ta, ca), (tb, cbc) = self._prompts(2, seed=13)
+        want_a, want_b = solo(model, ta, ca), solo(model, tb, cbc)
+        cb = ContinuousDecoder(model, n_slots=2, ttm=16, pm=16)
+        sa = cb.join(ta, ca)
+        got_a = list(cb.advance(3).get(sa, []))
+        sb = cb.join(tb, cbc)
+        got_b = []
+        while not (cb.finished(sa) and cb.finished(sb)):
+            out = cb.advance(3)
+            got_a.extend(out.get(sa, []))
+            got_b.extend(out.get(sb, []))
+        np.testing.assert_array_equal(np.asarray(got_a, np.int32), want_a)
+        np.testing.assert_array_equal(np.asarray(got_b, np.int32), want_b)
+
     def test_int8_kv_cache_runs(self):
         """Quantized KV cache: per-row writes cover the scale planes too."""
         model = ValleAR(tiny_cfg(kv_cache_dtype='int8'), seed=4)

@@ -1,0 +1,158 @@
+"""StreamHub (stream_hub.py): continuous-batched streaming serving.
+
+Parity surface: a hub session's greedy waveform must be bit-identical to the
+solo ``synthesize_streaming`` path — both run the same ``_ChunkEmitter`` over
+AR token streams that models/continuous.py guarantees are identical.
+"""
+
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from valle2_tpu.config import ConfigValle
+from valle2_tpu.serve import ServerOverloaded, TTSServer
+from valle2_tpu.stream_hub import HubFull, StreamHub
+from valle2_tpu.tts import ValleTTS
+
+
+def tiny_cfg(**kw):
+    base = dict(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                max_audio_len=12, num_beams=1, dropout=0.0, temperature=0.0,
+                bucket_sizes=(32, 64, 128))
+    base.update(kw)
+    return ConfigValle(**base)
+
+
+def collect(gen):
+    out = [np.asarray(c) for c in gen]
+    return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+
+class TestStreamHub:
+    @pytest.fixture(scope='class')
+    def tts(self):
+        return ValleTTS(tiny_cfg())
+
+    def _prompts(self, n, seed=0):
+        rs = np.random.RandomState(seed)
+        return [(rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8)))
+                for _ in range(n)]
+
+    def test_hub_waveform_equals_solo_streaming(self, tts):
+        prompts = self._prompts(2)
+        texts = ['hello there.', 'go on now.']
+        want = [collect(tts.synthesize_streaming(
+            tx, pt, pc, chunk_frames=4, rng=jax.random.key(7)))
+            for tx, (pt, pc) in zip(texts, prompts)]
+        hub = StreamHub(tts, n_slots=2, chunk_frames=4)
+        try:
+            got = [None, None]
+            errs = []
+
+            def run(i):
+                try:
+                    tx, (pt, pc) = texts[i], prompts[i]
+                    got[i] = collect(hub.open(tx, pt, pc,
+                                              rng=jax.random.key(7)))
+                except Exception as e:      # noqa: BLE001
+                    errs.append(e)
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert not errs, errs
+            for w, g in zip(want, got):
+                np.testing.assert_array_equal(g, w)
+            assert hub.live_sessions() == 0
+        finally:
+            hub.stop()
+
+    def test_hub_full_raises(self, tts):
+        hub = StreamHub(tts, n_slots=1)
+        try:
+            pt, pc = self._prompts(1)[0]
+            # Occupy the single row WITHOUT a hub session (the driver never
+            # advances it, so it stays busy deterministically).
+            hub.cb.join(pt, pc)
+            with pytest.raises(HubFull):
+                hub.open('hi.', pt, pc)
+        finally:
+            hub.stop()
+
+    def test_close_frees_row(self, tts):
+        hub = StreamHub(tts, n_slots=1, chunk_frames=2)
+        try:
+            pt, pc = self._prompts(1, seed=3)[0]
+            gen = hub.open('one two.', pt, pc)
+            next(gen)
+            gen.close()                     # client disconnect
+            deadline = time.time() + 10
+            while hub.live_sessions() and time.time() < deadline:
+                time.sleep(0.05)
+            assert hub.live_sessions() == 0
+            # The freed row serves a new session end to end.
+            wav = collect(hub.open('one two.', pt, pc))
+            assert len(wav) > 0
+        finally:
+            hub.stop()
+
+    def test_oversized_prompt_rejected(self, tts):
+        hub = StreamHub(tts, n_slots=1, ttm=8, pm=8)
+        try:
+            with pytest.raises(ValueError, match='exceed'):
+                hub.open('word ' * 40, np.zeros((4,), np.int32),
+                         np.zeros((4, 8), np.int32))
+        finally:
+            hub.stop()
+
+
+class TestServerIntegration:
+    def test_server_stream_routes_through_hub(self):
+        tts = ValleTTS(tiny_cfg())
+        rs = np.random.RandomState(1)
+        pt, pc = rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8))
+        want = collect(tts.synthesize_streaming(
+            'server test.', pt, pc, chunk_frames=25,
+            rng=jax.random.key(tts.config.seed)))
+        server = TTSServer(tts, cb_streams=2)
+        try:
+            got = collect(server.stream('server test.', pt, pc))
+            np.testing.assert_array_equal(got, want)
+            st = server.stats()
+            assert st['stream_requests'] == 1
+            assert st['stream_hub_slots'] == 2
+            assert st['stream_hub_live'] == 0
+        finally:
+            server.stop()
+
+    def test_server_oversized_prompt_falls_back_to_solo(self):
+        tts = ValleTTS(tiny_cfg())
+        server = TTSServer(tts, cb_streams=1, cb_geometry=(8, 8))
+        try:
+            rs = np.random.RandomState(2)
+            pt, pc = rs.randint(0, 70, (5,)), rs.randint(0, 1024, (20, 8))
+            wav = collect(server.stream('a much longer sentence here.',
+                                        pt, pc))
+            assert len(wav) > 0             # served by the solo path
+            assert server.stats()['stream_hub_live'] == 0
+        finally:
+            server.stop()
+
+    def test_server_hub_full_maps_to_429(self):
+        tts = ValleTTS(tiny_cfg())
+        server = TTSServer(tts, cb_streams=1)
+        try:
+            rs = np.random.RandomState(3)
+            pt, pc = rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8))
+            server._hub.cb.join(pt, pc)     # pin the single row
+            with pytest.raises(ServerOverloaded):
+                server.stream('hi.', pt, pc)
+            assert server.stats()['rejected'] == 1
+        finally:
+            server.stop()

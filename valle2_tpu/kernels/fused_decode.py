@@ -212,7 +212,7 @@ def _fake_quant_row(x_row, n_heads: int):
 def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
             n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref, ck_ref, cv_ref,
             *rest, n_heads: int, ttm: int, pm: int, rows: int, seq: int,
-            chunk: int, quant: bool, quant_w: bool):
+            chunk: int, quant: bool, quant_w: bool, per_row: bool):
     rest = list(rest)
     if quant_w:
         # int8 weight mode: qkv/out/f1/f2 refs above are int8, these are their
@@ -228,6 +228,8 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
     l = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = seq // chunk
+    # meta[0] is the DEEPEST row's index — it drives the chunk-skip clamp;
+    # per-row indices (continuous batching) follow at meta[1 + 2*rows + r].
     idx = meta_ref[0]
     maxc = idx // chunk
 
@@ -271,13 +273,14 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
     @pl.when(c <= maxc)
     def _attend():
         slot_row = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        is_idx = slot_row == idx                             # (1, chunk)
         for r in range(rows):
             tl_r = meta_ref[1 + r]
             pl_r = meta_ref[1 + rows + r]
+            idx_r = meta_ref[1 + 2 * rows + r] if per_row else idx
+            is_idx = slot_row == idx_r                       # (1, chunk)
             attend = ((slot_row < tl_r)
                       | ((slot_row >= ttm) & (slot_row < ttm + pl_r))
-                      | ((slot_row >= ttm + pm) & (slot_row <= idx)))   # (1, chunk)
+                      | ((slot_row >= ttm + pm) & (slot_row <= idx_r)))  # (1, chunk)
             q_row = q_s[r:r + 1, :]                          # (1, d) f32, scaled
             q_bd = q_row * head_mask                         # (h, d) block-diag
             k2 = ck_ref[0, r].astype(jnp.float32)            # (chunk, d)
@@ -372,7 +375,10 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     p: stacked layer pytree (L, ...) (see ops.transformer.transformer_init);
     x: (rows, 1, d) current token embedding; cache: KVCache in the FUSED
     head-major layout — k/v (L, rows, S, d) (``fused_cache_layout``), int8 with
-    per-(slot, head) scales (L, rows, S, h); index: scalar absolute slot;
+    per-(slot, head) scales (L, rows, S, h); index: scalar absolute slot, or a
+    (rows,) vector of PER-ROW slots (continuous batching — sessions at
+    different decode depths; the chunk-skip clamp then follows the deepest
+    row, shallower rows' extra slots are masked by the attend formula);
     tokens_lens/codes_lens: (rows,) per-row true lengths (already repeated per
     beam); ttm/pm: static layout widths.
     Returns (y (rows, 1, d), new_cache) — matches transformer_decode_step under
@@ -384,6 +390,7 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     h = n_heads
     quant = cache.k_scale is not None
     quant_w = 'q' in p['attn']['qkv']      # int8 weights (quantize.py layout)
+    per_row = jnp.ndim(index) == 1
     chunk = chunk_for(seq, rows, d, n_heads, cache.k.dtype,
                       forced=chunk_override)
     if seq % chunk:
@@ -394,13 +401,17 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
             f'{chunk}; pad the cache to a multiple (ar._decode_prefill does)')
     n_chunks = seq // chunk
     x2 = x[:, 0, :]
-    meta = jnp.concatenate([jnp.asarray(index, jnp.int32).reshape(1),
-                            jnp.asarray(tokens_lens, jnp.int32).reshape(rows),
-                            jnp.asarray(codes_lens, jnp.int32).reshape(rows)])
+    index = jnp.asarray(index, jnp.int32)
+    meta_parts = [jnp.max(index).reshape(1),
+                  jnp.asarray(tokens_lens, jnp.int32).reshape(rows),
+                  jnp.asarray(codes_lens, jnp.int32).reshape(rows)]
+    if per_row:
+        meta_parts.append(index.reshape(rows))
+    meta = jnp.concatenate(meta_parts)
 
     kernel = functools.partial(_kernel, n_heads=n_heads, ttm=ttm, pm=pm,
                                rows=rows, seq=seq, chunk=chunk, quant=quant,
-                               quant_w=quant_w)
+                               quant_w=quant_w, per_row=per_row)
     interpret = jax.default_backend() != 'tpu'
     layer_spec = lambda *shape: pl.BlockSpec(
         (1, *shape), lambda l, c, meta: (l,) + (0,) * len(shape))
@@ -491,15 +502,24 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     zero = jnp.int32(0)
     k_new = k_new[:, :, None, :]                      # (L, rows, 1, d)
     v_new = v_new[:, :, None, :]
-    idx4 = (zero, zero, index, zero)
+    if per_row:
+        # One (L, 1, w) slab per row at its own slot — vmapped single-row
+        # dynamic_update_slice (an XLA scatter over the rows axis).
+        def write(buf, new):
+            def one_row(buf_r, new_r, i):     # (L, S, w), (L, 1, w), scalar
+                return jax.lax.dynamic_update_slice(buf_r, new_r,
+                                                    (zero, i, zero))
+            return jax.vmap(one_row, in_axes=(1, 1, 0), out_axes=1)(
+                buf, new, index)
+    else:
+        idx4 = (zero, zero, index, zero)
+
+        def write(buf, new):
+            return jax.lax.dynamic_update_slice(buf, new, idx4)
     if quant:
         kq, ks = quantize_kv_rowmajor(k_new, n_heads)
         vq, vs = quantize_kv_rowmajor(v_new, n_heads)
         return y[:, None, :], KVCache(
-            jax.lax.dynamic_update_slice(cache.k, kq, idx4),
-            jax.lax.dynamic_update_slice(cache.v, vq, idx4),
-            jax.lax.dynamic_update_slice(cache.k_scale, ks, idx4),
-            jax.lax.dynamic_update_slice(cache.v_scale, vs, idx4))
-    ck = jax.lax.dynamic_update_slice(cache.k, k_new, idx4)
-    cv = jax.lax.dynamic_update_slice(cache.v, v_new, idx4)
-    return y[:, None, :], KVCache(ck, cv)
+            write(cache.k, kq), write(cache.v, vq),
+            write(cache.k_scale, ks), write(cache.v_scale, vs))
+    return y[:, None, :], KVCache(write(cache.k, k_new), write(cache.v, v_new))

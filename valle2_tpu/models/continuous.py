@@ -67,8 +67,12 @@ def _cb_advance(params: Params, state: DecodeState, tl_f: jax.Array,
     per-row vectors; finished and empty rows are exact no-ops."""
     eos, _ = _specials(config)
     max_new = config.max_audio_len
+    # Head-major (L, rows, S, d) cache means the joint state runs the fused
+    # whole-stack Pallas kernel (per-row index variant); 5-D means the XLA
+    # path (same convention as ar._decode_advance).
+    use_fused = state.cache.k.ndim == 4
     rows = state.cache.k.shape[1]
-    total_max = state.cache.k.shape[3]
+    total_max = state.cache.k.shape[2] if use_fused else state.cache.k.shape[3]
     n_heads = config.n_heads
     pe = sinusoidal_table(MAX_POS, config.d_model)
     dtype = jnp.dtype(config.dtype)
@@ -89,7 +93,10 @@ def _cb_advance(params: Params, state: DecodeState, tl_f: jax.Array,
             temperature=config.temperature)
         sum_logprobs = s.sum_logprobs + logprobs * active
         samples = jnp.where(active, samples.astype(jnp.int32), eos)
-        finished = s.finished | (samples == eos) | ~active
+        if config.ignore_eos:    # benchmarking: fixed-length decode (ar.py parity)
+            finished = s.finished | ~active
+        else:
+            finished = s.finished | (samples == eos) | ~active
         # Per-row codes write at column pm + steps (elementwise mask — the
         # buffer is a tiny int32 plane, a (rows, width) where is ~free).
         colmask = (cols == (pm + steps)[:, None]) & active[:, None]
@@ -97,11 +104,17 @@ def _cb_advance(params: Params, state: DecodeState, tl_f: jax.Array,
         x = embedding(params['audio_emb'], samples[:, None])
         x = (x + jnp.take(pe, pl_f + steps, axis=0)[:, None]).astype(dtype)
         write_idx = ttm + pm + steps                      # (rows,)
-        attend = base_valid | ((slots >= ttm + pm)
-                               & (slots <= write_idx[:, None]))
-        y, cache = transformer_decode_step(
-            tparams, x, n_heads, s.cache, write_idx, attend_mask=attend,
-            attn_buckets=config.decode_attn_buckets)
+        if use_fused:
+            from ..kernels.fused_decode import fused_decode_step
+            y, cache = fused_decode_step(
+                tparams, x, n_heads, s.cache, write_idx, tl_f, pl_f, ttm, pm,
+                chunk_override=config.decode_chunk or None)
+        else:
+            attend = base_valid | ((slots >= ttm + pm)
+                                   & (slots <= write_idx[:, None]))
+            y, cache = transformer_decode_step(
+                tparams, x, n_heads, s.cache, write_idx, attend_mask=attend,
+                attn_buckets=config.decode_attn_buckets)
         logits = linear(params['proj'], y[:, 0].astype(jnp.float32))
         return DecodeState(steps + active, codes_new, logits, cache,
                            sum_logprobs, finished, rng)
@@ -168,7 +181,11 @@ class ContinuousDecoder:
     throughput that motivates batching).
     ``n_slots``: rows in the joint state (compiled size — pick the expected
     peak concurrency).  ``ttm``/``pm``: shared prompt geometry (token / code
-    slots); default to the largest ``config.bucket_sizes`` bucket.
+    slots) — size it to the prompt distribution; prompts that exceed it are
+    rejected at ``join`` (route those to a solo DecodeStream).  Defaults to
+    the smallest ``config.bucket_sizes`` bucket (128 by default — a ~1.7 s
+    acoustic prompt; the largest bucket would triple every row's cache for
+    headroom most sessions never use).
     """
 
     def __init__(self, model: ValleAR, n_slots: int = 4,
@@ -189,8 +206,8 @@ class ContinuousDecoder:
                                      self._ar.params['transformer'])
         self.config = cfg
         self.n_slots = n_slots
-        self.ttm = int(ttm if ttm is not None else max(config.bucket_sizes))
-        self.pm = int(pm if pm is not None else max(config.bucket_sizes))
+        self.ttm = int(ttm if ttm is not None else min(config.bucket_sizes))
+        self.pm = int(pm if pm is not None else min(config.bucket_sizes))
         self.eos = self._ar.eos_token
         self.max_new = cfg.max_audio_len
 
@@ -198,10 +215,43 @@ class ContinuousDecoder:
         max_new_pad = -(-self.max_new // unroll) * unroll
         total_max = self.ttm + self.pm + max_new_pad
         width = self.pm + max_new_pad
-        # Same element dtype the prefill writes (ar._decode_prefill passes
-        # config.kv_cache_dtype through transformer_prefill).
-        cache = KVCache.zeros(cfg.num_layers, n_slots, cfg.n_heads, total_max,
-                              cfg.head_dim, jnp.dtype(cfg.kv_cache_dtype))
+        cache_dtype = jnp.dtype(cfg.kv_cache_dtype)
+        # Fused whole-stack kernel: gate on the CALLER's preference at the
+        # JOINT geometry (rows = n_slots decides VMEM fit and chunking — the
+        # prefill always runs unfused at rows=1 and its standard-layout row is
+        # converted on insert).
+        import dataclasses as _dc
+        from .ar import _fused_gate
+        from ..kernels.fused_decode import chunk_for, fused_cache_layout
+        gate_cfg = _dc.replace(cfg, use_fused_decode=config.use_fused_decode)
+        self._use_fused = _fused_gate(gate_cfg, n_slots, total_max)
+        if self._use_fused:
+            # Pad the cache length to a fixed point of the kernel's own chunk
+            # derivation (same loop as ar._decode_prefill).
+            for _ in range(3):
+                chunk_est = chunk_for(total_max, n_slots, cfg.d_model,
+                                      cfg.n_heads, cache_dtype,
+                                      forced=cfg.decode_chunk or None)
+                if chunk_est >= total_max or total_max % chunk_est == 0:
+                    break
+                total_max = -(-total_max // chunk_est) * chunk_est
+            d = cfg.d_model
+            shape = (cfg.num_layers, n_slots, total_max, d)
+            if cache_dtype == jnp.int8:
+                scale_shape = (cfg.num_layers, n_slots, total_max, cfg.n_heads)
+                cache = KVCache(jnp.zeros(shape, jnp.int8),
+                                jnp.zeros(shape, jnp.int8),
+                                jnp.zeros(scale_shape, jnp.bfloat16),
+                                jnp.zeros(scale_shape, jnp.bfloat16))
+            else:
+                cache = KVCache(jnp.zeros(shape, cache_dtype),
+                                jnp.zeros(shape, cache_dtype))
+        else:
+            # Same element dtype the prefill writes (ar._decode_prefill passes
+            # config.kv_cache_dtype through transformer_prefill).
+            cache = KVCache.zeros(cfg.num_layers, n_slots, cfg.n_heads,
+                                  total_max, cfg.head_dim, cache_dtype)
+        self._to_fused_layout = fused_cache_layout
         _, tgt_vocab = _dims(cfg)
         if rng is None:
             rng = jax.random.key(cfg.seed)
@@ -274,6 +324,14 @@ class ContinuousDecoder:
                 jnp.asarray([len(tokens)], jnp.int32), codes_pad,
                 jnp.asarray([len(codes0)], jnp.int32),
                 jax.random.key(self.config.seed))
+            if self._use_fused:
+                # Prefill runs unfused (rows=1): convert its standard-layout
+                # cache row to the joint head-major layout.  The row's cache
+                # may be SHORTER than the (chunk-padded) joint length — the
+                # insert writes [0, S_row) and the tail slots past the row's
+                # write index are never attended (masked by the per-row
+                # formula) nor fetched (the chunk clamp follows real depths).
+                row = row._replace(cache=self._to_fused_layout(row.cache))
             with self._lock:
                 self._state, self._tl, self._pl = self._insert_jit(
                     self._state, self._tl, self._pl, row, row_tl, row_pl,

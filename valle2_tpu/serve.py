@@ -134,6 +134,8 @@ _PROM_HELP = {
     'aot_disk_loads': 'Fused-pipeline executables deserialized from the '
                       'AOT cache (compilation skipped)',
     'aot_fallbacks': 'AOT entries that failed and fell back to plain jit',
+    'stream_hub_slots': 'Continuous-batching rows configured (--cb-streams)',
+    'stream_hub_live': 'Streaming sessions currently in the shared loop',
 }
 
 
@@ -177,7 +179,8 @@ class TTSServer:
 
     def __init__(self, tts: ValleTTS, max_batch: int = 8,
                  max_wait_ms: float = 10.0, rng: jax.Array | None = None,
-                 max_queue: int = 256, max_streams: int = 1, asr=None):
+                 max_queue: int = 256, max_streams: int = 1, asr=None,
+                 cb_streams: int = 0, cb_geometry: tuple | None = None):
         assert max_batch >= 1
         self.tts = tts
         # Optional ValleASRPipeline: enables transcribe() and POST /transcribe.
@@ -212,6 +215,17 @@ class TTSServer:
         # the bound gets ServerOverloaded (HTTP 429), never an unbounded
         # block holding an HTTP handler thread.
         self._stream_sem = threading.BoundedSemaphore(max(1, self.max_streams))
+        # Continuous batching for /stream (stream_hub.py): cb_streams > 0 runs
+        # up to that many concurrent sessions through ONE shared decode loop
+        # (measured 1.6x aggregate throughput at 4 sessions vs the solo-stream
+        # path — BENCHMARKS.md).  Sessions whose prompts exceed the hub's
+        # geometry (cb_geometry=(ttm, pm), default smallest bucket) fall back
+        # to the solo DecodeStream path transparently.
+        self._hub = None
+        if int(cb_streams) > 0:
+            from .stream_hub import StreamHub
+            ttm, pm = cb_geometry if cb_geometry else (None, None)
+            self._hub = StreamHub(tts, n_slots=int(cb_streams), ttm=ttm, pm=pm)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -231,6 +245,8 @@ class TTSServer:
         with self._submit_lock:
             self._stop.set()
             self._queue.put(None)         # wake the worker; always last in queue
+        if self._hub is not None:
+            self._hub.stop()
         if self._thread is not None:
             self._thread.join()
             self._thread = None
@@ -299,6 +315,27 @@ class TTSServer:
         pt = np.asarray(prompt_tokens, np.int32)
         pc = np.asarray(prompt_codes, np.int32)
 
+        if self._hub is not None:
+            # Continuous batching: join the shared loop.  chunk_frames is
+            # hub-wide (the joint advance cadence), so the per-request value
+            # is ignored here; lookahead stays per-session.  HubFull maps to
+            # 429 at CALL time (before any chunked response starts).
+            from .stream_hub import HubFull
+            try:
+                inner = self._hub.open(text, pt, pc,
+                                       lookahead_frames=int(lookahead_frames))
+            except HubFull:
+                with self._stats_lock:
+                    self._stats.rejected += 1
+                raise ServerOverloaded(
+                    f'all {self._hub.cb.n_slots} hub rows busy; retry later')
+            except ValueError as exc:
+                if 'exceed' not in str(exc):
+                    raise
+                inner = None         # prompt too big for the hub: solo path
+            if inner is not None:
+                return self._accounted_stream(inner)
+
         def gen():
             t0 = time.perf_counter()
             emitted = 0.0
@@ -322,6 +359,30 @@ class TTSServer:
                 raise
             finally:
                 self._stream_sem.release()
+                with self._stats_lock:
+                    self._stats.stream_requests += 1
+                    self._stats.audio_seconds += emitted
+                    self._stats.latencies_ms.append(
+                        (time.perf_counter() - t0) * 1e3)
+        return gen()
+
+    def _accounted_stream(self, inner):
+        """Wrap a hub session generator with the same stats accounting the
+        solo path does (no stream semaphore — the hub bounds its own rows)."""
+        def gen():
+            t0 = time.perf_counter()
+            emitted = 0.0
+            sr = self.tts.codec.sampling_rate
+            try:
+                for chunk in inner:
+                    emitted += len(chunk) / sr
+                    yield chunk
+            except Exception:      # GeneratorExit (client gone) ≠ error
+                with self._stats_lock:
+                    self._stats.errors += 1
+                raise
+            finally:
+                inner.close()      # frees the hub row on client disconnect
                 with self._stats_lock:
                     self._stats.stream_requests += 1
                     self._stats.audio_seconds += emitted
@@ -378,6 +439,9 @@ class TTSServer:
             out['aot_compiles'] = fused.n_compiles
             out['aot_disk_loads'] = fused.n_disk_loads
             out['aot_fallbacks'] = fused.n_fallbacks
+        if self._hub is not None:
+            out['stream_hub_slots'] = self._hub.cb.n_slots
+            out['stream_hub_live'] = self._hub.live_sessions()
         return out
 
     def warmup(self, all_lengths: bool = False, prompt_frames: int = 8,
@@ -425,6 +489,12 @@ class TTSServer:
             next(gen, None)            # compiles prefill + advance + NAR chunk
             gen.close()
             n_done += 1
+            if self._hub is not None:  # hub path: prefill/insert/joint-advance
+                gen = self._hub.open('warm up.', np.zeros((2,), np.int32),
+                                     np.zeros((pf, nq), np.int32))
+                next(gen, None)
+                gen.close()
+                n_done += 1
         dt = time.perf_counter() - t0
         log_info('Warmup: %d pipeline shapes compiled in %.1f s', n_done, dt)
         return dt
@@ -753,6 +823,19 @@ def main(argv=None):
                         help='Enable POST /transcribe (audio -> text)')
     parser.add_argument('--asr-ckpt', type=Path, default=None,
                         help='ASR-direction AR checkpoint (implies --asr)')
+    parser.add_argument('--cb-streams', type=int, default=0,
+                        help='Continuous batching for /stream: run up to N '
+                             'concurrent sessions through ONE shared decode '
+                             'loop (stream_hub.py; 1.6x aggregate throughput '
+                             'at 4 sessions, BENCHMARKS.md).  0 = off (each '
+                             'session gets its own DecodeStream, bounded by '
+                             '--max-streams).  Oversized prompts fall back to '
+                             'the solo path automatically')
+    parser.add_argument('--cb-geometry', type=int, nargs=2, default=None,
+                        metavar=('TTM', 'PM'),
+                        help='Hub prompt geometry: token / code slots per row '
+                             '(default: smallest config bucket).  Prompts '
+                             'beyond it use the solo path')
     parser.add_argument('--compile-cache', type=Path, default=None,
                         help='Persistent XLA compilation cache dir: restarted '
                              'servers deserialize compiled executables instead '
@@ -789,7 +872,9 @@ def main(argv=None):
     server = TTSServer(tts, max_batch=args.max_batch,
                        max_wait_ms=args.max_wait_ms,
                        max_queue=args.max_queue, max_streams=args.max_streams,
-                       asr=asr)
+                       asr=asr, cb_streams=args.cb_streams,
+                       cb_geometry=tuple(args.cb_geometry)
+                       if args.cb_geometry else None)
     if args.warmup or args.warmup_all_lengths or args.warmup_streams:
         # Compile before the port opens: the first real request must never pay
         # the ~3 min first-compile cost (BENCH_r02: 180 s at 204M).

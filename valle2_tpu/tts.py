@@ -272,7 +272,33 @@ class ValleTTS:
         if rng is None:
             rng = jax.random.key(self.config.seed)
         rng_ar, rng_nar = jax.random.split(jnp.asarray(rng))
-        max_new = self.config.max_audio_len
+
+        self._ensure_stream_models()
+        tokens = np.concatenate([np.asarray(prompt_tokens, np.int32),
+                                 self.tokenizer(text)])
+        pcodes = np.asarray(prompt_codes, np.int32).reshape(
+            -1, self.config.num_quantizers)
+        stream = DecodeStream(self._stream_ar, tokens, pcodes, rng=rng_ar,
+                              bucket=bucket)
+        emitter = _ChunkEmitter(self, tokens, pcodes, lookahead_frames,
+                                rng_nar, bucket=bucket)
+
+        def chunks():
+            while True:
+                new = stream.advance(chunk_frames)
+                for wav in emitter.push(new, stream.finished):
+                    yield wav
+                if stream.finished:
+                    return
+
+        return chunks()
+
+    def _ensure_stream_models(self) -> None:
+        """Lazy-init the streaming models (a num_beams=1 AR sibling sharing
+        params + the per-chunk NAR→wav program); idempotent and thread-safe.
+        Shared by ``synthesize_streaming`` and the continuous-batching
+        ``StreamHub``."""
+        import dataclasses
 
         with self._stream_init_lock:
             # Under the lock: concurrent streams (serve.TTSServer max_streams>1)
@@ -317,58 +343,6 @@ class ValleTTS:
             self._stream_ar._qdecode_src = (
                 self._stream_ar.params, self._stream_ar.params['transformer'])
 
-        tokens = np.concatenate([np.asarray(prompt_tokens, np.int32),
-                                 self.tokenizer(text)])
-        pcodes = np.asarray(prompt_codes, np.int32).reshape(
-            -1, self.config.num_quantizers)
-        stream = DecodeStream(self._stream_ar, tokens, pcodes, rng=rng_ar,
-                              bucket=bucket)
-        # Static NAR input shapes: bucket the prompt dims like batch_synthesize.
-        ttm, pm = len(tokens), len(pcodes)
-        if bucket:
-            ttm = bucket_len(self.config.bucket_sizes, ttm)
-            pm = bucket_len(self.config.bucket_sizes, pm)
-        tokens_pad = jnp.asarray(np.pad(tokens, (0, ttm - len(tokens)))[None])
-        pcodes_pad = jnp.asarray(
-            np.pad(pcodes, ((0, pm - len(pcodes)), (0, 0)))[None])
-        tl = jnp.asarray([len(tokens)], jnp.int32)
-        pl = jnp.asarray([len(pcodes)], jnp.int32)
-        # The per-chunk NAR/codec pass runs over a BUCKETED prefix width, not
-        # the full max_audio_len buffer: the NAR masks every position past
-        # gen_lens, so widening only adds masked work — early chunks of a
-        # long-form stream pay for the frames generated so far, not for the
-        # whole budget (TTFA at max_audio_len=4096 measured 469 ms with the
-        # full-width pass).  bucket_sizes extended by doublings bounds the
-        # compile count at len(buckets)+log2(max_new/max_bucket) widths.
-        nar_widths = [b for b in self.config.bucket_sizes if b < max_new]
-        w = nar_widths[-1] if nar_widths else 0
-        while w < max_new:                   # always ends with max_new itself
-            w = max_new if w == 0 else min(w * 2, max_new)
-            nar_widths.append(w)
-
-        def chunks():
-            buf = np.zeros((max_new,), np.int32)
-            n_buf = 0
-            emitted = 0
-            while True:
-                new = stream.advance(chunk_frames)
-                buf[n_buf:n_buf + len(new)] = new
-                n_buf += len(new)
-                done = stream.finished
-                finalize = n_buf if done else max(0, n_buf - lookahead_frames)
-                if finalize > emitted:
-                    width = next(b for b in nar_widths if b >= n_buf)
-                    wav, _codes = self._nar_wav_jit(
-                        self.nar.params, self.codec.dec_params, tokens_pad,
-                        tl, pcodes_pad, pl, jnp.asarray(buf[None, :width]),
-                        jnp.asarray([n_buf], jnp.int32), rng_nar)
-                    yield np.asarray(wav)[0, emitted * 320:finalize * 320]
-                    emitted = finalize
-                if done:
-                    return
-
-        return chunks()
-
     def synthesize(self, text: str, prompt_tokens, prompt_codes,
                    rng: jax.Array | None = None) -> TTSResult:
         """Full pipeline.  prompt_codes: (T, num_quantizers) from prepare_prompt."""
@@ -405,6 +379,72 @@ class ValleTTS:
                  rng: jax.Array | None = None) -> TTSResult:
         tokens, codes = self.prepare_prompt(prompt_audio, prompt_sr, prompt_text)
         return self.synthesize(text, tokens, codes, rng)
+
+
+class _ChunkEmitter:
+    """Streaming emission state machine, shared by ``synthesize_streaming``
+    and the continuous-batching ``stream_hub.StreamHub`` (one implementation =
+    structurally identical semantics): accumulate AR first-codebook tokens,
+    and once the stream is ``lookahead_frames`` past a frame, refine the
+    prefix with a bucketed NAR→wav pass and emit the newly finalized samples.
+
+    The per-chunk NAR/codec pass runs over a BUCKETED prefix width, not the
+    full max_audio_len buffer: the NAR masks every position past gen_lens, so
+    widening only adds masked work — early chunks of a long-form stream pay
+    for the frames generated so far, not for the whole budget (TTFA at
+    max_audio_len=4096 measured 469 ms with the full-width pass).
+    bucket_sizes extended by doublings bounds the compile count at
+    len(buckets)+log2(max_new/max_bucket) widths.
+    """
+
+    HOP = 320  # EnCodec-24kHz samples per codec frame
+
+    def __init__(self, tts: 'ValleTTS', tokens, pcodes, lookahead_frames: int,
+                 rng_nar, bucket: bool = True):
+        config = tts.config
+        self._tts = tts
+        self._lookahead = int(lookahead_frames)
+        self._rng = rng_nar
+        max_new = config.max_audio_len
+        # Static NAR input shapes: bucket the prompt dims like batch_synthesize.
+        ttm, pm = len(tokens), len(pcodes)
+        if bucket:
+            ttm = bucket_len(config.bucket_sizes, ttm)
+            pm = bucket_len(config.bucket_sizes, pm)
+        self._tokens_pad = jnp.asarray(
+            np.pad(tokens, (0, ttm - len(tokens)))[None])
+        self._pcodes_pad = jnp.asarray(
+            np.pad(pcodes, ((0, pm - len(pcodes)), (0, 0)))[None])
+        self._tl = jnp.asarray([len(tokens)], jnp.int32)
+        self._pl = jnp.asarray([len(pcodes)], jnp.int32)
+        widths = [b for b in config.bucket_sizes if b < max_new]
+        w = widths[-1] if widths else 0
+        while w < max_new:                   # always ends with max_new itself
+            w = max_new if w == 0 else min(w * 2, max_new)
+            widths.append(w)
+        self._widths = widths
+        self._buf = np.zeros((max_new,), np.int32)
+        self._n = 0
+        self._emitted = 0
+
+    def push(self, new, done: bool) -> list[np.ndarray]:
+        """Feed newly decoded tokens (+ the stream-finished flag); returns the
+        waveform chunks (possibly none) finalized by this push."""
+        self._buf[self._n:self._n + len(new)] = new
+        self._n += len(new)
+        finalize = self._n if done else max(0, self._n - self._lookahead)
+        out = []
+        if finalize > self._emitted:
+            width = next(b for b in self._widths if b >= self._n)
+            wav, _codes = self._tts._nar_wav_jit(
+                self._tts.nar.params, self._tts.codec.dec_params,
+                self._tokens_pad, self._tl, self._pcodes_pad, self._pl,
+                jnp.asarray(self._buf[None, :width]),
+                jnp.asarray([self._n], jnp.int32), self._rng)
+            out.append(np.asarray(wav)[0, self._emitted * self.HOP:
+                                       finalize * self.HOP])
+            self._emitted = finalize
+        return out
 
 
 class ValleASRPipeline:
