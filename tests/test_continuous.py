@@ -202,6 +202,20 @@ class TestContinuousDecoder:
         np.testing.assert_array_equal(np.asarray(got_a, np.int32), want_a)
         np.testing.assert_array_equal(np.asarray(got_b, np.int32), want_b)
 
+    def test_sampled_mode_runs(self):
+        """temperature > 0: no solo parity promise (shared rng chain — see the
+        module docstring), but the loop must run, emit valid ids, and
+        terminate."""
+        model = ValleAR(tiny_cfg(temperature=1.0, top_k=50), seed=7)
+        cb = ContinuousDecoder(model, n_slots=2)
+        prompts = self._prompts(2, seed=21)
+        slots = [cb.join(t, c) for t, c in prompts]
+        got = drain(cb, slots)
+        eos = model.eos_token
+        for s in slots:
+            assert got[s].ndim == 1 and len(got[s]) <= model.config.max_audio_len
+            assert np.all((got[s] >= 0) & (got[s] < eos))
+
     def test_int8_kv_cache_runs(self):
         """Quantized KV cache: per-row writes cover the scale planes too."""
         model = ValleAR(tiny_cfg(kv_cache_dtype='int8'), seed=4)

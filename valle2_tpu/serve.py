@@ -217,8 +217,9 @@ class TTSServer:
         self._stream_sem = threading.BoundedSemaphore(max(1, self.max_streams))
         # Continuous batching for /stream (stream_hub.py): cb_streams > 0 runs
         # up to that many concurrent sessions through ONE shared decode loop
-        # (measured 1.6x aggregate throughput at 4 sessions vs the solo-stream
-        # path — BENCHMARKS.md).  Sessions whose prompts exceed the hub's
+        # (measured 3.1x aggregate AR throughput at 4 sessions, 5.0x at 8, vs
+        # the solo-stream path — BENCHMARKS.md).  Sessions whose prompts
+        # exceed the hub's
         # geometry (cb_geometry=(ttm, pm), default smallest bucket) fall back
         # to the solo DecodeStream path transparently.
         self._hub = None
@@ -826,8 +827,9 @@ def main(argv=None):
     parser.add_argument('--cb-streams', type=int, default=0,
                         help='Continuous batching for /stream: run up to N '
                              'concurrent sessions through ONE shared decode '
-                             'loop (stream_hub.py; 1.6x aggregate throughput '
-                             'at 4 sessions, BENCHMARKS.md).  0 = off (each '
+                             'loop (stream_hub.py; 3.1x aggregate throughput '
+                             'at 4 sessions, 5x at 8 — BENCHMARKS.md).  '
+                             '0 = off (each '
                              'session gets its own DecodeStream, bounded by '
                              '--max-streams).  Oversized prompts fall back to '
                              'the solo path automatically')

@@ -7,8 +7,10 @@ ONE shared ``models.continuous.ContinuousDecoder`` loop (rows = ``n_slots``)
 on a background driver thread: sessions join a free row mid-flight, every
 ``advance`` moves ALL live sessions one chunk for about the cost of one, and
 rows free on EOS/disconnect.  Measured on the target TPU (BENCHMARKS.md
-"continuous batching"): aggregate streaming throughput 1.6x at 4 sessions
-over the round-robin solo-stream arm, with the fused per-row kernel on top.
+"continuous batching"): aggregate AR throughput 3.1x at 4 sessions and 5.0x
+at 8 over the round-robin solo-stream arm (which is flat in N — each
+session's advance pays its own ~90 ms dispatch round trip), with the
+per-row fused kernel adding +29% over the XLA step.
 
 Per-session semantics match ``ValleTTS.synthesize_streaming`` by
 construction: the same ``_ChunkEmitter`` runs the lookahead/NAR-refine/emit
