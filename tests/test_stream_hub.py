@@ -102,6 +102,47 @@ class TestStreamHub:
         finally:
             hub.stop()
 
+    def test_lifecycle_stress_staggered_cycles(self):
+        """Repeated cycles of staggered concurrent sessions on ONE hub: every
+        session must terminate with the full ``max_audio_len`` worth of audio
+        (``ignore_eos``) — catches slot-reuse races (dropped tokens, lost
+        done-signals, driver death) that single-cycle tests cannot."""
+        tts = ValleTTS(tiny_cfg(max_audio_len=10, ignore_eos=True))
+        rs = np.random.RandomState(0)
+        n = 3
+        hub = StreamHub(tts, n_slots=n, chunk_frames=3)
+        try:
+            expect = None
+            for cycle in range(3):
+                errs, lens = [], [0] * n
+
+                def worker(i, errs=errs, lens=lens, cycle=cycle):
+                    try:
+                        time.sleep(0.01 * i)        # staggered joins
+                        pt = rs.randint(0, 70, (5,))
+                        pc = rs.randint(0, 1024, (6, 8))
+                        lens[i] = len(collect(hub.open('hello there.', pt, pc)))
+                    except Exception as e:          # noqa: BLE001
+                        errs.append(f'cycle{cycle} s{i}: {e!r}')
+
+                threads = [threading.Thread(target=worker, args=(i,))
+                           for i in range(n)]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join(timeout=180)
+                assert not [t for t in threads if t.is_alive()], \
+                    f'cycle {cycle}: sessions hung'
+                assert not errs, errs
+                # ignore_eos: every session emits exactly max_audio_len frames.
+                if expect is None:
+                    expect = lens[0]
+                assert expect > 0 and all(x == expect for x in lens), \
+                    (cycle, lens, expect)
+            assert hub.live_sessions() == 0
+        finally:
+            hub.stop()
+
     def test_oversized_prompt_rejected(self, tts):
         hub = StreamHub(tts, n_slots=1, ttm=8, pm=8)
         try:

@@ -290,11 +290,20 @@ class ContinuousDecoder:
         with self._lock:
             return sum(s is None for s in self._sessions)
 
-    def join(self, tokens, prompt_codes) -> int:
+    def join(self, tokens, prompt_codes, start: bool = True) -> int:
         """Prefill a session (tokens: (Tt,) source ids incl. target text;
         prompt_codes: (Tp, num_quantizers)) and claim a free slot.  Returns
         the slot id; raises BatcherFull when every row is occupied, and
-        ValueError when the prompt exceeds the shared geometry."""
+        ValueError when the prompt exceeds the shared geometry.
+
+        The slot is *pending* (invisible to ``advance``) from claim until the
+        row insert lands — a concurrent ``advance`` must neither read the
+        previous occupant's finished device row as this session's state nor
+        deliver tokens before the caller is ready to receive them.  With
+        ``start=False`` the slot STAYS pending after ``join`` returns until
+        ``activate(slot)``: callers that route tokens by slot id (StreamHub)
+        need the id registered with their consumer before the first tokens
+        can be attributed to it."""
         tokens = np.asarray(tokens, np.int32).reshape(-1)
         pcodes = np.asarray(prompt_codes, np.int32).reshape(
             -1, self.config.num_quantizers)
@@ -313,7 +322,8 @@ class ContinuousDecoder:
                         None)
             if slot is None:
                 raise BatcherFull(f'all {self.n_slots} slots busy')
-            self._sessions[slot] = {'emitted': 0, 'finished': False}
+            self._sessions[slot] = {'emitted': 0, 'finished': False,
+                                    'pending': True}
         try:
             # Any key works here: _decode_prefill only STORES the rng (sampling
             # happens in advance), and the joint state keeps its own chain —
@@ -340,7 +350,20 @@ class ContinuousDecoder:
             with self._lock:
                 self._sessions[slot] = None
             raise
+        if start:
+            self.activate(slot)
         return slot
+
+    def activate(self, slot: int) -> None:
+        """Make a ``join(start=False)`` slot visible to ``advance``.  Tokens
+        the device generated while the slot was pending are not lost — the
+        first post-activation ``advance`` delivers everything from the row's
+        start (``emitted`` begins at 0)."""
+        with self._lock:
+            sess = self._sessions[slot]
+            if sess is None:
+                raise KeyError(f'slot {slot} is not occupied')
+            sess['pending'] = False
 
     def advance(self, k: int) -> dict[int, np.ndarray]:
         """One joint device step of up to ``k`` tokens for every live row.
@@ -349,7 +372,8 @@ class ContinuousDecoder:
         afterwards.  No-op (empty dict) when nothing is live."""
         with self._lock:
             live = [i for i, s in enumerate(self._sessions)
-                    if s is not None and not s['finished']]
+                    if s is not None and not s['finished']
+                    and not s['pending']]
             if not live:
                 return {}
             self._state = self._advance_jit(

@@ -106,11 +106,18 @@ class StreamHub:
             -1, self.tts.config.num_quantizers)
         emitter = _ChunkEmitter(self.tts, tokens, pcodes, lookahead_frames,
                                 rng_nar, bucket=bucket)
-        slot = self.cb.join(tokens, pcodes)     # may raise HubFull/ValueError
+        # join(start=False) keeps the row invisible to the driver's advance
+        # until the session is registered in _by_slot — otherwise a concurrent
+        # advance can read the previous occupant's finished device row as this
+        # session's state (spurious instant done) or deliver tokens nobody is
+        # routing yet (dropped chunks / lost done signal; caught by
+        # tests/test_stream_hub.py::test_lifecycle_stress_staggered_cycles).
+        slot = self.cb.join(tokens, pcodes, start=False)
         sess = _Session(slot)
         with self._wake:
             self._by_slot[slot] = sess
             self._wake.notify()
+        self.cb.activate(slot)
 
         def chunks():
             try:
