@@ -1,0 +1,220 @@
+"""N-gram (prompt-lookup) speculative decoding (models/ar.py
+``_decode_advance_spec``): bit-identical tokens AND logprob statistics vs the
+plain greedy loop — drafting/acceptance must never change outputs, only the
+number of verify passes.  (No reference counterpart — the reference decodes one
+host-driven token at a time, /root/reference/valle/models/valle_ar.py:141-171.)
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valle2_tpu.config import ConfigValle
+from valle2_tpu.models.ar import (ValleAR, _decode_advance_spec,
+                                  _decode_prefill, _ngram_draft, _spec_gate)
+
+
+def cfg(**kw):
+    base = dict(d_model=48, n_heads=2, dim_feedforward=96, num_layers=2,
+                num_audio_tokens=96, vocab_size=24, dropout=0.0,
+                temperature=0.0, num_beams=1, max_audio_len=18,
+                norm='LayerNorm', bucket_sizes=(16, 32),
+                matmul_precision='highest')
+    base.update(kw)
+    return ConfigValle(**base)
+
+
+def decode_pair(base_cfg, items, **spec_kw):
+    """Greedy-decode items with and without speculation, SAME params."""
+    plain = ValleAR(base_cfg)
+    spec_cfg = dataclasses.replace(base_cfg, speculative_k=4, **spec_kw)
+    spec = ValleAR(spec_cfg, params=plain.params)
+    tokens = [t for t, _ in items]
+    codes = [c for _, c in items]
+    return (plain.generate_batch(tokens, codes, bucket=False),
+            spec.generate_batch(tokens, codes, bucket=False))
+
+
+class TestSpecParity:
+    def _items(self, n, seed=0):
+        rs = np.random.RandomState(seed)
+        return [(rs.randint(0, 24, (3 + 2 * i,)), rs.randint(0, 96, (2 + i, 8)))
+                for i in range(n)]
+
+    def test_tokens_identical_fixed_length(self):
+        """ignore_eos: every row runs to max_audio_len; per-row accept counts
+        diverge (different prompts) — steps advance per row."""
+        want, got = decode_pair(cfg(ignore_eos=True), self._items(3))
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_tokens_identical_with_eos(self):
+        """EOS freezing: bias the EOS logit so rows terminate early at
+        different steps; a committed draft EOS must freeze the row exactly
+        where the plain loop would."""
+        base = cfg()
+        plain = ValleAR(base)
+        # Nudge EOS upward via an injected proj bias (linear() applies 'b'
+        # when present): random logits are diffuse, so rows hit EOS at
+        # varying early steps instead of never.
+        eos = plain.eos_token
+        w = plain.params['proj']['w']
+        b = jnp.zeros((w.shape[1],), w.dtype).at[eos].set(1.5)
+        plain.params = {**plain.params,
+                        'proj': {**plain.params['proj'], 'b': b}}
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4),
+                       params=plain.params)
+        items = self._items(3, seed=1)
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        got = spec.generate_batch([t for t, _ in items],
+                                  [c for _, c in items], bucket=False)
+        lens = set()
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+            lens.add(len(np.asarray(w)))
+        assert any(n < base.max_audio_len for n in lens), \
+            'EOS bias did not shorten any row — test is vacuous'
+
+    def test_tokens_identical_across_k_and_ngram(self):
+        items = self._items(2, seed=2)
+        base = cfg(ignore_eos=True)
+        plain = ValleAR(base)
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        for k, g in [(2, 1), (3, 2), (6, 4)]:
+            spec = ValleAR(dataclasses.replace(base, speculative_k=k,
+                                               speculative_ngram=g),
+                           params=plain.params)
+            got = spec.generate_batch([t for t, _ in items],
+                                      [c for _, c in items], bucket=False)
+            for w, gg in zip(want, got):
+                np.testing.assert_array_equal(np.asarray(gg), np.asarray(w))
+
+    def test_logprob_statistics_match(self):
+        """sum_logprobs feeds the beam pick; the spec path must accumulate the
+        same per-token logprobs the plain loop does."""
+        base = cfg(ignore_eos=True)
+        plain = ValleAR(base)
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4),
+                       params=plain.params)
+        items = self._items(2, seed=3)
+        tok = [jnp.asarray(t, jnp.int32) for t, _ in items]
+        cds = [jnp.concatenate([jnp.array([plain.bos_token], jnp.int32),
+                                jnp.asarray(c, jnp.int32)[:, 0]])
+               for _, c in items]
+        ttm = max(t.shape[0] for t in tok)
+        pm = max(c.shape[0] for c in cds)
+        args = (jnp.stack([jnp.pad(t, (0, ttm - t.shape[0])) for t in tok]),
+                jnp.asarray([t.shape[0] for t in tok], jnp.int32),
+                jnp.stack([jnp.pad(c, (0, pm - c.shape[0])) for c in cds]),
+                jnp.asarray([c.shape[0] for c in cds], jnp.int32),
+                jax.random.key(0))
+        _, lp_plain, _ = plain._decode_jit(plain.params, *args)
+        _, lp_spec, _ = spec._decode_jit(spec.params, *args)
+        np.testing.assert_allclose(np.asarray(lp_spec), np.asarray(lp_plain),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_repetitive_model_accepts_multi_token_blocks(self):
+        """A constant-output model (EOS-suppressed, one dominant token) is the
+        best case for prompt-lookup: after the n-gram warmup every verify pass
+        should commit the full block, so turns ≈ max_new / K, not max_new."""
+        config = dataclasses.replace(cfg(ignore_eos=True), speculative_k=4)
+        model = ValleAR(config)
+        dom = 7
+        w = model.params['proj']['w']
+        b = jnp.zeros((w.shape[1],), w.dtype).at[dom].set(50.0)
+        params = {**model.params,
+                  'proj': {**model.params['proj'], 'b': b}}
+        rs = np.random.RandomState(4)
+        tokens = jnp.asarray(rs.randint(0, 24, (1, 5)), jnp.int32)
+        codes = jnp.asarray(rs.randint(0, 96, (1, 4)), jnp.int32)
+        state, tl_f, pl_f = _decode_prefill(
+            params, tokens, jnp.asarray([5], jnp.int32), codes,
+            jnp.asarray([4], jnp.int32), jax.random.key(0), config)
+        final, turns = jax.jit(
+            lambda p, s: _decode_advance_spec(p, s, tl_f, pl_f, config,
+                                              tokens.shape[1], codes.shape[1])
+        )(params, state)
+        assert int(final.step[0]) == config.max_audio_len
+        # 18 tokens at K=4: perfect acceptance after the first few solo turns
+        # needs ~<=8 turns; a broken accept path would take 18.
+        assert int(turns) <= 9, int(turns)
+        row = np.asarray(final.codes[0, codes.shape[1]:])
+        assert (row[:config.max_audio_len] == dom).all()
+
+
+class TestSpecGate:
+    def test_gate_rejects_beams(self):
+        with pytest.raises(ValueError, match='num_beams'):
+            _spec_gate(cfg(num_beams=2, speculative_k=4))
+
+    def test_gate_rejects_sampling(self):
+        with pytest.raises(ValueError, match='temperature'):
+            _spec_gate(cfg(temperature=1.0, speculative_k=4))
+
+    def test_gate_rejects_forced_fused(self):
+        with pytest.raises(ValueError, match='fused'):
+            _spec_gate(cfg(use_fused_decode=True, speculative_k=4))
+
+    def test_gate_off_by_default(self):
+        assert not _spec_gate(cfg())
+
+
+class TestSpecInteractions:
+    def test_continuous_batcher_strips_spec(self):
+        """ContinuousDecoder advances one token per row (speculation is a
+        solo-decode feature) — a spec-enabled config must not leak into its
+        geometry (the rows=1 prefill would pad K slots past the joint cache)
+        and its greedy tokens still match the solo decode bit-for-bit."""
+        from valle2_tpu.models.continuous import ContinuousDecoder
+        base = cfg(ignore_eos=True)
+        plain = ValleAR(base)
+        spec_model = ValleAR(dataclasses.replace(base, speculative_k=4),
+                             params=plain.params)
+        rs = np.random.RandomState(5)
+        t, c = rs.randint(0, 24, (4,)), rs.randint(0, 96, (3, 8))
+        want = np.asarray(plain.generate_batch([t], [c], bucket=False)[0])
+        cb = ContinuousDecoder(spec_model, n_slots=2, ttm=8, pm=8)
+        slot = cb.join(t, c)
+        got = []
+        while not cb.finished(slot):
+            got.extend(cb.advance(6).get(slot, ()))
+        np.testing.assert_array_equal(np.asarray(got, np.int32), want)
+
+    def test_decode_stream_keeps_plain_path(self):
+        """Streaming keeps the plain one-token loop (segment-bounded advance);
+        a spec config only adds unused cache slack — tokens unchanged."""
+        from valle2_tpu.models.ar import DecodeStream
+        base = cfg(ignore_eos=True)
+        plain = ValleAR(base)
+        spec_model = ValleAR(dataclasses.replace(base, speculative_k=4),
+                             params=plain.params)
+        rs = np.random.RandomState(6)
+        t, c = rs.randint(0, 24, (4,)), rs.randint(0, 96, (3, 8))
+        want = np.asarray(plain.generate_batch([t], [c], bucket=False)[0])
+        stream = DecodeStream(spec_model, t, c, bucket=False)
+        got = []
+        while not stream.finished:
+            got.extend(stream.advance(5))
+        np.testing.assert_array_equal(np.asarray(got, np.int32), want)
+
+
+class TestNgramDraft:
+    def test_draft_continues_latest_match(self):
+        # Row: ... 5 6 [1 2 3] 9 8 ... 1 2 3  -> draft continues 9 8 after the
+        # LATEST earlier [1 2 3].
+        row = jnp.asarray([[4, 1, 2, 3, 7, 7, 1, 2, 3, 9, 8, 5, 1, 2, 3, 0, 0]],
+                          jnp.int32)
+        d = _ngram_draft(row, jnp.asarray([15]), 3, 2,
+                         jnp.asarray([99], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(d), [[9, 8]])
+
+    def test_no_match_falls_back(self):
+        row = jnp.asarray([[1, 2, 3, 4, 5, 6, 0, 0]], jnp.int32)
+        d = _ngram_draft(row, jnp.asarray([6]), 3, 3,
+                         jnp.asarray([42], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(d), [[42, 42, 42]])

@@ -229,6 +229,25 @@ class ConfigValle:
                           'streaming sets this so first-audio latency stops '
                           'scaling with max_audio_len'},
     )
+    speculative_k: int = field(
+        default=0,
+        metadata={'help': 'N-gram (prompt-lookup) speculative decoding: verify '
+                          'blocks of K tokens per step — 1 model-guaranteed '
+                          'token + K-1 drafts continued from the most recent '
+                          'n-gram match in the tokens generated so far, '
+                          'accepted only where they equal the model\'s own '
+                          'greedy choice (bit-identical outputs, model-free '
+                          'drafting). Requires num_beams=1 and temperature=0; '
+                          '0 disables. Wins scale with token repetitiveness '
+                          '(silence/sustained sounds in codec streams)'},
+    )
+    speculative_ngram: int = field(
+        default=3,
+        metadata={'help': 'Match length for speculative drafting: the draft '
+                          'continues the latest earlier occurrence of the '
+                          'last N generated tokens. Only draft quality '
+                          '(acceptance rate) depends on this, never outputs'},
+    )
     use_fused_decode: bool | str = field(
         default='auto',
         metadata={'help': "Pallas fused whole-stack decode step: True | False | "

@@ -221,6 +221,65 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
     return bool(config.use_fused_decode)
 
 
+def _spec_enabled(config: ConfigValle) -> bool:
+    """True when the n-gram speculative decode path applies (see _spec_gate)."""
+    return (config.speculative_k >= 2 and config.num_beams == 1
+            and not (config.temperature and config.temperature > 0.0))
+
+
+def _spec_gate(config: ConfigValle) -> bool:
+    """Validate + resolve the speculative-decoding request.
+
+    Speculative decoding is exact only for greedy single-beam decode: accepted
+    tokens are, by construction, the model's own argmax — sampling would need
+    rejection-sampling corrections that change the rng chain.  The verify pass
+    runs the XLA block step (a q-token ``transformer_decode_step``), so the
+    fused whole-stack Pallas kernel (one-token programs) is turned off.
+    """
+    k = config.speculative_k
+    if k <= 0:
+        return False
+    if k < 2:
+        raise ValueError('speculative_k must be >= 2: one model-guaranteed '
+                         'token plus at least one draft per verify block')
+    if config.num_beams != 1:
+        raise ValueError('speculative decoding requires num_beams == 1')
+    if config.temperature and config.temperature > 0.0:
+        raise ValueError('speculative decoding requires temperature == 0 '
+                         '(greedy): acceptance tests the model argmax')
+    if config.use_fused_decode is True:
+        raise ValueError('speculative decoding runs the XLA block-verify step; '
+                         "use_fused_decode must be False or 'auto'")
+    return True
+
+
+def _ngram_draft(codes: jax.Array, vlen: jax.Array, g: int, m: int,
+                 fallback: jax.Array) -> jax.Array:
+    """Prompt-lookup drafting: continue the most recent earlier occurrence of
+    each row's last ``g`` tokens.
+
+    codes: (rows, T) int32 token buffer (prompt + generated; garbage past
+    ``vlen`` is harmless — bad drafts are simply rejected by the verifier).
+    vlen: (rows,) valid lengths.  Returns (rows, m) draft tokens; rows with no
+    match draft ``fallback`` (token repetition — the cheapest decent guess for
+    codec streams).  Pure VPU work, O(T·g) compares per turn.
+    """
+    rows, t = codes.shape
+    gi = jnp.arange(g)[None, :]
+    last = jnp.take_along_axis(codes, jnp.clip(vlen[:, None] - g + gi, 0, t - 1),
+                               axis=1)                              # (rows, g)
+    nj = t - g + 1
+    eq = jnp.ones((rows, nj), bool)
+    for i in range(g):
+        eq &= codes[:, i:i + nj] == last[:, i:i + 1]
+    j = jnp.arange(nj)[None, :]
+    ok = eq & (j < vlen[:, None] - g)       # strictly before the suffix itself
+    jstar = jnp.max(jnp.where(ok, j, -1), axis=1)                   # (rows,)
+    di = jnp.clip(jstar[:, None] + g + jnp.arange(m)[None, :], 0, t - 1)
+    draft = jnp.take_along_axis(codes, di, axis=1)                  # (rows, m)
+    return jnp.where((jstar >= 0)[:, None], draft, fallback[:, None])
+
+
 def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
                     codes: jax.Array, codes_lens: jax.Array, rng: jax.Array,
                     config: ConfigValle):
@@ -241,6 +300,13 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     pm = codes.shape[1]
     unroll = max(1, config.decode_unroll)
     max_new_pad = -(-max_new // unroll) * unroll
+    if _spec_enabled(config):
+        # Verify-block slack: active rows write K slots from position
+        # max_new - 1, and FINISHED rows idling while others decode write K
+        # slots from position max_new — so K extra slots, not K-1.  Without
+        # the slack dynamic_update_slice CLAMPS the start index and silently
+        # overwrites the last valid tail slot (cache AND codes buffers).
+        max_new_pad += config.speculative_k
     total_max = ttm + pm + max_new_pad
     rows = b * beams
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
@@ -409,6 +475,117 @@ def _decode_advance(params: Params, state: DecodeState, tl_f: jax.Array,
     return jax.lax.while_loop(cond, body, state)
 
 
+def _decode_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
+                         pl_f: jax.Array, config: ConfigValle,
+                         ttm: int, pm: int) -> DecodeState:
+    """N-gram (prompt-lookup) speculative decode loop — greedy, full-length.
+
+    Each turn verifies a K-token block in ONE transformer pass: the model's
+    guaranteed next token (argmax of the carried logits) + K-1 drafts continued
+    from the most recent earlier occurrence of the last ``speculative_ngram``
+    generated tokens (model-free drafting — no draft network, no extra
+    training; vLLM calls this prompt lookup).  A draft position is accepted iff
+    it equals the model's own argmax at that position, so committed tokens are
+    bit-identical to plain greedy decode (tests/test_spec_decode.py) while each
+    verify pass costs ~one decode step (same cache-bandwidth bound; the K-wide
+    matmuls are marginal).  Speedup = mean accepted tokens per turn — scales
+    with codec-token repetitiveness (silence, sustained sounds).
+
+    Rows advance by different amounts per turn, so ``state.step`` becomes a
+    per-row (rows,) vector here (the per-row machinery continuous batching
+    added to ``transformer_decode_step``).  Runs to ``max_audio_len`` (no
+    segment limits — streaming keeps the plain path).  Returns
+    (final_state, turns) — mean accepted tokens per verify pass is
+    ``sum(step) / (rows * turns)``, the whole speedup story.
+    """
+    eos, _ = _specials(config)
+    max_new = config.max_audio_len
+    k_blk = config.speculative_k
+    rows = state.codes.shape[0]
+    total_max = state.cache.k.shape[3]
+    n_heads = config.n_heads
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    dtype = jnp.dtype(config.dtype)
+    tparams = jax.tree.map(_to_compute(dtype), params['transformer'])
+
+    slots = jnp.arange(total_max)[None, :]
+    base_valid = ((slots < tl_f[:, None])
+                  | ((slots >= ttm) & (slots < ttm + pl_f[:, None])))
+    state = state._replace(step=jnp.zeros((rows,), jnp.int32))
+
+    def cond(carry):
+        return jnp.any(~carry[0].finished)
+
+    def turn(s: DecodeState) -> DecodeState:
+        rng, sample_rng = jax.random.split(s.rng)
+        alive = ~s.finished & (s.step < max_new)
+        # Guaranteed token from the carried logits (greedy; rng unused).
+        t0, lp0 = topk_sampling(sample_rng, s.logits, top_k=config.top_k,
+                                tok_p=config.tok_p,
+                                temperature=config.temperature)
+        t0 = jnp.where(alive, t0, eos).astype(jnp.int32)
+        # Draft K-1 continuations from the history INCLUDING t0.
+        codes_t0 = jax.vmap(lambda row, v, i: jax.lax.dynamic_update_slice(
+            row, v[None], (i,)))(s.codes, t0, pm + s.step)
+        draft = _ngram_draft(codes_t0, pm + s.step + 1,
+                             config.speculative_ngram, k_blk - 1, t0)
+        block = jnp.concatenate([t0[:, None], draft], axis=1)       # (rows, K)
+
+        # One K-token verify pass (writes all K KV slots; in-block causal).
+        pos = pl_f[:, None] + s.step[:, None] + jnp.arange(k_blk)[None, :]
+        x = embedding(params['audio_emb'], block)
+        x = (x + jnp.take(pe, pos, axis=0)).astype(dtype)
+        write_idx = ttm + pm + s.step                                # (rows,)
+        qi = jnp.arange(k_blk)[None, :, None]
+        attend = (base_valid[:, None, :]
+                  | ((slots[:, None, :] >= ttm + pm)
+                     & (slots[:, None, :] <= write_idx[:, None, None] + qi)))
+        y, cache = transformer_decode_step(
+            tparams, x, n_heads, s.cache, write_idx, attend_mask=attend,
+            attn_buckets=config.decode_attn_buckets)
+        flat = linear(params['proj'],
+                      y.astype(jnp.float32)).reshape(rows * k_blk, -1)
+        g_tok, g_lp = topk_sampling(sample_rng, flat, top_k=config.top_k,
+                                    tok_p=config.tok_p,
+                                    temperature=config.temperature)
+        g_tok = g_tok.reshape(rows, k_blk).astype(jnp.int32)
+        g_lp = g_lp.reshape(rows, k_blk)
+
+        # Commit length c: t0 + the consecutive drafts matching the argmax,
+        # truncated at the first committed EOS and at the max_new budget.
+        match = (block[:, 1:] == g_tok[:, :-1]).astype(jnp.int32)
+        c = jnp.cumprod(match, axis=1).sum(axis=1) + 1               # 1..K
+        if not config.ignore_eos:
+            is_eos = block == eos
+            first_eos = jnp.argmax(is_eos, axis=1)
+            c = jnp.where(jnp.any(is_eos, axis=1),
+                          jnp.minimum(c, first_eos + 1), c)
+        c = jnp.where(alive, jnp.minimum(c, max_new - s.step), 0)
+        take = jnp.arange(k_blk)[None, :] < c[:, None]
+
+        # Per-token logprobs exactly as the plain loop accumulates them:
+        # block[0] scored by the carried logits, block[j] by position j-1.
+        lp_blk = jnp.concatenate([lp0[:, None], g_lp[:, :-1]], axis=1)
+        sum_logprobs = s.sum_logprobs + jnp.sum(lp_blk * take, axis=1)
+
+        codes_new = jax.vmap(lambda row, vals, i: jax.lax.dynamic_update_slice(
+            row, vals, (i,)))(s.codes, jnp.where(take, block, eos), pm + s.step)
+        step_new = s.step + c
+        finished = s.finished | (step_new >= max_new)
+        if not config.ignore_eos:
+            committed_eos = jnp.any((block == eos) & take, axis=1)
+            finished = finished | committed_eos
+        ci = jnp.clip(c - 1, 0, k_blk - 1)[:, None, None]
+        logits_next = jnp.take_along_axis(
+            flat.reshape(rows, k_blk, -1), ci, axis=1)[:, 0]
+        logits_next = jnp.where((c > 0)[:, None], logits_next, s.logits)
+        return DecodeState(step_new, codes_new, logits_next, cache,
+                           sum_logprobs, finished, rng)
+
+    return jax.lax.while_loop(cond, lambda c: (turn(c[0]), c[1] + 1),
+                              (state, jnp.int32(0)))
+
+
 def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
                codes: jax.Array, codes_lens: jax.Array, rng: jax.Array,
                config: ConfigValle):
@@ -424,10 +601,20 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     max_new = config.max_audio_len
     b, ttm = tokens.shape
     pm = codes.shape[1]
+    spec = _spec_gate(config)
+    if spec:
+        # The verify pass is a q-token XLA decode step; the fused Pallas
+        # kernel's one-token programs don't apply ('auto' resolves off).
+        import dataclasses
+        config = dataclasses.replace(config, use_fused_decode=False)
     state, tl_f, pl_f = _decode_prefill(params, tokens, tokens_lens, codes,
                                         codes_lens, rng, config)
-    final = _decode_advance(params, state, tl_f, pl_f, jnp.int32(max_new),
-                            config, ttm, pm)
+    if spec:
+        final, _ = _decode_advance_spec(params, state, tl_f, pl_f, config,
+                                        ttm, pm)
+    else:
+        final = _decode_advance(params, state, tl_f, pl_f, jnp.int32(max_new),
+                                config, ttm, pm)
     codes_out = final.codes[:, :pm + max_new].reshape(b, beams, pm + max_new)
     lp_out = final.sum_logprobs.reshape(b, beams)
     best = jax.vmap(lambda c, lp: best_beam_index(c, lp, eos, config.length_penalty))(

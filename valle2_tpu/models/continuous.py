@@ -197,7 +197,12 @@ class ContinuousDecoder:
             raise ValueError('continuous batching requires num_beams == 1')
         if n_slots < 1:
             raise ValueError(f'n_slots must be >= 1, got {n_slots}')
-        cfg = dataclasses.replace(config, num_beams=1, use_fused_decode=False)
+        # speculative_k=0: the joint loop advances one token per row per step
+        # (speculation is a solo-decode feature), and a spec-enabled config
+        # would make the rows=1 prefill pad its cache K slots longer than the
+        # joint geometry computed below — the row insert would not fit.
+        cfg = dataclasses.replace(config, num_beams=1, use_fused_decode=False,
+                                  speculative_k=0)
         self._ar = ValleAR(cfg, params=model.params)
         # Share any int8 decode view instead of re-quantizing a duplicate.
         if config.weight_dtype == 'int8':

@@ -169,23 +169,30 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
                             index: jax.Array, cond: jax.Array | None = None,
                             attend_mask: jax.Array | None = None,
                             attn_buckets: int = 1):
-    """Advance one token: x is (b, 1, d) at absolute position ``index``.
+    """Advance one token (or a q-token block): x is (b, q, d) at absolute
+    positions ``index .. index + q - 1``.  The serving decode uses q = 1; the
+    speculative verify pass (models/ar.py) feeds a q-token draft block through
+    the SAME program shape — one pass scores every draft position while writing
+    all q KV slots.
 
     Layers are **unrolled** (not scanned): a layer-scan forces XLA to slice and
     re-stack the whole (L, b, h, max, hd) cache every step — measured 2.3x slower on
     v5e than unrolled single-slot ``dynamic_update_slice`` writes, which XLA performs
-    in place inside the enclosing while_loop.  Returns (y (b, 1, d), new_cache).
+    in place inside the enclosing while_loop.  Returns (y (b, q, d), new_cache).
 
     ``index`` may be a scalar (all rows at the same absolute position — the batched
     decode, where a shared prompt layout keeps positions in lockstep) or a (b,)
     vector of PER-ROW positions (continuous batching: sessions at different decode
     depths share one step program; models/continuous.py).  Per-row writes go
     through a vmapped single-row ``dynamic_update_slice`` (an XLA scatter over the
-    batch axis — one (h, 1, hd) slot per row per layer, negligible next to the
+    batch axis — one (h, q, hd) slab per row per layer, negligible next to the
     cache-read bandwidth that dominates decode).
 
-    ``attend_mask``: optional (b, max_len) bool of cache slots this token may attend
-    (batched decode with per-row lengths); defaults to slots [0, index].
+    ``attend_mask``: optional bool mask of cache slots the token(s) may attend —
+    (b, max_len) shared across the block, or (b, q, max_len) per-query (the
+    speculative block needs in-block causality: query i must not see slots
+    index + i + 1 .. index + q - 1, whose K/V this same call wrote).  Defaults
+    to slots [0, index + i] per query i.
     ``attn_buckets`` > 1: lax.switch over that many static cache prefixes, reading
     only ~the valid prefix each step — decode attention is cache-bandwidth-bound, so
     early steps touch a fraction of the bytes.  Outputs identical (slots past
@@ -197,21 +204,26 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
 
     num_layers = cache.k.shape[0]
     max_len = cache.k.shape[3]
+    q_len = x.shape[1]
     quant = cache.k_scale is not None
     per_row = jnp.ndim(index) == 1
     ck, cv, cks, cvs = cache.k, cache.v, cache.k_scale, cache.v_scale
     if attend_mask is None:
-        if per_row:
-            attend_mask = jnp.arange(max_len)[None, :] <= index[:, None]
-        else:
-            attend_mask = (jnp.arange(max_len) <= index)[None, :]
-    bias = jnp.where(attend_mask, 0.0, NEG_INF)[:, None, None, :]
+        base = index[:, None, None] if per_row else index
+        attend_mask = (jnp.arange(max_len)[None, None, :]
+                       <= base + jnp.arange(q_len)[None, :, None])
+        attend_mask = jnp.broadcast_to(attend_mask,
+                                       (x.shape[0], q_len, max_len))
+    if attend_mask.ndim == 3:
+        bias = jnp.where(attend_mask, 0.0, NEG_INF)[:, None, :, :]
+    else:
+        bias = jnp.where(attend_mask, 0.0, NEG_INF)[:, None, None, :]
 
     if attn_buckets > 1:
-        # Static prefix lengths (lane-aligned); smallest covering index+1 wins.
-        # With per-row indices the deepest row picks the bucket (conservative —
-        # shallower rows' extra slots are masked).
-        idx_top = jnp.max(index) if per_row else index
+        # Static prefix lengths (lane-aligned); smallest covering the deepest
+        # written slot wins.  With per-row indices the deepest row picks the
+        # bucket (conservative — shallower rows' extra slots are masked).
+        idx_top = (jnp.max(index) if per_row else index) + (q_len - 1)
         lens = [min(-(-(max_len * (i + 1) // attn_buckets) // 128) * 128, max_len)
                 for i in range(attn_buckets)]
         lens = sorted(set(lens))
@@ -220,11 +232,11 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
     zero = jnp.int32(0)
 
     def _write(buf, new, li):
-        """Write one (b, h, 1, *) slab into layer ``li`` of a (L, b, h, S, *)
+        """Write one (b, h, q, *) slab into layer ``li`` of a (L, b, h, S, *)
         buffer at ``index`` — scalar (one slice op) or per-row (vmapped)."""
         if per_row:
             def one_row(row_buf, row_new, i):
-                # row_buf (L, h, S, w); row_new (h, 1, w)
+                # row_buf (L, h, S, w); row_new (h, q, w)
                 return jax.lax.dynamic_update_slice(
                     row_buf, row_new[None], (jnp.int32(li), zero, i, zero))
             return jax.vmap(one_row, in_axes=(1, 0, 0), out_axes=1)(

@@ -1,0 +1,142 @@
+"""Speculative-decoding benchmark: plain greedy vs the n-gram
+(prompt-lookup) verify loop, same weights, same process, on the real chip.
+
+    python -m valle2_tpu.tools.spec_bench [--steps 512] [--k 4] [--scale large]
+
+Speculative decoding commits bit-identical tokens (tests/test_spec_decode.py);
+the only question is wall-clock, and that is entirely a function of the
+acceptance rate — how often the codec stream repeats its own recent n-grams.
+So the bench measures the two ends of that axis plus the verify pass's raw
+cost, from which any intermediate regime follows:
+
+- ``natural``: a random-init model decoding its own greedy feedback.  Greedy
+  feedback from an untrained model typically falls into short cycles, which
+  FLATTERS prompt lookup — treat this arm as indicative, not representative
+  (a trained model's acceptance depends on how much silence / sustained sound
+  the utterance contains).
+- ``repetitive``: an EOS-suppressed dominant-token model — the best case
+  (acceptance → 1, speedup → K x cost_ratio).
+- ``cost_ratio``: spec turns/s vs plain steps/s.  A verify turn is one
+  K-token ``transformer_decode_step`` (same cache-bandwidth bound as a
+  1-token step, K-wide matmuls marginal) plus the VPU n-gram scan; the ratio
+  is the break-even acceptance: speedup = mean_accepted / cost_ratio.
+
+Each arm reports tokens/s, turns (verify passes), and mean accepted tokens
+per turn.  Results recorded in BENCHMARKS.md "Speculative decoding".
+
+No reference counterpart: the reference decodes one host-driven token at a
+time (/root/reference/valle/models/valle_ar.py:141-171).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def _model(scale: str, steps: int, spec_k: int = 0, dominant: int | None = None):
+    import jax.numpy as jnp
+    from ..config import ConfigValle
+    from ..models.ar import ValleAR
+
+    kw = dict(dtype='bfloat16', temperature=0.0, num_beams=1,
+              max_audio_len=steps, ignore_eos=True, dropout=0.0,
+              speculative_k=spec_k)
+    if scale == 'large':
+        kw.update(d_model=1024, num_layers=16, n_heads=16,
+                  dim_feedforward=4096)
+    model = ValleAR(ConfigValle(**kw))
+    if dominant is not None:
+        w = model.params['proj']['w']
+        b = jnp.zeros((w.shape[1],), w.dtype).at[dominant].set(50.0)
+        model.params = {**model.params,
+                        'proj': {**model.params['proj'], 'b': b}}
+    return model
+
+
+def _decode_timed(model, tokens, codes, repeats: int = 3):
+    """Best-of-N wall time for one full jitted decode (compile excluded)."""
+    out = model.generate_batch([tokens], [codes], bucket=False)   # compile
+    np.asarray(out[0])
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = model.generate_batch([tokens], [codes], bucket=False)
+        np.asarray(out[0])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _spec_turns(model, tokens, codes):
+    """Run prefill + the spec loop directly to read the turns counter."""
+    import jax
+    import jax.numpy as jnp
+    from ..models.ar import _decode_advance_spec, _decode_prefill
+
+    config = model.config
+    tok = jnp.asarray(tokens, jnp.int32)[None]
+    cds = jnp.concatenate([jnp.array([model.bos_token], jnp.int32),
+                           jnp.asarray(codes, jnp.int32)[:, 0]])[None]
+    state, tl_f, pl_f = _decode_prefill(
+        model.decode_params, tok,
+        jnp.asarray([tok.shape[1]], jnp.int32), cds,
+        jnp.asarray([cds.shape[1]], jnp.int32), jax.random.key(0), config)
+    fn = jax.jit(lambda p, s: _decode_advance_spec(
+        p, s, tl_f, pl_f, config, tok.shape[1], cds.shape[1]))
+    final, turns = fn(model.decode_params, state)
+    return int(turns), int(final.step[0])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split('\n')[0])
+    ap.add_argument('--steps', type=int, default=512)
+    ap.add_argument('--k', type=int, default=4)
+    ap.add_argument('--ngram', type=int, default=3)
+    ap.add_argument('--scale', choices=('default', 'large'), default='default')
+    args = ap.parse_args(argv)
+
+    rs = np.random.RandomState(0)
+    tokens = rs.randint(0, 70, (24,))
+    codes = rs.randint(0, 1024, (75, 8))
+    result: dict = {'steps': args.steps, 'k': args.k, 'scale': args.scale}
+
+    plain = _model(args.scale, args.steps)
+    t_plain = _decode_timed(plain, tokens, codes)
+    result['plain_tok_s'] = round(args.steps / t_plain, 1)
+    print(f'plain greedy: {t_plain * 1e3:.1f} ms '
+          f'({result["plain_tok_s"]} tok/s)', flush=True)
+
+    for arm, dom in (('natural', None), ('repetitive', 7)):
+        spec = _model(args.scale, args.steps, spec_k=args.k, dominant=dom)
+        spec.config = dataclasses.replace(spec.config,
+                                          speculative_ngram=args.ngram)
+        t = _decode_timed(spec, tokens, codes)
+        turns, final_step = _spec_turns(spec, tokens, codes)
+        assert final_step == args.steps, (arm, final_step)
+        result[arm] = {
+            'tok_s': round(args.steps / t, 1),
+            'speedup': round(t_plain / t, 2),
+            'turns': turns,
+            'mean_accepted': round(args.steps / turns, 2),
+        }
+        print(f'{arm}: {t * 1e3:.1f} ms ({result[arm]["tok_s"]} tok/s, '
+              f'{result[arm]["speedup"]}x), {turns} turns, '
+              f'{result[arm]["mean_accepted"]} accepted/turn', flush=True)
+
+    # Cost per verify turn vs cost per plain step — the break-even acceptance
+    # rate (speedup = mean_accepted / this ratio).
+    nat = result['natural']
+    if nat['turns']:
+        spec_wall = args.steps / nat['tok_s']
+        result['cost_per_turn_vs_step'] = round(
+            (spec_wall / nat['turns']) / (t_plain / args.steps), 2)
+    print(json.dumps(result), flush=True)
+    return result
+
+
+if __name__ == '__main__':
+    main()
