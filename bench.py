@@ -92,6 +92,45 @@ def bench_ar_decode(steps: int = 512, repeats: int = 6) -> dict:
             'marginal_tokens_per_sec': marginal}
 
 
+def bench_continuous(n: int = 4, steps: int = 512, chunk: int = 25) -> dict:
+    """Aggregate AR tokens/s for ``n`` concurrent sessions through the
+    continuous batcher (fused per-row kernel).  Opt-in via VALLE2_BENCH_CB=1:
+    it compiles 3 extra programs (prefill/insert/joint-advance), which the
+    driver-time compile budget cannot always afford (BENCHMARKS.md
+    "Continuous batching" records the standing numbers)."""
+    from valle2_tpu.config import ConfigValle
+    from valle2_tpu.models.ar import ValleAR
+    from valle2_tpu.models.continuous import ContinuousDecoder
+
+    config = ConfigValle(dtype='bfloat16', temperature=0.0, num_beams=1,
+                         max_audio_len=steps, ignore_eos=True, dropout=0.0)
+    model = ValleAR(config)
+    rs = np.random.RandomState(0)
+    prompts = [(rs.randint(0, 70, (24,)), rs.randint(0, 1024, (75, 8)))
+               for _ in range(n)]
+
+    def run():
+        cb = ContinuousDecoder(model, n_slots=n, ttm=128, pm=128)
+        slots = [cb.join(t, c) for t, c in prompts]
+        while not all(cb.finished(s) for s in slots):
+            cb.advance(chunk)
+        return n * steps
+
+    t0 = time.perf_counter()
+    run()
+    log(f'continuous-batching compile+first run: {time.perf_counter() - t0:.1f}s')
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        tok = run()
+        dt = time.perf_counter() - t0
+        best = min(best, dt) if best else dt
+    agg = tok / best
+    log(f'continuous batching: {n} sessions x {steps} steps in {best:.2f}s '
+        f'-> {agg:.0f} aggregate tokens/s')
+    return {'agg_tokens_per_sec': agg, 'n': n}
+
+
 def bench_e2e_rtf(steps: int = 384) -> dict:
     from valle2_tpu.config import ConfigValle
     from valle2_tpu.tts import ValleTTS
@@ -237,6 +276,12 @@ def main():
         extra['train_frames_per_sec_204m'] = round(trn_large['frames_per_sec'])
     if ar.get('marginal_tokens_per_sec'):
         extra['ar_marginal_tokens_per_sec'] = round(ar['marginal_tokens_per_sec'])
+    if os.environ.get('VALLE2_BENCH_CB'):
+        try:
+            cb = bench_continuous()
+            extra['cb_agg_tokens_per_sec_n4'] = round(cb['agg_tokens_per_sec'])
+        except Exception as exc:
+            log(f'continuous-batching bench failed: {exc!r}')
     if extra:
         result['extra'] = extra
     print(json.dumps(result))
