@@ -1,8 +1,11 @@
 """StreamHub (stream_hub.py): continuous-batched streaming serving.
 
-Parity surface: a hub session's greedy waveform must be bit-identical to the
-solo ``synthesize_streaming`` path — both run the same ``_ChunkEmitter`` over
-AR token streams that models/continuous.py guarantees are identical.
+Parity surface: a hub session's greedy AR tokens and NAR codes must be
+bit-identical to the solo ``synthesize_streaming`` path.  With the default
+batched NAR refinement the waveform is equal to float32 round-off (the
+joint-batch codec decode reassociates reductions; measured max |Δ| ≤ 5e-8);
+with ``batched_nar=False`` (per-session ``_ChunkEmitter``) the waveform is
+bit-identical.
 """
 
 import threading
@@ -41,13 +44,14 @@ class TestStreamHub:
         return [(rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8)))
                 for _ in range(n)]
 
-    def test_hub_waveform_equals_solo_streaming(self, tts):
+    @pytest.mark.parametrize('batched', [True, False])
+    def test_hub_waveform_equals_solo_streaming(self, tts, batched):
         prompts = self._prompts(2)
         texts = ['hello there.', 'go on now.']
         want = [collect(tts.synthesize_streaming(
             tx, pt, pc, chunk_frames=4, rng=jax.random.key(7)))
             for tx, (pt, pc) in zip(texts, prompts)]
-        hub = StreamHub(tts, n_slots=2, chunk_frames=4)
+        hub = StreamHub(tts, n_slots=2, chunk_frames=4, batched_nar=batched)
         try:
             got = [None, None]
             errs = []
@@ -68,7 +72,13 @@ class TestStreamHub:
                 t.join(timeout=120)
             assert not errs, errs
             for w, g in zip(want, got):
-                np.testing.assert_array_equal(g, w)
+                if batched:
+                    # Identical refined codes; the joint-batch codec decode
+                    # reassociates float32 reductions (measured ≤ 5e-8).
+                    assert g.shape == w.shape
+                    np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+                else:
+                    np.testing.assert_array_equal(g, w)
             assert hub.live_sessions() == 0
         finally:
             hub.stop()
@@ -104,24 +114,30 @@ class TestStreamHub:
 
     def test_lifecycle_stress_staggered_cycles(self):
         """Repeated cycles of staggered concurrent sessions on ONE hub: every
-        session must terminate with the full ``max_audio_len`` worth of audio
-        (``ignore_eos``) — catches slot-reuse races (dropped tokens, lost
-        done-signals, driver death) that single-cycle tests cannot."""
+        session must produce its solo-streaming waveform (staggered joins put
+        rows at different depths, so the batched NAR sees mixed gen_lens and
+        reused slots every cycle) — catches slot-reuse races (dropped tokens,
+        lost done-signals, stale emission state, driver death) that
+        single-cycle tests cannot."""
         tts = ValleTTS(tiny_cfg(max_audio_len=10, ignore_eos=True))
         rs = np.random.RandomState(0)
         n = 3
         hub = StreamHub(tts, n_slots=n, chunk_frames=3)
         try:
-            expect = None
             for cycle in range(3):
-                errs, lens = [], [0] * n
+                prompts = [(rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8)))
+                           for _ in range(n)]
+                want = [collect(tts.synthesize_streaming(
+                    'hello there.', pt, pc, chunk_frames=3, lookahead_frames=2))
+                    for pt, pc in prompts]
+                errs, got = [], [None] * n
 
-                def worker(i, errs=errs, lens=lens, cycle=cycle):
+                def worker(i, errs=errs, got=got, cycle=cycle, prompts=prompts):
                     try:
                         time.sleep(0.01 * i)        # staggered joins
-                        pt = rs.randint(0, 70, (5,))
-                        pc = rs.randint(0, 1024, (6, 8))
-                        lens[i] = len(collect(hub.open('hello there.', pt, pc)))
+                        pt, pc = prompts[i]
+                        got[i] = collect(hub.open('hello there.', pt, pc,
+                                                  lookahead_frames=2))
                     except Exception as e:          # noqa: BLE001
                         errs.append(f'cycle{cycle} s{i}: {e!r}')
 
@@ -134,11 +150,12 @@ class TestStreamHub:
                 assert not [t for t in threads if t.is_alive()], \
                     f'cycle {cycle}: sessions hung'
                 assert not errs, errs
-                # ignore_eos: every session emits exactly max_audio_len frames.
-                if expect is None:
-                    expect = lens[0]
-                assert expect > 0 and all(x == expect for x in lens), \
-                    (cycle, lens, expect)
+                for i, (w, g) in enumerate(zip(want, got)):
+                    assert g is not None and g.shape == w.shape, \
+                        (cycle, i, None if g is None else g.shape, w.shape)
+                    np.testing.assert_allclose(
+                        g, w, rtol=1e-5, atol=1e-6,
+                        err_msg=f'cycle {cycle} session {i}')
             assert hub.live_sessions() == 0
         finally:
             hub.stop()
@@ -164,7 +181,10 @@ class TestServerIntegration:
         server = TTSServer(tts, cb_streams=2)
         try:
             got = collect(server.stream('server test.', pt, pc))
-            np.testing.assert_array_equal(got, want)
+            # Hub default = batched NAR: float32 round-off vs solo (see
+            # TestStreamHub parity test).
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
             st = server.stats()
             assert st['stream_requests'] == 1
             assert st['stream_hub_slots'] == 2

@@ -116,6 +116,11 @@ def _cb_advance(params: Params, state: DecodeState, tl_f: jax.Array,
                 tparams, x, n_heads, s.cache, write_idx, attend_mask=attend,
                 attn_buckets=config.decode_attn_buckets)
         logits = linear(params['proj'], y[:, 0].astype(jnp.float32))
+        # Inactive rows keep their carried logits: a frozen (pending) row's
+        # prefill logits determine its FIRST token after activation — letting
+        # the forced-EOS feedback clobber them would corrupt the stream.
+        # (Finished rows' logits are discarded anyway; the where is ~free.)
+        logits = jnp.where(active[:, None], logits, s.logits)
         return DecodeState(steps + active, codes_new, logits, cache,
                            sum_logprobs, finished, rng)
 
@@ -155,7 +160,12 @@ def _cb_insert(state: DecodeState, tl_f: jax.Array, pl_f: jax.Array,
         step=state.step.at[slot].set(0),
         codes=codes, logits=logits, cache=cache,
         sum_logprobs=state.sum_logprobs.at[slot].set(0.0),
-        finished=state.finished.at[slot].set(False),
+        # Inserted FROZEN (finished=True): the row must not advance until the
+        # host activates it — a pending row that decodes invisibly delivers a
+        # multi-chunk token burst at activation, which desynchronizes the
+        # session's chunk cadence from the solo streaming path (the hub's
+        # parity surface: emission/refinement depths must match solo).
+        finished=state.finished.at[slot].set(True),
         rng=state.rng)
     return (new_state, tl_f.at[slot].set(row_tl[0]),
             pl_f.at[slot].set(row_pl[0]))
@@ -164,6 +174,11 @@ def _cb_insert(state: DecodeState, tl_f: jax.Array, pl_f: jax.Array,
 def _cb_finish(state: DecodeState, slot: jax.Array) -> DecodeState:
     """Force-finish a row (session released/aborted before EOS)."""
     return state._replace(finished=state.finished.at[jnp.int32(slot)].set(True))
+
+
+def _cb_start(state: DecodeState, slot: jax.Array) -> DecodeState:
+    """Un-freeze a freshly inserted row (see _cb_insert: rows insert frozen)."""
+    return state._replace(finished=state.finished.at[jnp.int32(slot)].set(False))
 
 
 class ContinuousDecoder:
@@ -285,6 +300,8 @@ class ContinuousDecoder:
                                       extra_key=ck, donate_argnums=(0, 1, 2))
         self._finish_jit = cached_jit(_cb_finish, tag='cb_finish',
                                       extra_key=ck, donate_argnums=(0,))
+        self._start_jit = cached_jit(_cb_start, tag='cb_start',
+                                     extra_key=ck, donate_argnums=(0,))
         self._lock = threading.Lock()
         # Host bookkeeping per slot: None = free; else dict(emitted=…).
         self._sessions: list[dict | None] = [None] * n_slots
@@ -360,14 +377,17 @@ class ContinuousDecoder:
         return slot
 
     def activate(self, slot: int) -> None:
-        """Make a ``join(start=False)`` slot visible to ``advance``.  Tokens
-        the device generated while the slot was pending are not lost — the
-        first post-activation ``advance`` delivers everything from the row's
-        start (``emitted`` begins at 0)."""
+        """Make a ``join(start=False)`` slot live.  Pending rows are frozen on
+        DEVICE too (inserted finished=True), so the session's first delivery
+        is its first ``advance`` segment — never a multi-chunk burst decoded
+        invisibly between insert and activation (that would desynchronize the
+        chunk cadence from the solo streaming path, StreamHub's parity
+        surface)."""
         with self._lock:
             sess = self._sessions[slot]
             if sess is None:
                 raise KeyError(f'slot {slot} is not occupied')
+            self._state = self._start_jit(self._state, jnp.int32(slot))
             sess['pending'] = False
 
     def advance(self, k: int) -> dict[int, np.ndarray]:

@@ -12,12 +12,22 @@ at 8 over the round-robin solo-stream arm (which is flat in N — each
 session's advance pays its own ~90 ms dispatch round trip), with the
 per-row fused kernel adding +29% over the XLA step.
 
-Per-session semantics match ``ValleTTS.synthesize_streaming`` by
-construction: the same ``_ChunkEmitter`` runs the lookahead/NAR-refine/emit
-logic, so greedy (temperature=0) output waveforms are bit-identical to the
-solo streaming path (tested, tests/test_stream_hub.py).  Sampled decodes
-draw from the batcher's shared rng chain, so samples depend on join timing —
-the standard dynamic-batching trade, documented in models/continuous.py.
+**Batched NAR refinement** (default): the per-chunk NAR→wav pass is also one
+joint dispatch for every session that crossed its lookahead threshold this
+cycle, instead of one batch-1 dispatch per session from its handler thread —
+at N sessions that is 1 refine per chunk instead of N, and each solo dispatch
+costs a full tunnel round trip on the target runtime.  Exactness:
+``nar._generate_fn`` masks every position past each row's true lengths
+(padding-invariance is its stated invariant, models/nar.py), rows are
+independent, and sessions insert device-frozen until activation so chunk
+cadence/refinement depths match solo exactly — greedy AR tokens and NAR
+codes are bit-identical to the solo streaming path, and the waveform matches
+to float32 round-off (measured max |Δ| ≤ 6e-8: the joint-batch codec decode
+reassociates reductions; tests/test_stream_hub.py pins both).  Sampled
+(temperature>0) NAR draws from the hub's shared rng chain, the same
+documented dynamic-batching trade as the AR loop (models/continuous.py).
+``batched_nar=False`` restores per-session ``_ChunkEmitter`` refinement
+(bit-identical waveforms).
 
 No reference counterpart: the reference has no serving or streaming at all
 (SURVEY §1; its inference is a host-driven batch-1 loop,
@@ -40,14 +50,21 @@ __all__ = ['StreamHub', 'HubFull']
 
 HubFull = BatcherFull       # serving-layer alias (maps to HTTP 429)
 
+HOP = 320                   # EnCodec-24kHz samples per codec frame
+
 
 class _Session:
-    __slots__ = ('slot', 'q', 'done')
+    __slots__ = ('slot', 'q', 'done', 'lookahead', 'buf', 'n', 'emitted')
 
-    def __init__(self, slot: int):
+    def __init__(self, slot: int, lookahead: int, max_new: int):
         self.slot = slot
         self.q: queue.Queue = queue.Queue()
         self.done = False
+        self.lookahead = lookahead
+        # Batched-NAR emission state (unused when batched_nar=False).
+        self.buf = np.zeros((max_new,), np.int32)   # first-codebook tokens
+        self.n = 0                                  # tokens received
+        self.emitted = 0                            # frames already emitted
 
 
 class StreamHub:
@@ -56,13 +73,16 @@ class StreamHub:
     ``open()`` joins a session and returns a waveform-chunk generator with
     ``synthesize_streaming`` semantics; raises ``HubFull`` when all rows are
     busy (serve.py maps it to 429).  ``chunk_frames`` is the hub-wide advance
-    granularity — every live session receives tokens each chunk.  ``ttm``/
+    granularity — every live session receives audio each chunk.  ``ttm``/
     ``pm`` bound the shared prompt geometry (see ContinuousDecoder; prompts
     that do not fit raise ValueError — route those to the solo path).
+    ``batched_nar``: refine all due sessions' prefixes in ONE joint NAR→wav
+    dispatch per chunk (default; see module docstring).
     """
 
     def __init__(self, tts, n_slots: int = 4, chunk_frames: int = 25,
-                 ttm: int | None = None, pm: int | None = None):
+                 ttm: int | None = None, pm: int | None = None,
+                 batched_nar: bool = True):
         if int(chunk_frames) < 1:
             raise ValueError(f'chunk_frames must be >= 1, got {chunk_frames}')
         if tts.config.num_beams != 1:
@@ -72,10 +92,44 @@ class StreamHub:
         self.chunk_frames = int(chunk_frames)
         self.cb = ContinuousDecoder(tts._stream_ar, n_slots=n_slots,
                                     ttm=ttm, pm=pm)
+        self.batched_nar = bool(batched_nar)
         self._by_slot: dict[int, _Session] = {}
+        self._emitters: dict[int, object] = {}      # batched_nar=False only
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         self._stopped = False
+
+        if self.batched_nar:
+            import jax.numpy as jnp
+            config = tts.config
+            max_new = config.max_audio_len
+            widths = [b for b in config.bucket_sizes if b < max_new]
+            w = widths[-1] if widths else 0
+            while w < max_new:           # always ends with max_new itself
+                w = max_new if w == 0 else min(w * 2, max_new)
+                widths.append(w)
+            self._widths = widths
+            n = self.cb.n_slots
+            # Pad prompts to the same bucket grid the solo _ChunkEmitter uses:
+            # when a session's own buckets coincide with the hub geometry (the
+            # common case — the hub geometry IS a bucket size), its refinement
+            # runs through the exact program shapes of the solo path, keeping
+            # greedy NAR codes bit-stable even at untrained-model tie margins.
+            from .config import bucket_len
+            self._nar_ttm = bucket_len(config.bucket_sizes, self.cb.ttm)
+            self._nar_pm = bucket_len(config.bucket_sizes,
+                                      max(1, self.cb.pm - 1))
+            nq = config.num_quantizers
+            # Device-resident per-slot prompts, rewritten only on join — the
+            # per-cycle dispatch ships just (first_layer, gen_lens).  Dummy
+            # rows keep tl=1 / gen_len=1 so no row is ever fully masked (a
+            # fully-masked softmax row is NaN; harmless but trips debug-nans).
+            self._nar_tokens = jnp.zeros((n, self._nar_ttm), jnp.int32)
+            self._nar_tl = jnp.ones((n,), jnp.int32)
+            self._nar_pcodes = jnp.zeros((n, self._nar_pm, nq), jnp.int32)
+            self._nar_pl = jnp.zeros((n,), jnp.int32)
+            self._nar_rng = jax.random.key(config.seed)
+
         self._driver = threading.Thread(target=self._drive, daemon=True,
                                         name='valle2-stream-hub')
         self._driver.start()
@@ -99,13 +153,15 @@ class StreamHub:
         import jax.numpy as jnp
         _rng_ar, rng_nar = jax.random.split(jnp.asarray(rng))
 
-        from .tts import _ChunkEmitter
         tokens = np.concatenate([np.asarray(prompt_tokens, np.int32),
                                  self.tts.tokenizer(text)])
         pcodes = np.asarray(prompt_codes, np.int32).reshape(
             -1, self.tts.config.num_quantizers)
-        emitter = _ChunkEmitter(self.tts, tokens, pcodes, lookahead_frames,
-                                rng_nar, bucket=bucket)
+        emitter = None
+        if not self.batched_nar:
+            from .tts import _ChunkEmitter
+            emitter = _ChunkEmitter(self.tts, tokens, pcodes,
+                                    lookahead_frames, rng_nar, bucket=bucket)
         # join(start=False) keeps the row invisible to the driver's advance
         # until the session is registered in _by_slot — otherwise a concurrent
         # advance can read the previous occupant's finished device row as this
@@ -113,29 +169,39 @@ class StreamHub:
         # routing yet (dropped chunks / lost done signal; caught by
         # tests/test_stream_hub.py::test_lifecycle_stress_staggered_cycles).
         slot = self.cb.join(tokens, pcodes, start=False)
-        sess = _Session(slot)
+        sess = _Session(slot, int(lookahead_frames),
+                        self.tts.config.max_audio_len)
         with self._wake:
             self._by_slot[slot] = sess
+            if emitter is not None:
+                self._emitters[slot] = emitter
+            else:
+                self._write_nar_prompt(slot, tokens, pcodes)
             self._wake.notify()
         self.cb.activate(slot)
 
-        def chunks():
-            try:
-                while True:
-                    # The driver feeds every live session each advance; a long
-                    # silence means the driver died — fail the stream rather
-                    # than hang the handler thread forever.
-                    try:
-                        toks, done = sess.q.get(timeout=600.0)
-                    except queue.Empty:
-                        raise RuntimeError('stream hub driver stalled '
-                                           '(no tokens for 600 s)') from None
-                    for wav in emitter.push(toks, done):
-                        yield wav
-                    if done:
-                        return
-            finally:
-                self._abort(sess)
+        if emitter is not None:
+            def chunks():
+                try:
+                    while True:
+                        toks, done = self._next(sess)
+                        for wav in emitter.push(toks, done):
+                            yield wav
+                        if done:
+                            return
+                finally:
+                    self._abort(sess)
+        else:
+            def chunks():
+                try:
+                    while True:
+                        wav, done = self._next(sess)
+                        if wav is not None and len(wav):
+                            yield wav
+                        if done:
+                            return
+                finally:
+                    self._abort(sess)
 
         return chunks()
 
@@ -152,13 +218,39 @@ class StreamHub:
 
     # -- internals ---------------------------------------------------------
 
-    def _abort(self, sess: _Session) -> None:
-        """Generator closed (client gone or stream drained): free the row.
-        Idempotent, and guarded against the slot having been re-assigned."""
-        with self._lock:
-            if self._by_slot.get(sess.slot) is sess:
-                del self._by_slot[sess.slot]
-                self.cb.release(sess.slot)
+    @staticmethod
+    def _next(sess: _Session):
+        # The driver feeds every live session each advance; a long silence
+        # means the driver died — fail the stream rather than hang the
+        # handler thread forever.
+        try:
+            return sess.q.get(timeout=600.0)
+        except queue.Empty:
+            raise RuntimeError('stream hub driver stalled '
+                               '(no tokens for 600 s)') from None
+
+    def _write_nar_prompt(self, slot: int, tokens: np.ndarray,
+                          pcodes: np.ndarray) -> None:
+        """Rewrite device-resident prompt row ``slot`` (called under _lock).
+        Lengths were validated by cb.join against the same geometry."""
+        import jax.numpy as jnp
+        tok = np.zeros((self._nar_ttm,), np.int32)
+        tok[:len(tokens)] = tokens
+        pc = np.zeros((self._nar_pm, self._nar_pcodes.shape[2]), np.int32)
+        pc[:len(pcodes)] = pcodes
+        self._nar_tokens = self._nar_tokens.at[slot].set(jnp.asarray(tok))
+        self._nar_tl = self._nar_tl.at[slot].set(max(1, len(tokens)))
+        self._nar_pcodes = self._nar_pcodes.at[slot].set(jnp.asarray(pc))
+        self._nar_pl = self._nar_pl.at[slot].set(len(pcodes))
+
+    def _fail_all(self) -> None:
+        """End every live session (driver stop or device failure)."""
+        for sess in self._by_slot.values():
+            sess.done = True
+            sess.q.put((None, True) if self.batched_nar
+                       else (np.zeros(0, np.int32), True))
+        self._by_slot.clear()
+        self._emitters.clear()
 
     def _drive(self) -> None:
         while True:
@@ -166,10 +258,7 @@ class StreamHub:
                 while not self._by_slot and not self._stopped:
                     self._wake.wait()
                 if self._stopped:
-                    for sess in self._by_slot.values():
-                        sess.done = True
-                        sess.q.put((np.zeros(0, np.int32), True))
-                    self._by_slot.clear()
+                    self._fail_all()
                     return
             try:
                 out = self.cb.advance(self.chunk_frames)
@@ -177,22 +266,91 @@ class StreamHub:
                 log_warning('stream hub advance failed (%s: %s) — ending '
                             'live sessions', type(e).__name__, e)
                 with self._lock:
-                    for sess in self._by_slot.values():
-                        sess.done = True
-                        sess.q.put((np.zeros(0, np.int32), True))
-                    self._by_slot.clear()
+                    self._fail_all()
                 continue
+            if self.batched_nar:
+                self._route_batched(out)
+            else:
+                self._route_tokens(out)
+
+    def _route_tokens(self, out: dict[int, np.ndarray]) -> None:
+        """batched_nar=False: deliver raw tokens; handler threads refine."""
+        with self._lock:
+            for slot, toks in out.items():
+                sess = self._by_slot.get(slot)
+                if sess is None:            # aborted between advance and here
+                    continue
+                done = self.cb.finished(slot)
+                sess.done = done
+                sess.q.put((toks, done))
+                if done:
+                    # Free the row now — the generator only consumes the
+                    # queue from here on.  (Its _abort is a no-op after this.)
+                    del self._by_slot[slot]
+                    self._emitters.pop(slot, None)
+                    self.cb.release(slot)
+
+    def _route_batched(self, out: dict[int, np.ndarray]) -> None:
+        """Refine every due session's prefix in ONE joint NAR→wav dispatch,
+        then deliver the newly finalized waveform slices."""
+        import jax.numpy as jnp
+        try:
             with self._lock:
+                n = self.cb.n_slots
+                emits: list[tuple[_Session, int, bool]] = []
+                finish_only: list[_Session] = []
                 for slot, toks in out.items():
                     sess = self._by_slot.get(slot)
-                    if sess is None:        # aborted between advance and here
+                    if sess is None:
                         continue
+                    sess.buf[sess.n:sess.n + len(toks)] = toks
+                    sess.n += len(toks)
                     done = self.cb.finished(slot)
-                    sess.done = done
-                    sess.q.put((toks, done))
-                    if done:
-                        # Free the row now — the generator only consumes the
-                        # queue from here on.  (Its _abort is a no-op after
-                        # this del.)
-                        del self._by_slot[slot]
-                        self.cb.release(slot)
+                    finalize = sess.n if done \
+                        else max(0, sess.n - sess.lookahead)
+                    if finalize > sess.emitted:
+                        emits.append((sess, finalize, done))
+                    elif done:
+                        finish_only.append(sess)
+                if emits:
+                    width = next(b for b in self._widths
+                                 if b >= max(s.n for s, _, _ in emits))
+                    first = np.zeros((n, width), np.int32)
+                    gen = np.ones((n,), np.int32)   # dummy rows: 1 valid slot
+                    for sess, _, _ in emits:
+                        first[sess.slot, :sess.n] = sess.buf[:sess.n]
+                        gen[sess.slot] = sess.n
+                    self._nar_rng, r = jax.random.split(self._nar_rng)
+                    wav, _codes = self.tts._nar_wav_jit(
+                        self.tts.nar.params, self.tts.codec.dec_params,
+                        self._nar_tokens, self._nar_tl, self._nar_pcodes,
+                        self._nar_pl, jnp.asarray(first),
+                        jnp.asarray(gen), r)
+                    wav = np.asarray(wav)
+                    for sess, finalize, done in emits:
+                        chunk = wav[sess.slot,
+                                    sess.emitted * HOP:finalize * HOP]
+                        sess.emitted = finalize
+                        sess.done = done
+                        sess.q.put((chunk, done))
+                for sess in finish_only:
+                    sess.done = True
+                    sess.q.put((None, True))
+                for sess in finish_only + [s for s, _, d in emits if d]:
+                    if self._by_slot.get(sess.slot) is sess:
+                        del self._by_slot[sess.slot]
+                        self.cb.release(sess.slot)
+        except Exception as e:              # device failure: fail all sessions
+            log_warning('stream hub batched refine failed (%s: %s) — ending '
+                        'live sessions', type(e).__name__, e)
+            with self._lock:
+                self._fail_all()
+
+    def _abort(self, sess: _Session) -> None:
+        """Generator closed (client gone or stream drained): free the row.
+        Idempotent, and guarded against the slot having been re-assigned."""
+        with self._lock:
+            if self._by_slot.get(sess.slot) is sess:
+                del self._by_slot[sess.slot]
+                self._emitters.pop(sess.slot, None)
+                self.cb.release(sess.slot)

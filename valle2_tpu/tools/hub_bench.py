@@ -1,0 +1,152 @@
+"""Concurrent streaming benchmark: aggregate WAVEFORM throughput for N
+simultaneous sessions, comparing the serving arms on the real chip:
+
+    python -m valle2_tpu.tools.hub_bench [--sessions 4] [--steps 128]
+        [--arms solo,hub,hub-solo-nar]
+
+- ``solo``: N threads each driving ``synthesize_streaming`` (one DecodeStream
+  + one batch-1 NAR refine per chunk per session) — the pre-hub serving path.
+- ``hub-solo-nar``: StreamHub with ``batched_nar=False`` — AR decode batched
+  (one joint loop), NAR refinement still one batch-1 dispatch per session per
+  chunk from its handler thread.
+- ``hub``: StreamHub default — AR batched AND all due sessions' NAR refines
+  in ONE joint dispatch per chunk.
+
+Reports per-arm wall time, aggregate frames/s, and audio-seconds/s (RTF⁻¹).
+Each arm runs once to compile, then ``--repeats`` timed runs (best kept).
+Results recorded in BENCHMARKS.md "Continuous batching".
+
+No reference counterpart (the reference has no serving/streaming; its
+inference is a host-driven batch-1 loop, valle_ar.py:141-171).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+
+import numpy as np
+
+FRAME_S = 320.0 / 24000.0     # seconds of audio per codec frame
+
+
+def _tts(steps: int):
+    from ..config import ConfigValle
+    from ..tts import ValleTTS
+    return ValleTTS(ConfigValle(dtype='bfloat16', temperature=0.0,
+                                num_beams=1, max_audio_len=steps,
+                                ignore_eos=True, dropout=0.0))
+
+
+def _prompts(n: int):
+    rs = np.random.RandomState(0)
+    return [(rs.randint(0, 70, (24,)), rs.randint(0, 1024, (75, 8)))
+            for _ in range(n)]
+
+
+def _drain_concurrent(streams) -> int:
+    """Consume every generator on its own thread (the serving pattern);
+    returns total samples."""
+    totals = [0] * len(streams)
+    errs: list = []
+
+    def run(i, gen):
+        try:
+            for wav in gen:
+                totals[i] += len(np.asarray(wav))
+        except Exception as e:              # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i, g))
+               for i, g in enumerate(streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    return sum(totals)
+
+
+def bench_solo(tts, prompts, chunk: int, repeats: int) -> float:
+    def once():
+        return _drain_concurrent([
+            tts.synthesize_streaming('hello there.', pt, pc,
+                                     chunk_frames=chunk)
+            for pt, pc in prompts])
+    once()                                   # compile
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        once()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def bench_hub(tts, prompts, chunk: int, repeats: int,
+              batched_nar: bool) -> float:
+    from ..stream_hub import StreamHub
+    hub = StreamHub(tts, n_slots=len(prompts), chunk_frames=chunk,
+                    batched_nar=batched_nar)
+    try:
+        def once():
+            return _drain_concurrent([
+                hub.open('hello there.', pt, pc) for pt, pc in prompts])
+        once()                               # compile
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            once()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+    finally:
+        hub.stop()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split('\n')[0])
+    ap.add_argument('--sessions', type=int, default=4)
+    ap.add_argument('--steps', type=int, default=128)
+    ap.add_argument('--chunk', type=int, default=25)
+    ap.add_argument('--repeats', type=int, default=3)
+    ap.add_argument('--arms', default='solo,hub-solo-nar,hub')
+    args = ap.parse_args(argv)
+
+    tts = _tts(args.steps)
+    prompts = _prompts(args.sessions)
+    frames = args.sessions * args.steps
+    result: dict = {'sessions': args.sessions, 'steps': args.steps,
+                    'chunk': args.chunk}
+    for arm in args.arms.split(','):
+        t0 = time.perf_counter()
+        if arm == 'solo':
+            dt = bench_solo(tts, prompts, args.chunk, args.repeats)
+        elif arm == 'hub':
+            dt = bench_hub(tts, prompts, args.chunk, args.repeats, True)
+        elif arm == 'hub-solo-nar':
+            dt = bench_hub(tts, prompts, args.chunk, args.repeats, False)
+        else:
+            raise SystemExit(f'unknown arm {arm!r}')
+        result[arm] = {
+            'wall_s': round(dt, 3),
+            'frames_per_s': round(frames / dt, 1),
+            'audio_s_per_s': round(frames * FRAME_S / dt, 2),
+        }
+        print(f'{arm}: {dt:.2f} s for {frames} frames '
+              f'({result[arm]["frames_per_s"]} frames/s aggregate, '
+              f'{result[arm]["audio_s_per_s"]}x real time; '
+              f'compile+bench total {time.perf_counter() - t0:.0f} s)',
+              flush=True)
+    if 'solo' in result and 'hub' in result:
+        result['hub_vs_solo'] = round(
+            result['solo']['wall_s'] / result['hub']['wall_s'], 2)
+        print(f"hub vs solo: {result['hub_vs_solo']}x", flush=True)
+    print(json.dumps(result), flush=True)
+    return result
+
+
+if __name__ == '__main__':
+    main()
