@@ -203,6 +203,30 @@ class TestSpecInteractions:
         np.testing.assert_array_equal(np.asarray(got, np.int32), want)
 
 
+class TestSpecOnMesh:
+    def test_sharded_spec_decode_matches_unmeshed_plain(self):
+        """Speculative decode under the 8-way data shard_map (the multi-chip
+        serving path): per-item tokens must equal the UNMESHED PLAIN greedy
+        decode — speculation and meshing both bit-invisible."""
+        from valle2_tpu.parallel import make_mesh
+        mesh = make_mesh(data=8, model=1)
+        base = cfg(ignore_eos=True)
+        plain = ValleAR(base)
+        spec_cfg = dataclasses.replace(base, speculative_k=4)
+        meshed_spec = ValleAR(spec_cfg, params=plain.params, mesh=mesh)
+        rs = np.random.RandomState(9)
+        # 5 items: exercises the pad-to-axis-multiple path (5 -> 8 rows).
+        items = [(rs.randint(0, 24, (3 + i,)), rs.randint(0, 96, (2 + i, 8)))
+                 for i in range(5)]
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items])
+        got = meshed_spec.generate_batch([t for t, _ in items],
+                                         [c for _, c in items])
+        assert len(got) == 5
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 class TestNgramDraft:
     def test_draft_continues_latest_match(self):
         # Row: ... 5 6 [1 2 3] 9 8 ... 1 2 3  -> draft continues 9 8 after the
