@@ -152,9 +152,8 @@ class TestSpecGate:
         with pytest.raises(ValueError, match='num_beams'):
             _spec_gate(cfg(num_beams=2, speculative_k=4))
 
-    def test_gate_rejects_sampling(self):
-        with pytest.raises(ValueError, match='temperature'):
-            _spec_gate(cfg(temperature=1.0, speculative_k=4))
+    def test_gate_allows_sampling(self):
+        assert _spec_gate(cfg(temperature=1.0, speculative_k=4))
 
     def test_gate_rejects_forced_fused(self):
         with pytest.raises(ValueError, match='fused'):
@@ -162,6 +161,89 @@ class TestSpecGate:
 
     def test_gate_off_by_default(self):
         assert not _spec_gate(cfg())
+
+
+class TestSpecSampled:
+    """temperature > 0: rejection sampling must reproduce the plain loop's
+    output DISTRIBUTION exactly (bitwise parity is impossible — the rng draw
+    pattern differs by construction)."""
+
+    def test_dominant_model_sampled_matches_greedy(self):
+        """A near-deterministic model (one dominant token, +50 logits): the
+        sampled spec decode must emit the dominant token everywhere, like the
+        plain sampled loop — catches gross acceptance/forcing bugs without
+        statistics."""
+        base = cfg(ignore_eos=True, temperature=1.0, max_audio_len=12)
+        model = ValleAR(dataclasses.replace(base, speculative_k=4))
+        dom = 5
+        w = model.params['proj']['w']
+        b = jnp.zeros((w.shape[1],), w.dtype).at[dom].set(50.0)
+        model.params = {**model.params,
+                        'proj': {**model.params['proj'], 'b': b}}
+        rs = np.random.RandomState(7)
+        out = model.generate_batch([rs.randint(0, 24, (4,))],
+                                   [rs.randint(0, 96, (3, 8))], bucket=False)
+        row = np.asarray(out[0])
+        assert (row == dom).all(), row
+
+    @staticmethod
+    def _marginals(model, t, c, rows, seed):
+        """One batched decode of ``rows`` identical prompts = ``rows`` iid
+        sequence samples; per-position empirical marginals (T, vocab)."""
+        outs = model.generate_batch([t] * rows, [c] * rows, bucket=False,
+                                    rng=jax.random.key(seed))
+        # Output trimming strips sampled EOS ids, so rows vary in length; pad
+        # back with the EOS bucket (both arms trim identically, so marginals
+        # stay comparable).
+        T = model.config.max_audio_len
+        eos = model.eos_token
+        arr = np.stack([np.pad(np.asarray(o), (0, T - len(o)),
+                               constant_values=eos)[:T] for o in outs])
+        vocab = model.config.num_audio_tokens + 2
+        m = np.zeros((T, vocab))
+        for j in range(T):
+            np.add.at(m[j], arr[:, j], 1.0)
+        return m / arr.shape[0]
+
+    def test_sampled_distribution_matches_plain(self):
+        """Per-position total-variation distance between spec-sampled and
+        plain-sampled marginals must sit at the plain-vs-plain sampling-noise
+        level (512 iid sequences per arm, diffuse random-init logits — the
+        rejection path fires constantly)."""
+        base = cfg(ignore_eos=True, temperature=1.0, max_audio_len=4,
+                   num_audio_tokens=8, top_k=0)
+        plain = ValleAR(base)
+        spec = ValleAR(dataclasses.replace(base, speculative_k=3,
+                                           speculative_ngram=1),
+                       params=plain.params)
+        rs = np.random.RandomState(8)
+        t, c = rs.randint(0, 24, (4,)), rs.randint(0, 8, (3, 8))
+        rows = 512
+        m_plain = self._marginals(plain, t, c, rows, seed=1)
+        m_plain2 = self._marginals(plain, t, c, rows, seed=2)
+        m_spec = self._marginals(spec, t, c, rows, seed=3)
+        tv_noise = 0.5 * np.abs(m_plain - m_plain2).sum(axis=1)
+        tv_spec = 0.5 * np.abs(m_spec - m_plain).sum(axis=1)
+        # Same-distribution TV at n=512 over <=10 outcomes is ~0.05; a biased
+        # accept/residual would shift whole-token mass (TV >> 0.15).
+        assert tv_spec.max() < 0.15, (tv_spec, tv_noise)
+        assert tv_spec.max() < max(0.08, 3.0 * tv_noise.max()), \
+            (tv_spec, tv_noise)
+
+    def test_sampled_topk_filter_respected(self):
+        """top_k=1 sampling == greedy; the spec path must honor the filter
+        (a residual that ignored filtering would emit off-support tokens)."""
+        base = cfg(ignore_eos=True, temperature=1.0, top_k=1)
+        plain = ValleAR(dataclasses.replace(base, temperature=0.0))
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4),
+                       params=plain.params)
+        rs = np.random.RandomState(9)
+        items = [(rs.randint(0, 24, (4,)), rs.randint(0, 96, (3, 8)))]
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        got = spec.generate_batch([t for t, _ in items],
+                                  [c for _, c in items], bucket=False)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
 
 
 class TestSpecInteractions:

@@ -229,17 +229,27 @@ class ConfigValle:
                           'streaming sets this so first-audio latency stops '
                           'scaling with max_audio_len'},
     )
+    zero1: bool = field(
+        default=False,
+        metadata={'help': 'ZeRO stage 1: shard the optimizer state (adam '
+                          'moments, 2x params in f32) over the data axis — '
+                          'each chip holds 1/mesh_data of it; XLA turns the '
+                          'grad psum + shard slice into a reduce-scatter and '
+                          'all-gathers the updates over ICI. Bit-equivalent '
+                          'training (placement only); needs mesh_data > 1'},
+    )
     speculative_k: int = field(
         default=0,
         metadata={'help': 'N-gram (prompt-lookup) speculative decoding: verify '
                           'blocks of K tokens per step — 1 model-guaranteed '
                           'token + K-1 drafts continued from the most recent '
-                          'n-gram match in the tokens generated so far, '
-                          'accepted only where they equal the model\'s own '
-                          'greedy choice (bit-identical outputs, model-free '
-                          'drafting). Requires num_beams=1 and temperature=0; '
-                          '0 disables. Wins scale with token repetitiveness '
-                          '(silence/sustained sounds in codec streams)'},
+                          'n-gram match in the tokens generated so far. '
+                          'Greedy (temperature=0): bit-identical outputs. '
+                          'Sampled: exact rejection sampling — same output '
+                          'DISTRIBUTION as the plain loop, different rng '
+                          'draws. Requires num_beams=1; 0 disables. Wins '
+                          'scale with token repetitiveness (silence/'
+                          'sustained sounds in codec streams)'},
     )
     speculative_ngram: int = field(
         default=3,

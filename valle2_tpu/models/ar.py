@@ -34,7 +34,7 @@ from ..ops import (KVCache, add_positional, best_beam_index, embedding,
                    embedding_init, linear, linear_init, mask_to_bias,
                    prefix_lm_bias, sinusoidal_table, topk_sampling, transformer,
                    transformer_decode_step, transformer_init, transformer_prefill)
-from ..ops.masks import build_pad_mask
+from ..ops.masks import NEG_INF, build_pad_mask
 
 Params = dict[str, Any]
 
@@ -223,18 +223,19 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int) -> bool:
 
 def _spec_enabled(config: ConfigValle) -> bool:
     """True when the n-gram speculative decode path applies (see _spec_gate)."""
-    return (config.speculative_k >= 2 and config.num_beams == 1
-            and not (config.temperature and config.temperature > 0.0))
+    return config.speculative_k >= 2 and config.num_beams == 1
 
 
 def _spec_gate(config: ConfigValle) -> bool:
     """Validate + resolve the speculative-decoding request.
 
-    Speculative decoding is exact only for greedy single-beam decode: accepted
-    tokens are, by construction, the model's own argmax — sampling would need
-    rejection-sampling corrections that change the rng chain.  The verify pass
-    runs the XLA block step (a q-token ``transformer_decode_step``), so the
-    fused whole-stack Pallas kernel (one-token programs) is turned off.
+    Single-beam only (a best-of-N beam pick needs N independent sequences).
+    Greedy decode commits bit-identically to the plain loop; sampled decode
+    (temperature > 0) commits the exact plain-sampling DISTRIBUTION via
+    rejection sampling (different rng draw pattern — see
+    ``_decode_advance_spec``).  The verify pass runs the XLA block step (a
+    q-token ``transformer_decode_step``), so the fused whole-stack Pallas
+    kernel (one-token programs) is turned off.
     """
     k = config.speculative_k
     if k <= 0:
@@ -244,9 +245,6 @@ def _spec_gate(config: ConfigValle) -> bool:
                          'token plus at least one draft per verify block')
     if config.num_beams != 1:
         raise ValueError('speculative decoding requires num_beams == 1')
-    if config.temperature and config.temperature > 0.0:
-        raise ValueError('speculative decoding requires temperature == 0 '
-                         '(greedy): acceptance tests the model argmax')
     if config.use_fused_decode is True:
         raise ValueError('speculative decoding runs the XLA block-verify step; '
                          "use_fused_decode must be False or 'auto'")
@@ -478,18 +476,32 @@ def _decode_advance(params: Params, state: DecodeState, tl_f: jax.Array,
 def _decode_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
                          pl_f: jax.Array, config: ConfigValle,
                          ttm: int, pm: int) -> DecodeState:
-    """N-gram (prompt-lookup) speculative decode loop — greedy, full-length.
+    """N-gram (prompt-lookup) speculative decode loop — full-length.
 
     Each turn verifies a K-token block in ONE transformer pass: the model's
-    guaranteed next token (argmax of the carried logits) + K-1 drafts continued
+    guaranteed next token (from the carried logits) + K-1 drafts continued
     from the most recent earlier occurrence of the last ``speculative_ngram``
     generated tokens (model-free drafting — no draft network, no extra
-    training; vLLM calls this prompt lookup).  A draft position is accepted iff
-    it equals the model's own argmax at that position, so committed tokens are
-    bit-identical to plain greedy decode (tests/test_spec_decode.py) while each
-    verify pass costs ~one decode step (same cache-bandwidth bound; the K-wide
-    matmuls are marginal).  Speedup = mean accepted tokens per turn — scales
-    with codec-token repetitiveness (silence, sustained sounds).
+    training; vLLM calls this prompt lookup).  Each verify pass costs ~one
+    decode step (same cache-bandwidth bound; the K-wide matmuls are
+    marginal).  Speedup = mean accepted tokens per turn — scales with
+    codec-token repetitiveness (silence, sustained sounds).
+
+    - **Greedy** (temperature == 0): a draft position is accepted iff it
+      equals the model's own argmax there, so committed tokens are
+      bit-identical to plain greedy decode (tests/test_spec_decode.py).
+    - **Sampled** (temperature > 0): exact rejection sampling for a
+      point-mass draft — draft d at position j is accepted with probability
+      p_j(d) (the filtered/temperature-scaled model distribution), and on
+      the first rejection a replacement is drawn from the residual
+      ``p_j with d removed, renormalized``, which makes the committed
+      sequence distributed EXACTLY as plain sampled decode (distribution
+      equality, not bitwise — the rng draw pattern differs; pinned
+      statistically in tests).  The replacement's K/V was never written
+      (the cache holds the rejected draft's), so it commits via a FORCED
+      next turn: the carried logits become a one-hot at the replacement,
+      whose verify pass then writes the correct K/V.  Its logprob is
+      accumulated in the turn that drew it (the forced pick contributes 0).
 
     Rows advance by different amounts per turn, so ``state.step`` becomes a
     per-row (rows,) vector here (the per-row machinery continuous batching
@@ -516,11 +528,17 @@ def _decode_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
     def cond(carry):
         return jnp.any(~carry[0].finished)
 
+    sampled = bool(config.temperature and config.temperature > 0.0)
+    temp = float(config.temperature) if sampled else 1.0
+
     def turn(s: DecodeState) -> DecodeState:
-        rng, sample_rng = jax.random.split(s.rng)
+        # 4-way split regardless of mode (greedy ignores every sampling key,
+        # so the greedy bit-parity is unaffected by the chain shape).
+        rng, r_t0, r_acc, r_res = jax.random.split(s.rng, 4)
         alive = ~s.finished & (s.step < max_new)
-        # Guaranteed token from the carried logits (greedy; rng unused).
-        t0, lp0 = topk_sampling(sample_rng, s.logits, top_k=config.top_k,
+        # Guaranteed token from the carried logits (same draw the plain loop
+        # makes; a forced one-hot carry resolves to its token with prob 1).
+        t0, lp0 = topk_sampling(r_t0, s.logits, top_k=config.top_k,
                                 tok_p=config.tok_p,
                                 temperature=config.temperature)
         t0 = jnp.where(alive, t0, eos).astype(jnp.int32)
@@ -545,16 +563,36 @@ def _decode_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
             attn_buckets=config.decode_attn_buckets)
         flat = linear(params['proj'],
                       y.astype(jnp.float32)).reshape(rows * k_blk, -1)
-        g_tok, g_lp = topk_sampling(sample_rng, flat, top_k=config.top_k,
-                                    tok_p=config.tok_p,
-                                    temperature=config.temperature)
-        g_tok = g_tok.reshape(rows, k_blk).astype(jnp.int32)
-        g_lp = g_lp.reshape(rows, k_blk)
+        flat3 = flat.reshape(rows, k_blk, -1)
+        vocab = flat3.shape[-1]
 
-        # Commit length c: t0 + the consecutive drafts matching the argmax,
-        # truncated at the first committed EOS and at the max_new budget.
-        match = (block[:, 1:] == g_tok[:, :-1]).astype(jnp.int32)
-        c = jnp.cumprod(match, axis=1).sum(axis=1) + 1               # 1..K
+        if not sampled:
+            # Greedy acceptance: draft == the model's own argmax there.
+            g_tok, g_lp = topk_sampling(r_acc, flat, top_k=config.top_k,
+                                        tok_p=config.tok_p,
+                                        temperature=config.temperature)
+            g_tok = g_tok.reshape(rows, k_blk).astype(jnp.int32)
+            g_lp = g_lp.reshape(rows, k_blk)
+            match = (block[:, 1:] == g_tok[:, :-1]).astype(jnp.int32)
+            lp_blk = jnp.concatenate([lp0[:, None], g_lp[:, :-1]], axis=1)
+        else:
+            # Rejection sampling for a point-mass draft: accept d_j with
+            # probability p_j(d_j) under the filtered temperature-scaled
+            # model distribution (position j scored by verify logits j-1).
+            from ..ops.sampling import top_k_top_p_filter
+            filt = top_k_top_p_filter(flat3 / temp, config.top_k,
+                                      config.tok_p)               # (r, K, V)
+            logp = jax.nn.log_softmax(filt, axis=-1)
+            lp_draft = jnp.take_along_axis(
+                logp[:, :-1], block[:, 1:, None], axis=-1)[..., 0]  # (r, K-1)
+            u = jax.random.uniform(r_acc, lp_draft.shape)
+            match = (jnp.log(u) < lp_draft).astype(jnp.int32)
+            lp_blk = jnp.concatenate([lp0[:, None], lp_draft], axis=1)
+        c_acc = jnp.cumprod(match, axis=1).sum(axis=1) + 1           # 1..K
+
+        # Commit length c: truncate the accepted run at the first committed
+        # EOS and at the max_new budget.
+        c = c_acc
         if not config.ignore_eos:
             is_eos = block == eos
             first_eos = jnp.argmax(is_eos, axis=1)
@@ -565,7 +603,6 @@ def _decode_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
 
         # Per-token logprobs exactly as the plain loop accumulates them:
         # block[0] scored by the carried logits, block[j] by position j-1.
-        lp_blk = jnp.concatenate([lp0[:, None], g_lp[:, :-1]], axis=1)
         sum_logprobs = s.sum_logprobs + jnp.sum(lp_blk * take, axis=1)
 
         codes_new = jax.vmap(lambda row, vals, i: jax.lax.dynamic_update_slice(
@@ -576,9 +613,39 @@ def _decode_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
             committed_eos = jnp.any((block == eos) & take, axis=1)
             finished = finished | committed_eos
         ci = jnp.clip(c - 1, 0, k_blk - 1)[:, None, None]
-        logits_next = jnp.take_along_axis(
-            flat.reshape(rows, k_blk, -1), ci, axis=1)[:, 0]
+        logits_next = jnp.take_along_axis(flat3, ci, axis=1)[:, 0]
         logits_next = jnp.where((c > 0)[:, None], logits_next, s.logits)
+
+        if sampled:
+            # Residual resample at the first rejected position (block index
+            # c_acc, scored by verify logits c_acc-1): draw from the filtered
+            # distribution with the rejected draft removed — together with
+            # the acceptance rule this makes each committed token exactly
+            # p-distributed.  The replacement's K/V is NOT in the cache (the
+            # draft's is), so it commits via a forced one-hot carry: next
+            # turn's t0 resolves to it with probability 1 (logprob 0 — its
+            # true logprob is accumulated here) and the verify pass rewrites
+            # slot step+c with the correct K/V.
+            prev = jnp.clip(c_acc - 1, 0, k_blk - 1)
+            filt_prev = jnp.take_along_axis(
+                filt, prev[:, None, None], axis=1)[:, 0]         # (rows, V)
+            d_rej = jnp.take_along_axis(
+                block, jnp.clip(c_acc, 0, k_blk - 1)[:, None], axis=1)[:, 0]
+            resid = jnp.where(jnp.arange(vocab)[None, :] == d_rej[:, None],
+                              NEG_INF, filt_prev)
+            x_new = jax.random.categorical(r_res, resid, axis=-1) \
+                .astype(jnp.int32)
+            lp_new = jnp.take_along_axis(
+                jnp.take_along_axis(logp, prev[:, None, None], axis=1)[:, 0],
+                x_new[:, None], axis=1)[:, 0]
+            # Force only when the commit ended by REJECTION (not EOS/budget)
+            # and the row keeps decoding.
+            do_force = alive & (c_acc < k_blk) & (c == c_acc) & ~finished
+            sum_logprobs = sum_logprobs + jnp.where(do_force, lp_new, 0.0)
+            force_row = jnp.where(jnp.arange(vocab)[None, :] == x_new[:, None],
+                                  0.0, NEG_INF)
+            logits_next = jnp.where(do_force[:, None], force_row, logits_next)
+
         return DecodeState(step_new, codes_new, logits_next, cache,
                            sum_logprobs, finished, rng)
 

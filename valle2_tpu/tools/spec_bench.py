@@ -37,12 +37,13 @@ import time
 import numpy as np
 
 
-def _model(scale: str, steps: int, spec_k: int = 0, dominant: int | None = None):
+def _model(scale: str, steps: int, spec_k: int = 0, dominant: int | None = None,
+           temperature: float = 0.0):
     import jax.numpy as jnp
     from ..config import ConfigValle
     from ..models.ar import ValleAR
 
-    kw = dict(dtype='bfloat16', temperature=0.0, num_beams=1,
+    kw = dict(dtype='bfloat16', temperature=temperature, num_beams=1,
               max_audio_len=steps, ignore_eos=True, dropout=0.0,
               speculative_k=spec_k)
     if scale == 'large':
@@ -97,6 +98,10 @@ def main(argv=None):
     ap.add_argument('--k', type=int, default=4)
     ap.add_argument('--ngram', type=int, default=3)
     ap.add_argument('--scale', choices=('default', 'large'), default='default')
+    ap.add_argument('--temperature', type=float, default=0.0,
+                    help='0 = greedy (bit-identical spec); >0 = sampled '
+                         '(rejection sampling, distribution-exact). The '
+                         'turn counter only reads out on the greedy path.')
     args = ap.parse_args(argv)
 
     rs = np.random.RandomState(0)
@@ -104,14 +109,15 @@ def main(argv=None):
     codes = rs.randint(0, 1024, (75, 8))
     result: dict = {'steps': args.steps, 'k': args.k, 'scale': args.scale}
 
-    plain = _model(args.scale, args.steps)
+    plain = _model(args.scale, args.steps, temperature=args.temperature)
     t_plain = _decode_timed(plain, tokens, codes)
     result['plain_tok_s'] = round(args.steps / t_plain, 1)
     print(f'plain greedy: {t_plain * 1e3:.1f} ms '
           f'({result["plain_tok_s"]} tok/s)', flush=True)
 
     for arm, dom in (('natural', None), ('repetitive', 7)):
-        spec = _model(args.scale, args.steps, spec_k=args.k, dominant=dom)
+        spec = _model(args.scale, args.steps, spec_k=args.k, dominant=dom,
+                      temperature=args.temperature)
         spec.config = dataclasses.replace(spec.config,
                                           speculative_ngram=args.ngram)
         t = _decode_timed(spec, tokens, codes)
