@@ -470,6 +470,108 @@ class TestDataParallelEquivalence:
         assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
 
 
+class TestZero1:
+    """config.zero1: optimizer state sharded over the data axis (ZeRO stage 1)
+    — placement only, the training math must be unchanged."""
+
+    @staticmethod
+    def _batch(seed, b=8):
+        rs = np.random.RandomState(seed)
+        return {
+            'tokens': jnp.asarray(rs.randint(0, 255, (b, 6))),
+            'tokens_lens': jnp.asarray([6] * b),
+            'codes': jnp.asarray(rs.randint(0, 1024, (b, 10))),
+            'codes_lens': jnp.asarray([10] * b),
+            'target': jnp.asarray(rs.randint(0, 1024, (b, 10))),
+        }
+
+    def test_zero1_matches_replicated_and_stays_sharded(self):
+        from valle2_tpu.parallel import make_mesh, shard_batch, shard_params
+        mesh = make_mesh(data=8, model=1)
+        cfg_rep = tiny_cfg(batch_size=8)
+        cfg_z = tiny_cfg(batch_size=8, zero1=True)
+        rng = jax.random.key(3)
+
+        def run(cfg):
+            s = init_state(cfg, 'ValleAR', jax.random.key(0))
+            s = TrainState(shard_params(mesh, s.params),
+                           shard_params(mesh, s.opt_state, zero1=cfg.zero1),
+                           s.step)
+            step = make_train_step(cfg, 'ValleAR', mesh)
+            for i in range(3):
+                s, m = step(s, shard_batch(mesh, self._batch(i)), rng)
+            return s, m
+
+        s_rep, m_rep = run(cfg_rep)
+        s_z, m_z = run(cfg_z)
+        assert abs(float(m_rep['loss']) - float(m_z['loss'])) < 2e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            s_rep.params, s_z.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
+        # The adam moments must still be data-sharded AFTER the steps (the
+        # with_sharding_constraint pins the compiled output placement).
+        flat = jax.tree_util.tree_flatten_with_path(s_z.opt_state)[0]
+        mu_qkv = [leaf for path, leaf in flat
+                  if 'mu' in str(path) and 'qkv' in str(path)]
+        assert mu_qkv, 'no adam mu leaf found in opt_state'
+        assert any('data' in str(leaf.sharding.spec) for leaf in mu_qkv), \
+            [str(leaf.sharding.spec) for leaf in mu_qkv]
+        # And the replicated arm's moments must NOT be data-sharded.
+        flat_r = jax.tree_util.tree_flatten_with_path(s_rep.opt_state)[0]
+        mu_r = [leaf for path, leaf in flat_r
+                if 'mu' in str(path) and 'qkv' in str(path)]
+        assert all('data' not in str(leaf.sharding.spec) for leaf in mu_r)
+
+    def test_zero1_with_tensor_parallel_mesh(self):
+        """4x2 mesh: moments sharded over BOTH axes (model on the Megatron dim,
+        data on a free dim) and the math still matches the unsharded step."""
+        from valle2_tpu.parallel import make_mesh, shard_batch, shard_params
+        cfg = tiny_cfg(batch_size=4, zero1=True)
+        batch = self._batch(11, b=4)
+        rng = jax.random.key(7)
+        s_single = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_single, m_single = make_train_step(
+            tiny_cfg(batch_size=4), 'ValleAR')(s_single, batch, rng)
+
+        mesh = make_mesh(data=4, model=2)
+        s_mesh = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_mesh = TrainState(shard_params(mesh, s_mesh.params),
+                            shard_params(mesh, s_mesh.opt_state, zero1=True),
+                            s_mesh.step)
+        s_mesh, m_mesh = make_train_step(cfg, 'ValleAR', mesh)(
+            s_mesh, shard_batch(mesh, batch), rng)
+        assert abs(float(m_single['loss']) - float(m_mesh['loss'])) < 2e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            s_single.params, s_mesh.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
+
+    def test_zero1_checkpoint_roundtrip(self, tmp_path):
+        """A zero1-sharded state saves and restores (cross-mesh logic reads
+        host arrays, then re-places with the zero1 rules)."""
+        from valle2_tpu.parallel import make_mesh, shard_params
+        cfg = tiny_cfg(tmp_path, batch_size=8, zero1=True)
+        mesh = make_mesh(data=8, model=1)
+        trainer = Trainer(cfg, 'ValleAR', mesh=mesh, use_tensorboard=False)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state = TrainState(shard_params(mesh, state.params),
+                           shard_params(mesh, state.opt_state, zero1=True),
+                           jnp.int32(5))
+        trainer.save_checkpoint(state)
+        path = trainer.latest_checkpoint()
+        fresh = init_state(cfg, 'ValleAR', jax.random.key(1))
+        restored = trainer.restore_checkpoint(fresh, path)
+        assert int(restored.step) == 5
+        flat = jax.tree_util.tree_flatten_with_path(restored.opt_state)[0]
+        mu = [leaf for p, leaf in flat if 'mu' in str(p) and 'qkv' in str(p)]
+        assert any('data' in str(leaf.sharding.spec) for leaf in mu)
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            state.params, restored.params)
+        assert max(jax.tree.leaves(diffs)) == 0.0
+
+
 class TestFitAccounting:
     def _loader(self, cfg, size=8):
         collate = get_collate('ValleAR')(cfg)

@@ -82,12 +82,42 @@ def _param_spec(path: tuple, leaf, model_size: int) -> P:
     return P(*([None] * ndim))               # replicate
 
 
-def param_sharding(mesh: Mesh, params: Params) -> Params:
-    """NamedSharding pytree for a model's params under the Megatron-style rules."""
+def _zero1_extend(spec: P, shape, data_size: int) -> P:
+    """Additionally shard the first free (un-sharded) axis divisible by the
+    'data' axis size — the ZeRO-1 placement for optimizer-state leaves.
+
+    AdamW's update is elementwise, so ANY axis works; the first divisible one
+    keeps the rule deterministic.  Leaves with no divisible free axis (norm
+    scales, biases, scalars) stay as-is — they are the tiny tail."""
+    if data_size <= 1:
+        return spec
+    spec_l = list(spec) + [None] * (len(shape) - len(spec))
+    for i, dim in enumerate(shape):
+        if spec_l[i] is None and dim >= data_size and dim % data_size == 0:
+            spec_l[i] = 'data'
+            return P(*spec_l)
+    return spec
+
+
+def param_sharding(mesh: Mesh, params: Params, zero1: bool = False) -> Params:
+    """NamedSharding pytree for a model's params under the Megatron-style rules.
+
+    ``zero1=True`` (optimizer-state trees only): every leaf is ADDITIONALLY
+    sharded over 'data' on its first free divisible axis — ZeRO stage 1.  The
+    adam moments (2x params in f32) then cost 1/data_size per device; XLA
+    reshards the psum'd grads down to the shard (a slice) and all-gathers the
+    updates back to the replicated params, both over ICI.  Never apply to the
+    params themselves (the forward pass wants them replicated over 'data')."""
     model_size = mesh.shape.get('model', 1)
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf, model_size)),
-        params)
+    data_size = mesh.shape.get('data', 1) if zero1 else 1
+
+    def spec_for(path, leaf):
+        spec = _param_spec(path, leaf, model_size)
+        if zero1:
+            spec = _zero1_extend(spec, np.shape(leaf), data_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -113,9 +143,11 @@ def device_put_global(value, sharding: NamedSharding):
     return jax.make_array_from_single_device_arrays(shape, sharding, shards)
 
 
-def shard_params(mesh: Mesh, params: Params) -> Params:
-    """Place params according to the sharding rules."""
-    return jax.tree.map(device_put_global, params, param_sharding(mesh, params))
+def shard_params(mesh: Mesh, params: Params, zero1: bool = False) -> Params:
+    """Place params (or an optimizer-state tree — see ``zero1``) according to
+    the sharding rules."""
+    return jax.tree.map(device_put_global, params,
+                        param_sharding(mesh, params, zero1=zero1))
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:

@@ -94,12 +94,15 @@ def init_state(config: ConfigValle, model_name: str, rng: jax.Array) -> TrainSta
 def make_train_step(config: ConfigValle, model_name: str, mesh=None):
     """Build the jitted (state, batch, rng) → (state, metrics) update.
 
-    ``mesh`` is accepted for signature stability but unused: placement is
-    fully declarative — params/batches arrive pre-placed by shard_params /
-    shard_batch and GSPMD propagates the shardings through the step."""
-    del mesh
+    Placement is fully declarative — params/batches arrive pre-placed by
+    shard_params / shard_batch and GSPMD propagates the shardings through the
+    step.  ``mesh`` is only consulted for ``config.zero1``: the updated
+    optimizer state is then explicitly constrained back to its ZeRO-1
+    placement, so the compiled step cannot silently replicate it."""
     loss_fn = LOSS_FNS[model_name]
     tx = make_optimizer(config)
+    zero1 = bool(config.zero1) and mesh is not None \
+        and mesh.shape.get('data', 1) > 1
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -107,6 +110,11 @@ def make_train_step(config: ConfigValle, model_name: str, mesh=None):
             grads, metrics = jax.grad(
                 lambda p: loss_fn(p, config, batch, step_rng), has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if zero1:
+            from .parallel import param_sharding
+            opt_state = jax.tree.map(
+                jax.lax.with_sharding_constraint, opt_state,
+                param_sharding(mesh, opt_state, zero1=True))
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         # NOTE: per-MICRO-batch gradient norm; under grad_accum > 1 the
@@ -260,7 +268,8 @@ class Trainer:
         params, opt_state = restored['params'], restored['opt_state']
         if self.mesh is not None:
             params = shard_params(self.mesh, params)
-            opt_state = shard_params(self.mesh, opt_state)
+            opt_state = shard_params(self.mesh, opt_state,
+                                     zero1=self.config.zero1)
         return TrainState(params, opt_state, jnp.asarray(restored['step']))
 
     def latest_checkpoint(self) -> Path | None:
@@ -287,9 +296,12 @@ class Trainer:
                 log_info('Resumed from %s (step %d)', latest, int(state.step))
         if self.mesh is not None:
             # Optimizer-state leaves mirror the param tree (adam mu/nu), so the same
-            # path-suffix sharding rules apply; unmatched leaves replicate.
+            # path-suffix sharding rules apply; unmatched leaves replicate —
+            # or, with config.zero1, shard over 'data' (ZeRO stage 1).
             state = TrainState(shard_params(self.mesh, state.params),
-                               shard_params(self.mesh, state.opt_state), state.step)
+                               shard_params(self.mesh, state.opt_state,
+                                            zero1=self.config.zero1),
+                               state.step)
 
         t_start = time.time()
         frames = 0
