@@ -285,6 +285,46 @@ class TestSpecInteractions:
         np.testing.assert_array_equal(np.asarray(got, np.int32), want)
 
 
+class TestSpecPipeline:
+    def test_fused_tts_pipeline_with_spec_matches_plain(self):
+        """The fused single-dispatch TTS pipeline routes through _decode_fn,
+        so speculative_k applies inside it: greedy waveforms must be
+        bit-identical to the plain config (same AR tokens -> same NAR ->
+        same codec)."""
+        from valle2_tpu.config import ConfigValle
+        from valle2_tpu.tts import ValleTTS
+        base = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64,
+                           num_layers=2, max_audio_len=10, num_beams=1,
+                           dropout=0.0, temperature=0.0,
+                           bucket_sizes=(16, 32))
+        plain = ValleTTS(base)
+        spec = ValleTTS(dataclasses.replace(base, speculative_k=3),
+                        ar=ValleAR(dataclasses.replace(base, speculative_k=3),
+                                   params=plain.ar.params),
+                        nar=plain.nar, codec=plain.codec)
+        rs = np.random.RandomState(12)
+        pt, pc = rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8))
+        want = plain.synthesize_fused('hello there.', pt, pc)
+        got = spec.synthesize_fused('hello there.', pt, pc)
+        np.testing.assert_array_equal(got.waveform, want.waveform)
+
+    def test_int8_weights_with_spec_matches_plain_int8(self):
+        """speculative decode over the int8 weight-quantized view: greedy
+        tokens must equal the plain int8 decode (the q-block step runs the
+        same quantized linears)."""
+        base = cfg(ignore_eos=True, weight_dtype='int8')
+        plain = ValleAR(base)
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4),
+                       params=plain.params)
+        rs = np.random.RandomState(13)
+        items = [(rs.randint(0, 24, (4,)), rs.randint(0, 96, (3, 8)))]
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        got = spec.generate_batch([t for t, _ in items],
+                                  [c for _, c in items], bucket=False)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+
+
 class TestSpecOnMesh:
     def test_sharded_spec_decode_matches_unmeshed_plain(self):
         """Speculative decode under the 8-way data shard_map (the multi-chip
