@@ -202,19 +202,49 @@ class TestContinuousDecoder:
         np.testing.assert_array_equal(np.asarray(got_a, np.int32), want_a)
         np.testing.assert_array_equal(np.asarray(got_b, np.int32), want_b)
 
-    def test_sampled_mode_runs(self):
-        """temperature > 0: no solo parity promise (shared rng chain — see the
-        module docstring), but the loop must run, emit valid ids, and
-        terminate."""
+    def test_sampled_equals_solo(self):
+        """temperature > 0: per-row rng chains make SAMPLED sessions
+        bit-identical to their solo decode too (each row consumes exactly the
+        solo split-per-step sequence while active)."""
         model = ValleAR(tiny_cfg(temperature=1.0, top_k=50), seed=7)
-        cb = ContinuousDecoder(model, n_slots=2)
-        prompts = self._prompts(2, seed=21)
-        slots = [cb.join(t, c) for t, c in prompts]
+        prompts = self._prompts(3, seed=21)
+        keys = [jax.random.key(100 + i) for i in range(3)]
+        want = [np.asarray(model.generate(t, c, rng=k))
+                for (t, c), k in zip(prompts, keys)]
+        cb = ContinuousDecoder(model, n_slots=3)
+        slots = [cb.join(t, c, rng=k) for (t, c), k in zip(prompts, keys)]
         got = drain(cb, slots)
-        eos = model.eos_token
-        for s in slots:
-            assert got[s].ndim == 1 and len(got[s]) <= model.config.max_audio_len
-            assert np.all((got[s] >= 0) & (got[s] < eos))
+        for s, w in zip(slots, want):
+            np.testing.assert_array_equal(got[s], w)
+
+    def test_sampled_staggered_join_and_slot_reuse(self):
+        """Sampled parity survives mid-flight joins and slot reuse: the
+        session's chain is its own (adopted at insert), never the previous
+        occupant's or the co-tenants'."""
+        model = ValleAR(tiny_cfg(temperature=1.0, top_k=50), seed=8)
+        prompts = self._prompts(3, seed=31)
+        keys = [jax.random.key(200 + i) for i in range(3)]
+        want = [np.asarray(model.generate(t, c, rng=k))
+                for (t, c), k in zip(prompts, keys)]
+        cb = ContinuousDecoder(model, n_slots=2)
+        s0 = cb.join(*prompts[0], rng=keys[0])
+        got0 = list(cb.advance(5).get(s0, []))
+        s1 = cb.join(*prompts[1], rng=keys[1])
+        got1 = []
+        while not cb.finished(s0):
+            out = cb.advance(4)
+            got0.extend(out.get(s0, []))
+            got1.extend(out.get(s1, []))
+        cb.release(s0)
+        s2 = cb.join(*prompts[2], rng=keys[2])     # reuses slot s0
+        got2 = []
+        while not (cb.finished(s1) and cb.finished(s2)):
+            out = cb.advance(4)
+            got1.extend(out.get(s1, []))
+            got2.extend(out.get(s2, []))
+        np.testing.assert_array_equal(np.asarray(got0, np.int32), want[0])
+        np.testing.assert_array_equal(np.asarray(got1, np.int32), want[1])
+        np.testing.assert_array_equal(np.asarray(got2, np.int32), want[2])
 
     def test_int8_kv_cache_runs(self):
         """Quantized KV cache: per-row writes cover the scale planes too."""

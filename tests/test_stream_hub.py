@@ -160,6 +160,45 @@ class TestStreamHub:
         finally:
             hub.stop()
 
+    def test_sampled_hub_stream_equals_solo(self):
+        """temperature > 0 with per-session rng: hub AR sampling draws the
+        solo stream's exact chain, so with per-session NAR refinement
+        (batched_nar=False) the waveform is bit-identical to solo streaming.
+        (The batched-NAR default refines sampled NAR stages from the hub
+        chain — AR tokens still solo-exact, NAR draws differ; documented.)"""
+        tts = ValleTTS(tiny_cfg(temperature=1.0, top_k=50))
+        rs = np.random.RandomState(5)
+        prompts = [(rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8)))
+                   for _ in range(2)]
+        keys = [jax.random.key(40 + i) for i in range(2)]
+        want = [collect(tts.synthesize_streaming(
+            'hello there.', pt, pc, chunk_frames=4, rng=k))
+            for (pt, pc), k in zip(prompts, keys)]
+        hub = StreamHub(tts, n_slots=2, chunk_frames=4, batched_nar=False)
+        try:
+            got = [None, None]
+            errs = []
+
+            def run(i):
+                try:
+                    pt, pc = prompts[i]
+                    got[i] = collect(hub.open('hello there.', pt, pc,
+                                              rng=keys[i]))
+                except Exception as e:      # noqa: BLE001
+                    errs.append(e)
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert not errs, errs
+            for w, g in zip(want, got):
+                np.testing.assert_array_equal(g, w)
+        finally:
+            hub.stop()
+
     def test_oversized_prompt_rejected(self, tts):
         hub = StreamHub(tts, n_slots=1, ttm=8, pm=8)
         try:

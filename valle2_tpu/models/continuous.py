@@ -22,11 +22,12 @@ Semantics:
 - All slots share one static geometry (ttm, pm, max_audio_len) — prompts pad
   up to it, masks make the padding invisible (same invariant the batched
   decode relies on).  One compiled program serves every occupancy.
-- **Greedy (temperature=0) tokens are bit-identical to the solo decode** for
+- **Tokens are bit-identical to the solo decode — greedy AND sampled** — for
   every session regardless of join order / co-tenants (tested,
-  tests/test_continuous.py).  Sampled decode draws from a shared per-step rng
-  chain, so samples depend on join timing (documented; same class of
-  non-determinism as any dynamic batcher).
+  tests/test_continuous.py).  Each row carries its own rng chain (seeded by
+  ``join(rng=…)``) and consumes exactly the solo stream's split-per-step
+  sequence while active, so even temperature>0 sessions reproduce their solo
+  draws — a determinism property dynamic batchers usually give up.
 - A finished (or empty) row is an exact no-op: its sampled token is forced
   EOS, its step does not advance, its statistics freeze.  Its cache row does
   keep absorbing the frozen position's k/v write (a dynamic_update_slice must
@@ -87,10 +88,22 @@ def _cb_advance(params: Params, state: DecodeState, tl_f: jax.Array,
     def one_step(s: DecodeState) -> DecodeState:
         steps = s.step                                    # (rows,) int32
         active = (~s.finished) & (steps < max_new)
-        rng, sample_rng = jax.random.split(s.rng)
-        samples, logprobs = topk_sampling(
-            sample_rng, s.logits, top_k=config.top_k, tok_p=config.tok_p,
-            temperature=config.temperature)
+        # PER-ROW rng chains (s.rng is a (rows,) key vector): each session
+        # consumes exactly the split-per-step sequence its solo DecodeStream
+        # would, and only while it is active — so SAMPLED sessions emit
+        # bit-identical tokens to their solo decode regardless of join order
+        # or co-tenants, same as greedy (tests/test_continuous.py).  Inactive
+        # rows' chains freeze (a solo stream stops splitting when it exits).
+        keys = jax.vmap(lambda kk: jax.random.split(kk, 2))(s.rng)
+        rng_next = jnp.where(active, keys[:, 0], s.rng)
+
+        def one_row_sample(kk, lg):
+            smp, lp = topk_sampling(kk, lg[None], top_k=config.top_k,
+                                    tok_p=config.tok_p,
+                                    temperature=config.temperature)
+            return smp[0], lp[0]
+
+        samples, logprobs = jax.vmap(one_row_sample)(keys[:, 1], s.logits)
         sum_logprobs = s.sum_logprobs + logprobs * active
         samples = jnp.where(active, samples.astype(jnp.int32), eos)
         if config.ignore_eos:    # benchmarking: fixed-length decode (ar.py parity)
@@ -122,7 +135,7 @@ def _cb_advance(params: Params, state: DecodeState, tl_f: jax.Array,
         # (Finished rows' logits are discarded anyway; the where is ~free.)
         logits = jnp.where(active[:, None], logits, s.logits)
         return DecodeState(steps + active, codes_new, logits, cache,
-                           sum_logprobs, finished, rng)
+                           sum_logprobs, finished, rng_next)
 
     unroll = max(1, config.decode_unroll)
 
@@ -156,6 +169,9 @@ def _cb_insert(state: DecodeState, tl_f: jax.Array, pl_f: jax.Array,
     codes = jax.lax.dynamic_update_slice(state.codes, row.codes, (slot, zero))
     logits = jax.lax.dynamic_update_slice(state.logits, row.logits,
                                           (slot, zero))
+    # Adopt the session's OWN rng chain (the prefill stores the caller key):
+    # sampled decode then draws exactly what the solo stream would.
+    rng = state.rng.at[slot].set(row.rng)
     new_state = DecodeState(
         step=state.step.at[slot].set(0),
         codes=codes, logits=logits, cache=cache,
@@ -166,7 +182,7 @@ def _cb_insert(state: DecodeState, tl_f: jax.Array, pl_f: jax.Array,
         # session's chunk cadence from the solo streaming path (the hub's
         # parity surface: emission/refinement depths must match solo).
         finished=state.finished.at[slot].set(True),
-        rng=state.rng)
+        rng=rng)
     return (new_state, tl_f.at[slot].set(row_tl[0]),
             pl_f.at[slot].set(row_pl[0]))
 
@@ -282,7 +298,9 @@ class ContinuousDecoder:
             cache=cache,
             sum_logprobs=jnp.zeros((n_slots,), jnp.float32),
             finished=jnp.ones((n_slots,), bool),
-            rng=jnp.asarray(rng))
+            # (rows,) PER-ROW key chains; each insert overwrites its slot with
+            # the session's own key (solo sampling parity — see _cb_advance).
+            rng=jax.random.split(jnp.asarray(rng), n_slots))
         self._tl = jnp.zeros((n_slots,), jnp.int32)
         self._pl = jnp.zeros((n_slots,), jnp.int32)
 
@@ -312,11 +330,18 @@ class ContinuousDecoder:
         with self._lock:
             return sum(s is None for s in self._sessions)
 
-    def join(self, tokens, prompt_codes, start: bool = True) -> int:
+    def join(self, tokens, prompt_codes, start: bool = True,
+             rng: jax.Array | None = None) -> int:
         """Prefill a session (tokens: (Tt,) source ids incl. target text;
         prompt_codes: (Tp, num_quantizers)) and claim a free slot.  Returns
         the slot id; raises BatcherFull when every row is occupied, and
         ValueError when the prompt exceeds the shared geometry.
+
+        ``rng`` seeds this session's PER-ROW sampling chain (default
+        ``key(config.seed)``): sampled decode draws exactly what a solo
+        ``DecodeStream`` seeded with the same key would, so outputs are
+        bit-identical to the solo path for greedy AND sampled decode,
+        independent of join order and co-tenants.
 
         The slot is *pending* (invisible to ``advance``) from claim until the
         row insert lands — a concurrent ``advance`` must neither read the
@@ -347,15 +372,16 @@ class ContinuousDecoder:
             self._sessions[slot] = {'emitted': 0, 'finished': False,
                                     'pending': True}
         try:
-            # Any key works here: _decode_prefill only STORES the rng (sampling
-            # happens in advance), and the joint state keeps its own chain —
-            # and self._state leaves must not be read outside the lock (advance
-            # donates them).
+            # The prefill STORES the rng; _cb_insert adopts it as this row's
+            # sampling chain (self._state leaves must not be read outside the
+            # lock — advance donates them).
+            if rng is None:
+                rng = jax.random.key(self.config.seed)
             row, row_tl, row_pl = self._ar._prefill_jit(
                 self._ar.decode_params, tokens_pad,
                 jnp.asarray([len(tokens)], jnp.int32), codes_pad,
                 jnp.asarray([len(codes0)], jnp.int32),
-                jax.random.key(self.config.seed))
+                jnp.asarray(rng))
             if self._use_fused:
                 # Prefill runs unfused (rows=1): convert its standard-layout
                 # cache row to the joint head-major layout.  The row's cache

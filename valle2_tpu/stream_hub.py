@@ -24,10 +24,11 @@ cadence/refinement depths match solo exactly — greedy AR tokens and NAR
 codes are bit-identical to the solo streaming path, and the waveform matches
 to float32 round-off (measured max |Δ| ≤ 6e-8: the joint-batch codec decode
 reassociates reductions; tests/test_stream_hub.py pins both).  Sampled
-(temperature>0) NAR draws from the hub's shared rng chain, the same
-documented dynamic-batching trade as the AR loop (models/continuous.py).
-``batched_nar=False`` restores per-session ``_ChunkEmitter`` refinement
-(bit-identical waveforms).
+(temperature>0) sessions keep their OWN AR sampling chains (per-row rng in
+models/continuous.py), so AR tokens stay solo-exact even when sampling; with
+``batched_nar=False`` the sampled WAVEFORM is bit-identical to solo streaming
+too (tested), while the batched-NAR default draws the NAR stage samples from
+the hub's chain (greedy NAR is unaffected — argmax).
 
 No reference counterpart: the reference has no serving or streaming at all
 (SURVEY §1; its inference is a host-driven batch-1 loop,
@@ -151,7 +152,7 @@ class StreamHub:
         if rng is None:
             rng = jax.random.key(self.tts.config.seed)
         import jax.numpy as jnp
-        _rng_ar, rng_nar = jax.random.split(jnp.asarray(rng))
+        rng_ar, rng_nar = jax.random.split(jnp.asarray(rng))
 
         tokens = np.concatenate([np.asarray(prompt_tokens, np.int32),
                                  self.tts.tokenizer(text)])
@@ -168,7 +169,7 @@ class StreamHub:
         # session's state (spurious instant done) or deliver tokens nobody is
         # routing yet (dropped chunks / lost done signal; caught by
         # tests/test_stream_hub.py::test_lifecycle_stress_staggered_cycles).
-        slot = self.cb.join(tokens, pcodes, start=False)
+        slot = self.cb.join(tokens, pcodes, start=False, rng=rng_ar)
         sess = _Session(slot, int(lookahead_frames),
                         self.tts.config.max_audio_len)
         with self._wake:
