@@ -331,7 +331,7 @@ class ContinuousDecoder:
             return sum(s is None for s in self._sessions)
 
     def join(self, tokens, prompt_codes, start: bool = True,
-             rng: jax.Array | None = None) -> int:
+             rng: jax.Array | None = None, tag: Any = None) -> int:
         """Prefill a session (tokens: (Tt,) source ids incl. target text;
         prompt_codes: (Tp, num_quantizers)) and claim a free slot.  Returns
         the slot id; raises BatcherFull when every row is occupied, and
@@ -342,6 +342,10 @@ class ContinuousDecoder:
         ``DecodeStream`` seeded with the same key would, so outputs are
         bit-identical to the solo path for greedy AND sampled decode,
         independent of join order and co-tenants.
+
+        ``tag``: opaque caller identity returned by ``advance(tags=True)`` —
+        lets a driver route output to the session object that owned the row
+        DURING the advance, immune to release/re-join races on the slot id.
 
         The slot is *pending* (invisible to ``advance``) from claim until the
         row insert lands — a concurrent ``advance`` must neither read the
@@ -370,7 +374,7 @@ class ContinuousDecoder:
             if slot is None:
                 raise BatcherFull(f'all {self.n_slots} slots busy')
             self._sessions[slot] = {'emitted': 0, 'finished': False,
-                                    'pending': True}
+                                    'pending': True, 'tag': tag}
         try:
             # The prefill STORES the rng; _cb_insert adopts it as this row's
             # sampling chain (self._state leaves must not be read outside the
@@ -416,11 +420,16 @@ class ContinuousDecoder:
             self._state = self._start_jit(self._state, jnp.int32(slot))
             sess['pending'] = False
 
-    def advance(self, k: int) -> dict[int, np.ndarray]:
+    def advance(self, k: int, tags: bool = False):
         """One joint device step of up to ``k`` tokens for every live row.
+
         Returns {slot: newly generated ids (EOS stripped)} for every occupied
         slot that produced tokens or just finished; consult ``finished(slot)``
-        afterwards.  No-op (empty dict) when nothing is live."""
+        afterwards.  With ``tags=True``, returns {slot: (tag, ids, done)} —
+        the join-time tag plus this slot's doneness CAPTURED UNDER THE LOCK,
+        so a driver routing after the call cannot confuse a released/re-joined
+        slot's new occupant with the session that decoded these tokens.
+        No-op (empty dict) when nothing is live."""
         with self._lock:
             live = [i for i, s in enumerate(self._sessions)
                     if s is not None and not s['finished']
@@ -433,7 +442,7 @@ class ContinuousDecoder:
             steps = np.asarray(self._state.step)
             fin = np.asarray(self._state.finished)
             codes = np.asarray(self._state.codes)
-            out: dict[int, np.ndarray] = {}
+            out: dict = {}
             for slot in live:
                 sess = self._sessions[slot]
                 row = codes[slot, self.pm + sess['emitted']:
@@ -443,7 +452,7 @@ class ContinuousDecoder:
                 sess['finished'] = done
                 new = row[row != self.eos]
                 if len(new) or done:
-                    out[slot] = new
+                    out[slot] = (sess['tag'], new, done) if tags else new
             return out
 
     def finished(self, slot: int) -> bool:

@@ -169,9 +169,11 @@ class StreamHub:
         # session's state (spurious instant done) or deliver tokens nobody is
         # routing yet (dropped chunks / lost done signal; caught by
         # tests/test_stream_hub.py::test_lifecycle_stress_staggered_cycles).
-        slot = self.cb.join(tokens, pcodes, start=False, rng=rng_ar)
-        sess = _Session(slot, int(lookahead_frames),
+        # The session object rides along as the advance tag (see _drive).
+        sess = _Session(-1, int(lookahead_frames),
                         self.tts.config.max_audio_len)
+        sess.slot = slot = self.cb.join(tokens, pcodes, start=False,
+                                        rng=rng_ar, tag=sess)
         with self._wake:
             self._by_slot[slot] = sess
             if emitter is not None:
@@ -262,7 +264,11 @@ class StreamHub:
                     self._fail_all()
                     return
             try:
-                out = self.cb.advance(self.chunk_frames)
+                # tags=True: output rows carry the _Session that owned them
+                # DURING the advance (join-time tag) plus doneness captured
+                # under the batcher lock — routing by slot id alone could hand
+                # a released/re-joined slot's tokens to the wrong session.
+                out = self.cb.advance(self.chunk_frames, tags=True)
             except Exception as e:          # device failure: fail all sessions
                 log_warning('stream hub advance failed (%s: %s) — ending '
                             'live sessions', type(e).__name__, e)
@@ -274,14 +280,12 @@ class StreamHub:
             else:
                 self._route_tokens(out)
 
-    def _route_tokens(self, out: dict[int, np.ndarray]) -> None:
+    def _route_tokens(self, out: dict) -> None:
         """batched_nar=False: deliver raw tokens; handler threads refine."""
         with self._lock:
-            for slot, toks in out.items():
-                sess = self._by_slot.get(slot)
-                if sess is None:            # aborted between advance and here
-                    continue
-                done = self.cb.finished(slot)
+            for slot, (sess, toks, done) in out.items():
+                if self._by_slot.get(slot) is not sess:
+                    continue                # aborted between advance and here
                 sess.done = done
                 sess.q.put((toks, done))
                 if done:
@@ -291,7 +295,7 @@ class StreamHub:
                     self._emitters.pop(slot, None)
                     self.cb.release(slot)
 
-    def _route_batched(self, out: dict[int, np.ndarray]) -> None:
+    def _route_batched(self, out: dict) -> None:
         """Refine every due session's prefix in ONE joint NAR→wav dispatch,
         then deliver the newly finalized waveform slices."""
         import jax.numpy as jnp
@@ -300,13 +304,11 @@ class StreamHub:
                 n = self.cb.n_slots
                 emits: list[tuple[_Session, int, bool]] = []
                 finish_only: list[_Session] = []
-                for slot, toks in out.items():
-                    sess = self._by_slot.get(slot)
-                    if sess is None:
-                        continue
+                for slot, (sess, toks, done) in out.items():
+                    if self._by_slot.get(slot) is not sess:
+                        continue            # aborted between advance and here
                     sess.buf[sess.n:sess.n + len(toks)] = toks
                     sess.n += len(toks)
-                    done = self.cb.finished(slot)
                     finalize = sess.n if done \
                         else max(0, sess.n - sess.lookahead)
                     if finalize > sess.emitted:
