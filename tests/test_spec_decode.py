@@ -162,6 +162,10 @@ class TestSpecGate:
     def test_gate_off_by_default(self):
         assert not _spec_gate(cfg())
 
+    def test_gate_rejects_ngram_zero(self):
+        with pytest.raises(ValueError, match='ngram'):
+            _spec_gate(cfg(speculative_k=4, speculative_ngram=0))
+
 
 class TestSpecSampled:
     """temperature > 0: rejection sampling must reproduce the plain loop's

@@ -245,6 +245,10 @@ def _spec_gate(config: ConfigValle) -> bool:
                          'token plus at least one draft per verify block')
     if config.num_beams != 1:
         raise ValueError('speculative decoding requires num_beams == 1')
+    if config.speculative_ngram < 1:
+        raise ValueError('speculative_ngram must be >= 1 (drafts continue a '
+                         'match strictly after the buffer start — ngram 0 '
+                         'could draft the out-of-vocab BOS slot)')
     if config.use_fused_decode is True:
         raise ValueError('speculative decoding runs the XLA block-verify step; '
                          "use_fused_decode must be False or 'auto'")
