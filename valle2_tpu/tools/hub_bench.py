@@ -45,15 +45,20 @@ def _prompts(n: int):
             for _ in range(n)]
 
 
-def _drain_concurrent(streams) -> int:
+def _drain_concurrent(streams):
     """Consume every generator on its own thread (the serving pattern);
-    returns total samples."""
+    returns (total samples, worst per-session time-to-first-audio in s,
+    measured from drain start — prefill/join happened at open())."""
     totals = [0] * len(streams)
+    ttfa = [None] * len(streams)
     errs: list = []
+    t0 = time.perf_counter()
 
     def run(i, gen):
         try:
             for wav in gen:
+                if ttfa[i] is None:
+                    ttfa[i] = time.perf_counter() - t0
                 totals[i] += len(np.asarray(wav))
         except Exception as e:              # noqa: BLE001
             errs.append(e)
@@ -66,42 +71,34 @@ def _drain_concurrent(streams) -> int:
         t.join()
     if errs:
         raise errs[0]
-    return sum(totals)
+    return sum(totals), max(x for x in ttfa if x is not None)
 
 
-def bench_solo(tts, prompts, chunk: int, repeats: int) -> float:
-    def once():
-        return _drain_concurrent([
-            tts.synthesize_streaming('hello there.', pt, pc,
-                                     chunk_frames=chunk)
-            for pt, pc in prompts])
+def _timed(once, repeats: int):
     once()                                   # compile
-    best = None
+    best = best_ttfa = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        once()
+        _, ttfa = once()
         dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best
+        if best is None or dt < best:
+            best, best_ttfa = dt, ttfa
+    return best, best_ttfa
 
 
-def bench_hub(tts, prompts, chunk: int, repeats: int,
-              batched_nar: bool) -> float:
+def bench_solo(tts, prompts, chunk: int, repeats: int):
+    return _timed(lambda: _drain_concurrent([
+        tts.synthesize_streaming('hello there.', pt, pc, chunk_frames=chunk)
+        for pt, pc in prompts]), repeats)
+
+
+def bench_hub(tts, prompts, chunk: int, repeats: int, batched_nar: bool):
     from ..stream_hub import StreamHub
     hub = StreamHub(tts, n_slots=len(prompts), chunk_frames=chunk,
                     batched_nar=batched_nar)
     try:
-        def once():
-            return _drain_concurrent([
-                hub.open('hello there.', pt, pc) for pt, pc in prompts])
-        once()                               # compile
-        best = None
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            once()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best
+        return _timed(lambda: _drain_concurrent([
+            hub.open('hello there.', pt, pc) for pt, pc in prompts]), repeats)
     finally:
         hub.stop()
 
@@ -123,22 +120,24 @@ def main(argv=None):
     for arm in args.arms.split(','):
         t0 = time.perf_counter()
         if arm == 'solo':
-            dt = bench_solo(tts, prompts, args.chunk, args.repeats)
+            dt, ttfa = bench_solo(tts, prompts, args.chunk, args.repeats)
         elif arm == 'hub':
-            dt = bench_hub(tts, prompts, args.chunk, args.repeats, True)
+            dt, ttfa = bench_hub(tts, prompts, args.chunk, args.repeats, True)
         elif arm == 'hub-solo-nar':
-            dt = bench_hub(tts, prompts, args.chunk, args.repeats, False)
+            dt, ttfa = bench_hub(tts, prompts, args.chunk, args.repeats, False)
         else:
             raise SystemExit(f'unknown arm {arm!r}')
         result[arm] = {
             'wall_s': round(dt, 3),
             'frames_per_s': round(frames / dt, 1),
             'audio_s_per_s': round(frames * FRAME_S / dt, 2),
+            'worst_ttfa_s': round(ttfa, 3),
         }
         print(f'{arm}: {dt:.2f} s for {frames} frames '
               f'({result[arm]["frames_per_s"]} frames/s aggregate, '
-              f'{result[arm]["audio_s_per_s"]}x real time; '
-              f'compile+bench total {time.perf_counter() - t0:.0f} s)',
+              f'{result[arm]["audio_s_per_s"]}x real time, worst TTFA '
+              f'{ttfa * 1e3:.0f} ms; compile+bench total '
+              f'{time.perf_counter() - t0:.0f} s)',
               flush=True)
     if 'solo' in result and 'hub' in result:
         result['hub_vs_solo'] = round(
