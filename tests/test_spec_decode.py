@@ -94,6 +94,23 @@ class TestSpecParity:
             for w, gg in zip(want, got):
                 np.testing.assert_array_equal(np.asarray(gg), np.asarray(w))
 
+    def test_asr_direction_parity(self):
+        """direction='asr' (codes -> phonemes, swapped vocabs): spec greedy
+        must match plain greedy — transcription is the natural greedy
+        consumer of speculation."""
+        base = cfg(direction='asr', ignore_eos=True)
+        plain = ValleAR(base)
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4),
+                       params=plain.params)
+        rs = np.random.RandomState(14)
+        # ASR source = first-codebook codes; target/prompt = phoneme ids.
+        items = [(rs.randint(0, 96, (6,)), rs.randint(0, 24, (3, 8)))]
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        got = spec.generate_batch([t for t, _ in items],
+                                  [c for _, c in items], bucket=False)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+
     def test_logprob_statistics_match(self):
         """sum_logprobs feeds the beam pick; the spec path must accumulate the
         same per-token logprobs the plain loop does."""

@@ -100,8 +100,9 @@ def main(argv=None):
     ap.add_argument('--scale', choices=('default', 'large'), default='default')
     ap.add_argument('--temperature', type=float, default=0.0,
                     help='0 = greedy (bit-identical spec); >0 = sampled '
-                         '(rejection sampling, distribution-exact). The '
-                         'turn counter only reads out on the greedy path.')
+                         '(rejection sampling, distribution-exact — '
+                         'acceptance drops to p(draft), so expect fewer '
+                         'accepted tokens per turn than greedy)')
     args = ap.parse_args(argv)
 
     rs = np.random.RandomState(0)
