@@ -464,9 +464,13 @@ class ContinuousDecoder:
 
     def release(self, slot: int) -> None:
         """Free a row (idempotent).  Safe mid-decode: the row is force-
-        finished on device so the loop stops advancing it."""
+        finished on device so the loop stops advancing it.  The host-side
+        free happens even if the device call fails (a dead device must not
+        leak slots into permanent BatcherFull)."""
         with self._lock:
             if self._sessions[slot] is None:
                 return
-            self._state = self._finish_jit(self._state, jnp.int32(slot))
-            self._sessions[slot] = None
+            try:
+                self._state = self._finish_jit(self._state, jnp.int32(slot))
+            finally:
+                self._sessions[slot] = None

@@ -45,13 +45,12 @@ import jax
 import numpy as np
 
 from .models.continuous import BatcherFull, ContinuousDecoder
+from .tts import HOP, finalize_frames
 from .utils import log_warning
 
 __all__ = ['StreamHub', 'HubFull']
 
 HubFull = BatcherFull       # serving-layer alias (maps to HTTP 429)
-
-HOP = 320                   # EnCodec-24kHz samples per codec frame
 
 
 class _Session:
@@ -102,14 +101,10 @@ class StreamHub:
 
         if self.batched_nar:
             import jax.numpy as jnp
+            from .tts import stream_widths
             config = tts.config
-            max_new = config.max_audio_len
-            widths = [b for b in config.bucket_sizes if b < max_new]
-            w = widths[-1] if widths else 0
-            while w < max_new:           # always ends with max_new itself
-                w = max_new if w == 0 else min(w * 2, max_new)
-                widths.append(w)
-            self._widths = widths
+            # Same width grid as the solo emitter — the parity surface.
+            self._widths = stream_widths(config)
             n = self.cb.n_slots
             # Pad prompts to the same bucket grid the solo _ChunkEmitter uses:
             # when a session's own buckets coincide with the hub geometry (the
@@ -247,11 +242,20 @@ class StreamHub:
         self._nar_pl = self._nar_pl.at[slot].set(len(pcodes))
 
     def _fail_all(self) -> None:
-        """End every live session (driver stop or device failure)."""
-        for sess in self._by_slot.values():
+        """End every live session (driver stop or device failure).  Rows are
+        RELEASED back to the batcher: the generators' _abort is a no-op once
+        _by_slot is cleared, so skipping release here would leave every slot
+        occupied forever — one transient dispatch failure would brick the hub
+        into permanent HubFull/429."""
+        for slot, sess in self._by_slot.items():
             sess.done = True
             sess.q.put((None, True) if self.batched_nar
                        else (np.zeros(0, np.int32), True))
+            try:
+                self.cb.release(slot)
+            except Exception as e:          # noqa: BLE001
+                log_warning('releasing slot %d after failure failed (%s: %s)',
+                            slot, type(e).__name__, e)
         self._by_slot.clear()
         self._emitters.clear()
 
@@ -297,57 +301,72 @@ class StreamHub:
 
     def _route_batched(self, out: dict) -> None:
         """Refine every due session's prefix in ONE joint NAR→wav dispatch,
-        then deliver the newly finalized waveform slices."""
+        then deliver the newly finalized waveform slices.
+
+        Three phases so the device round trip never holds the hub lock
+        (open() and _abort() contend on it every request): (1) under the
+        lock, fold tokens into session buffers and snapshot the dispatch
+        inputs; (2) dispatch + host sync unlocked — session buffers are
+        driver-thread-only, prompt tensors are immutable snapshots; (3)
+        under the lock again, route slices with identity guards (a session
+        aborted during the refine is simply skipped)."""
         import jax.numpy as jnp
-        try:
-            with self._lock:
-                n = self.cb.n_slots
-                emits: list[tuple[_Session, int, bool]] = []
-                finish_only: list[_Session] = []
-                for slot, (sess, toks, done) in out.items():
-                    if self._by_slot.get(slot) is not sess:
-                        continue            # aborted between advance and here
-                    sess.buf[sess.n:sess.n + len(toks)] = toks
-                    sess.n += len(toks)
-                    finalize = sess.n if done \
-                        else max(0, sess.n - sess.lookahead)
-                    if finalize > sess.emitted:
-                        emits.append((sess, finalize, done))
-                    elif done:
-                        finish_only.append(sess)
-                if emits:
-                    width = next(b for b in self._widths
-                                 if b >= max(s.n for s, _, _ in emits))
-                    first = np.zeros((n, width), np.int32)
-                    gen = np.ones((n,), np.int32)   # dummy rows: 1 valid slot
-                    for sess, _, _ in emits:
-                        first[sess.slot, :sess.n] = sess.buf[:sess.n]
-                        gen[sess.slot] = sess.n
-                    self._nar_rng, r = jax.random.split(self._nar_rng)
-                    wav, _codes = self.tts._nar_wav_jit(
-                        self.tts.nar.params, self.tts.codec.dec_params,
-                        self._nar_tokens, self._nar_tl, self._nar_pcodes,
-                        self._nar_pl, jnp.asarray(first),
-                        jnp.asarray(gen), r)
-                    wav = np.asarray(wav)
-                    for sess, finalize, done in emits:
-                        chunk = wav[sess.slot,
-                                    sess.emitted * HOP:finalize * HOP]
-                        sess.emitted = finalize
-                        sess.done = done
-                        sess.q.put((chunk, done))
-                for sess in finish_only:
-                    sess.done = True
-                    sess.q.put((None, True))
-                for sess in finish_only + [s for s, _, d in emits if d]:
-                    if self._by_slot.get(sess.slot) is sess:
-                        del self._by_slot[sess.slot]
-                        self.cb.release(sess.slot)
-        except Exception as e:              # device failure: fail all sessions
-            log_warning('stream hub batched refine failed (%s: %s) — ending '
-                        'live sessions', type(e).__name__, e)
-            with self._lock:
-                self._fail_all()
+        n = self.cb.n_slots
+        emits: list[tuple[_Session, int, bool]] = []
+        finish_only: list[_Session] = []
+        with self._lock:
+            for slot, (sess, toks, done) in out.items():
+                if self._by_slot.get(slot) is not sess:
+                    continue                # aborted between advance and here
+                sess.buf[sess.n:sess.n + len(toks)] = toks
+                sess.n += len(toks)
+                finalize = finalize_frames(sess.n, done, sess.lookahead)
+                if finalize > sess.emitted:
+                    emits.append((sess, finalize, done))
+                elif done:
+                    finish_only.append(sess)
+            nar_prompts = (self._nar_tokens, self._nar_tl,
+                           self._nar_pcodes, self._nar_pl)
+
+        wav = None
+        if emits:
+            width = next(b for b in self._widths
+                         if b >= max(s.n for s, _, _ in emits))
+            first = np.zeros((n, width), np.int32)
+            gen = np.ones((n,), np.int32)       # dummy rows: 1 valid slot
+            for sess, _, _ in emits:
+                first[sess.slot, :sess.n] = sess.buf[:sess.n]
+                gen[sess.slot] = sess.n
+            self._nar_rng, r = jax.random.split(self._nar_rng)
+            try:
+                wav, _codes = self.tts._nar_wav_jit(
+                    self.tts.nar.params, self.tts.codec.dec_params,
+                    *nar_prompts, jnp.asarray(first), jnp.asarray(gen), r)
+                wav = np.asarray(wav)
+            except Exception as e:          # device failure: fail all sessions
+                log_warning('stream hub batched refine failed (%s: %s) — '
+                            'ending live sessions', type(e).__name__, e)
+                with self._lock:
+                    self._fail_all()
+                return
+
+        with self._lock:
+            for sess, finalize, done in emits:
+                if self._by_slot.get(sess.slot) is not sess:
+                    continue                # aborted during the refine
+                chunk = wav[sess.slot, sess.emitted * HOP:finalize * HOP]
+                sess.emitted = finalize
+                sess.done = done
+                sess.q.put((chunk, done))
+            for sess in finish_only:
+                if self._by_slot.get(sess.slot) is not sess:
+                    continue
+                sess.done = True
+                sess.q.put((None, True))
+            for sess in finish_only + [s for s, _, d in emits if d]:
+                if self._by_slot.get(sess.slot) is sess:
+                    del self._by_slot[sess.slot]
+                    self.cb.release(sess.slot)
 
     def _abort(self, sess: _Session) -> None:
         """Generator closed (client gone or stream drained): free the row.

@@ -71,7 +71,11 @@ def _drain_concurrent(streams):
         t.join()
     if errs:
         raise errs[0]
-    return sum(totals), max(x for x in ttfa if x is not None)
+    got = [x for x in ttfa if x is not None]
+    if not got:
+        raise RuntimeError('no session produced any audio (hub failed all '
+                           'sessions without raising?)')
+    return sum(totals), max(got)
 
 
 def _timed(once, repeats: int):

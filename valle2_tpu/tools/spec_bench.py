@@ -38,14 +38,17 @@ import numpy as np
 
 
 def _model(scale: str, steps: int, spec_k: int = 0, dominant: int | None = None,
-           temperature: float = 0.0):
+           temperature: float = 0.0, ngram: int = 3):
     import jax.numpy as jnp
     from ..config import ConfigValle
     from ..models.ar import ValleAR
 
+    # The ngram must be in the CONSTRUCTION config: ValleAR bakes its decode
+    # config into the jitted decode at __init__ (rebinding .config later only
+    # affects host-side helpers, not the timed arms).
     kw = dict(dtype='bfloat16', temperature=temperature, num_beams=1,
               max_audio_len=steps, ignore_eos=True, dropout=0.0,
-              speculative_k=spec_k)
+              speculative_k=spec_k, speculative_ngram=ngram)
     if scale == 'large':
         kw.update(d_model=1024, num_layers=16, n_heads=16,
                   dim_feedforward=4096)
@@ -78,7 +81,10 @@ def _spec_turns(model, tokens, codes):
     import jax.numpy as jnp
     from ..models.ar import _decode_advance_spec, _decode_prefill
 
-    config = model.config
+    # Mirror _decode_fn: the spec verify pass is the XLA block step, so the
+    # prefill must not pick the fused head-major cache layout ('auto' resolves
+    # True on the real chip and _decode_advance_spec cannot consume it).
+    config = dataclasses.replace(model.config, use_fused_decode=False)
     tok = jnp.asarray(tokens, jnp.int32)[None]
     cds = jnp.concatenate([jnp.array([model.bos_token], jnp.int32),
                            jnp.asarray(codes, jnp.int32)[:, 0]])[None]
@@ -118,9 +124,7 @@ def main(argv=None):
 
     for arm, dom in (('natural', None), ('repetitive', 7)):
         spec = _model(args.scale, args.steps, spec_k=args.k, dominant=dom,
-                      temperature=args.temperature)
-        spec.config = dataclasses.replace(spec.config,
-                                          speculative_ngram=args.ngram)
+                      temperature=args.temperature, ngram=args.ngram)
         t = _decode_timed(spec, tokens, codes)
         turns, final_step = _spec_turns(spec, tokens, codes)
         assert final_step == args.steps, (arm, final_step)

@@ -381,6 +381,30 @@ class ValleTTS:
         return self.synthesize(text, tokens, codes, rng)
 
 
+HOP = 320  # EnCodec-24kHz samples per codec frame
+
+
+def stream_widths(config: ConfigValle) -> list[int]:
+    """THE bucketed NAR refinement width grid for streaming prefixes —
+    shared by the solo ``_ChunkEmitter`` and the ``StreamHub`` batched
+    refine, whose parity surface is exactly these widths.  bucket_sizes
+    extended by doublings bounds the compile count at
+    len(buckets)+log2(max_new/max_bucket) widths, always ending at max_new."""
+    max_new = config.max_audio_len
+    widths = [b for b in config.bucket_sizes if b < max_new]
+    w = widths[-1] if widths else 0
+    while w < max_new:
+        w = max_new if w == 0 else min(w * 2, max_new)
+        widths.append(w)
+    return widths
+
+
+def finalize_frames(n: int, done: bool, lookahead: int) -> int:
+    """Frames safe to emit: everything when the stream ended, else the
+    prefix the lookahead margin has finalized (shared emission rule)."""
+    return n if done else max(0, n - lookahead)
+
+
 class _ChunkEmitter:
     """Streaming emission state machine, shared by ``synthesize_streaming``
     and the continuous-batching ``stream_hub.StreamHub`` (one implementation =
@@ -392,12 +416,11 @@ class _ChunkEmitter:
     full max_audio_len buffer: the NAR masks every position past gen_lens, so
     widening only adds masked work — early chunks of a long-form stream pay
     for the frames generated so far, not for the whole budget (TTFA at
-    max_audio_len=4096 measured 469 ms with the full-width pass).
-    bucket_sizes extended by doublings bounds the compile count at
-    len(buckets)+log2(max_new/max_bucket) widths.
+    max_audio_len=4096 measured 469 ms with the full-width pass; width grid =
+    ``stream_widths``).
     """
 
-    HOP = 320  # EnCodec-24kHz samples per codec frame
+    HOP = HOP  # EnCodec-24kHz samples per codec frame (module constant)
 
     def __init__(self, tts: 'ValleTTS', tokens, pcodes, lookahead_frames: int,
                  rng_nar, bucket: bool = True):
@@ -417,12 +440,7 @@ class _ChunkEmitter:
             np.pad(pcodes, ((0, pm - len(pcodes)), (0, 0)))[None])
         self._tl = jnp.asarray([len(tokens)], jnp.int32)
         self._pl = jnp.asarray([len(pcodes)], jnp.int32)
-        widths = [b for b in config.bucket_sizes if b < max_new]
-        w = widths[-1] if widths else 0
-        while w < max_new:                   # always ends with max_new itself
-            w = max_new if w == 0 else min(w * 2, max_new)
-            widths.append(w)
-        self._widths = widths
+        self._widths = stream_widths(config)
         self._buf = np.zeros((max_new,), np.int32)
         self._n = 0
         self._emitted = 0
@@ -432,7 +450,7 @@ class _ChunkEmitter:
         waveform chunks (possibly none) finalized by this push."""
         self._buf[self._n:self._n + len(new)] = new
         self._n += len(new)
-        finalize = self._n if done else max(0, self._n - self._lookahead)
+        finalize = finalize_frames(self._n, done, self._lookahead)
         out = []
         if finalize > self._emitted:
             width = next(b for b in self._widths if b >= self._n)
