@@ -199,6 +199,39 @@ class TestStreamHub:
         finally:
             hub.stop()
 
+    def test_refine_failure_frees_rows(self):
+        """A failing batched NAR dispatch must END the live sessions AND
+        release their batcher rows — otherwise one transient device error
+        leaves every slot occupied and the hub returns HubFull forever."""
+        tts = ValleTTS(tiny_cfg(max_audio_len=8, ignore_eos=True))
+        hub = StreamHub(tts, n_slots=2, chunk_frames=3)
+        try:
+            rs = np.random.RandomState(11)
+            pt, pc = rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8))
+            orig = tts._nar_wav_jit
+            calls = {'n': 0}
+
+            def boom(*args):
+                calls['n'] += 1
+                raise RuntimeError('injected device failure')
+
+            tts._nar_wav_jit = boom
+            gen = hub.open('hello there.', pt, pc, lookahead_frames=0)
+            chunks = list(gen)              # ends (empty) instead of hanging
+            assert chunks == [] or all(len(c) == 0 for c in chunks)
+            assert calls['n'] >= 1
+            deadline = time.time() + 10
+            while hub.live_sessions() and time.time() < deadline:
+                time.sleep(0.05)
+            assert hub.live_sessions() == 0
+            assert hub.cb.free_slots() == 2, 'failure leaked batcher rows'
+            # The hub serves again once the device "recovers".
+            tts._nar_wav_jit = orig
+            wav = collect(hub.open('hello there.', pt, pc))
+            assert len(wav) > 0
+        finally:
+            hub.stop()
+
     def test_oversized_prompt_rejected(self, tts):
         hub = StreamHub(tts, n_slots=1, ttm=8, pm=8)
         try:
