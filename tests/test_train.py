@@ -547,6 +547,29 @@ class TestZero1:
             s_single.params, s_mesh.params)
         assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
 
+    def test_zero1_with_grad_accum(self):
+        """MultiSteps wraps the optimizer state (accumulators mirror the
+        grads); the zero1 placement must survive the extra tree level and
+        the math must match the replicated arm across an accumulation
+        boundary (2 micro-steps = 1 optimizer step)."""
+        from valle2_tpu.parallel import make_mesh, shard_batch, shard_params
+        mesh = make_mesh(data=8, model=1)
+        results = []
+        for zero1 in (False, True):
+            cfg = tiny_cfg(batch_size=8, grad_accum=2, zero1=zero1)
+            s = init_state(cfg, 'ValleAR', jax.random.key(0))
+            s = TrainState(shard_params(mesh, s.params),
+                           shard_params(mesh, s.opt_state, zero1=zero1),
+                           s.step)
+            step = make_train_step(cfg, 'ValleAR', mesh)
+            for i in range(4):              # two full optimizer steps
+                s, m = step(s, shard_batch(mesh, self._batch(i)), jax.random.key(3))
+            results.append(s)
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            results[0].params, results[1].params)
+        assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
+
     def test_zero1_checkpoint_roundtrip(self, tmp_path):
         """A zero1-sharded state saves and restores (cross-mesh logic reads
         host arrays, then re-places with the zero1 rules)."""
