@@ -13,10 +13,40 @@ Extra detail (RTF breakdown, NAR + codec timings) goes to stderr.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache_tpu')
+
+
+def _wait_for_backend(budget_s: float) -> None:
+    """Bridge transient TPU-tunnel outages (NOTES.md: the axon backend can
+    return UNAVAILABLE or hang for minutes, and a failed init is cached
+    in-process) by probing in SUBPROCESSES until one initializes, then
+    letting the main process import jax cleanly.  Bounded: a hard-down
+    tunnel still fails within the driver's tolerance."""
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                capture_output=True, timeout=180)
+            if probe.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print('bench: TPU backend still unavailable after '
+                  f'{budget_s:.0f}s of probing; proceeding (expect failure)',
+                  file=sys.stderr, flush=True)
+            return
+        print('bench: TPU backend unavailable; retrying in 60 s',
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
+_wait_for_backend(float(os.environ.get('VALLE2_BENCH_WAIT_S', '600')))
 
 import jax
 import jax.numpy as jnp
