@@ -275,6 +275,43 @@ class TestHTTPStreaming:
             finally:
                 httpd.shutdown()
 
+    def test_stream_longform_matches_direct(self):
+        """`"longform": true` over HTTP equals synthesize_longform directly
+        (greedy), and an invalid carry is a 400."""
+        tts1 = ValleTTS(tiny_cfg(num_beams=1))
+        text = 'go on. stop now.'
+        _, pt, pc = make_requests(1, seed=14)[0]
+        direct = np.concatenate(list(tts1.synthesize_longform(
+            text, pt, pc, carry='chain', chunk_frames=5,
+            lookahead_frames=3)) or [np.zeros(0, np.float32)])
+        with TTSServer(tts1, max_batch=2, max_wait_ms=0.0) as server:
+            httpd = serve_http(server, port=0, block=False)
+            try:
+                base = f'http://127.0.0.1:{httpd.server_address[1]}'
+                body = json.dumps({'text': text,
+                                   'prompt_tokens': pt.tolist(),
+                                   'prompt_codes': pc.tolist(),
+                                   'chunk_frames': 5, 'lookahead_frames': 3,
+                                   'longform': True,
+                                   'carry': 'chain'}).encode()
+                req = urllib.request.Request(f'{base}/stream', data=body)
+                resp = urllib.request.urlopen(req, timeout=300)
+                pcm = np.frombuffer(resp.read(), '>i2')
+                assert len(pcm) == len(direct)
+                np.testing.assert_allclose(pcm / 32767.0, direct, atol=1e-4)
+
+                bad = json.dumps({'text': text,
+                                  'prompt_tokens': pt.tolist(),
+                                  'prompt_codes': pc.tolist(),
+                                  'longform': True,
+                                  'carry': 'sideways'}).encode()
+                req = urllib.request.Request(f'{base}/stream', data=bad)
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=30)
+                assert ei.value.code == 400
+            finally:
+                httpd.shutdown()
+
 
 class TestServeCLI:
     def test_cli_boots_and_serves(self, tmp_path):

@@ -184,6 +184,63 @@ def normalize_text(text: str) -> str:
     return text
 
 
+# Abbreviations whose trailing period does not end a sentence.  Lowercased,
+# period-stripped.  Kept deliberately small: a false negative merely merges
+# two sentences into one synthesis segment.
+_ABBREVIATIONS = frozenset(
+    'mr mrs ms dr prof sr jr st vs etc eg ie e.g i.e no inc ltd co corp '
+    'ave blvd rd ft lt col gen capt sgt maj rev hon pres gov sen rep'.split())
+
+_SENT_BOUNDARY = re.compile(r'([.!?]+)(\s+|$)')
+
+
+def split_sentences(text: str, max_words: int = 80) -> list[str]:
+    """Segment ``text`` into sentences for long-form synthesis.
+
+    Splits on ``. ! ?`` followed by whitespace/end, keeping the punctuation
+    with its sentence; a period after a known abbreviation (``Mr.``,
+    ``e.g.``) or between digits (``3.5``, handled by requiring whitespace
+    after the boundary) does not split.  Sentences longer than ``max_words``
+    are hard-split at comma/semicolon boundaries (then word boundaries) so a
+    single run-on can't exceed one AR decode budget.  Whitespace-only input
+    returns ``[]``; text without sentence-final punctuation is one sentence.
+    """
+    text = ' '.join(text.split())
+    if not text:
+        return []
+    sents: list[str] = []
+    start = 0
+    for m in _SENT_BOUNDARY.finditer(text):
+        prev = text[start:m.end(1)]
+        last = prev[:m.start(1) - start].rstrip().rsplit(' ', 1)[-1]
+        w = last.lower().rstrip('.')
+        if w in _ABBREVIATIONS or \
+                (len(w) == 1 and w.isalpha() and last[:1].isupper()):
+            continue        # "Mr." / "e.g." / an initial ("J. K. Rowling")
+        if prev.strip():
+            sents.append(prev.strip())
+        start = m.end()
+    if text[start:].strip():
+        sents.append(text[start:].strip())
+
+    out: list[str] = []
+    for s in sents:
+        words = s.split()
+        while len(words) > max_words:
+            # Prefer the clause boundary (comma/semicolon/colon) nearest the
+            # cap; fall back to a plain word split at the cap.
+            cut = max_words
+            for i in range(min(max_words, len(words)) - 1, 0, -1):
+                if words[i].endswith((',', ';', ':')):
+                    cut = i + 1
+                    break
+            out.append(' '.join(words[:cut]))
+            words = words[cut:]
+        if words:
+            out.append(' '.join(words))
+    return out
+
+
 @lru_cache(maxsize=4096)
 def _word_to_phonemes(word: str) -> tuple[str, ...]:
     """Tier 1: bundled lexicon (+suffix morphology).  Tier 2: letter-to-sound rules

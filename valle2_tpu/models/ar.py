@@ -277,8 +277,13 @@ def _ngram_draft(codes: jax.Array, vlen: jax.Array, g: int, m: int,
     j = jnp.arange(nj)[None, :]
     ok = eq & (j < vlen[:, None] - g)       # strictly before the suffix itself
     jstar = jnp.max(jnp.where(ok, j, -1), axis=1)                   # (rows,)
-    di = jnp.clip(jstar[:, None] + g + jnp.arange(m)[None, :], 0, t - 1)
-    draft = jnp.take_along_axis(codes, di, axis=1)                  # (rows, m)
+    di0 = jstar[:, None] + g + jnp.arange(m)[None, :]
+    draft = jnp.take_along_axis(codes, jnp.clip(di0, 0, t - 1), axis=1)
+    # A continuation that runs past the written region (the most recent match
+    # is adjacent to the suffix — the common case for repetitive streams)
+    # would draft unwritten buffer; pad those positions with the fallback
+    # (repetition) instead so e.g. a constant stream accepts the whole block.
+    draft = jnp.where(di0 < vlen[:, None], draft, fallback[:, None])
     return jnp.where((jstar >= 0)[:, None], draft, fallback[:, None])
 
 

@@ -291,7 +291,8 @@ class TTSServer:
         return self.submit(text, prompt_tokens, prompt_codes).result(timeout)
 
     def stream(self, text: str, prompt_tokens, prompt_codes,
-               chunk_frames: int = 75, lookahead_frames: int = 38):
+               chunk_frames: int = 75, lookahead_frames: int = 38,
+               longform: bool = False, carry: str = 'prompt'):
         """Long-form streaming synthesis: returns a generator of float32
         waveform chunks produced while the decode runs
         (ValleTTS.synthesize_streaming semantics — constant
@@ -300,7 +301,14 @@ class TTSServer:
         state); one more raises ServerOverloaded at first iteration instead
         of blocking the caller's thread.  Batch requests continue on the
         worker thread meanwhile.  Argument validation happens HERE, at call
-        time — not at first iteration."""
+        time — not at first iteration.
+
+        ``longform=True`` routes through ``ValleTTS.synthesize_longform``:
+        the text is sentence-segmented so total output length is unbounded
+        by ``max_audio_len`` (``carry`` picks 'prompt'/'chain' conditioning).
+        Long-form sessions always use the solo path — a chained sentence
+        needs its predecessor's refined codes back before it can start, so
+        it cannot ride the continuous-batching hub."""
         if self.tts.config.num_beams != 1:
             raise ValueError('streaming requires num_beams=1 '
                              f'(server config has {self.tts.config.num_beams})')
@@ -311,12 +319,14 @@ class TTSServer:
         if int(lookahead_frames) < 0:
             raise ValueError(
                 f'lookahead_frames must be >= 0, got {lookahead_frames}')
+        if carry not in ('prompt', 'chain'):
+            raise ValueError(f"carry must be 'prompt' or 'chain', got {carry!r}")
         if self._stop.is_set():
             raise ServerStopped('server is stopped')
         pt = np.asarray(prompt_tokens, np.int32)
         pc = np.asarray(prompt_codes, np.int32)
 
-        if self._hub is not None:
+        if self._hub is not None and not longform:
             # Continuous batching: join the shared loop.  chunk_frames is
             # hub-wide (the joint advance cadence), so the per-request value
             # is ignored here; lookahead stays per-session.  HubFull maps to
@@ -349,9 +359,16 @@ class TTSServer:
                 raise ServerOverloaded(
                     f'all {self.max_streams} stream slots busy; retry later')
             try:
-                for chunk in self.tts.synthesize_streaming(
+                if longform:
+                    inner = self.tts.synthesize_longform(
+                        text, pt, pc, carry=carry,
+                        chunk_frames=int(chunk_frames),
+                        lookahead_frames=int(lookahead_frames))
+                else:
+                    inner = self.tts.synthesize_streaming(
                         text, pt, pc, chunk_frames=int(chunk_frames),
-                        lookahead_frames=int(lookahead_frames)):
+                        lookahead_frames=int(lookahead_frames))
+                for chunk in inner:
                     emitted += len(chunk) / sr
                     yield chunk
             except Exception:      # GeneratorExit (client gone) ≠ error
@@ -699,7 +716,9 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
                 gen = server.stream(
                     text, pt, pc,
                     chunk_frames=int(payload.get('chunk_frames', 75)),
-                    lookahead_frames=int(payload.get('lookahead_frames', 38)))
+                    lookahead_frames=int(payload.get('lookahead_frames', 38)),
+                    longform=bool(payload.get('longform', False)),
+                    carry=str(payload.get('carry', 'prompt')))
                 first = next(gen, None)
             except (KeyError, ValueError, TypeError) as exc:  # bad args/beams
                 self._send(400, str(exc).encode(), 'text/plain')

@@ -293,6 +293,85 @@ class ValleTTS:
 
         return chunks()
 
+    def synthesize_longform(self, text: str, prompt_tokens, prompt_codes,
+                            carry: str = 'prompt', max_chain_frames: int = 450,
+                            chunk_frames: int = 75, lookahead_frames: int = 38,
+                            rng: jax.Array | None = None, bucket: bool = True):
+        """Generator of 24 kHz waveform chunks for UNBOUNDED text.
+
+        ``max_audio_len`` bounds one AR decode, so a paragraph fed to
+        ``synthesize_streaming`` would truncate at the budget.  Long-form
+        synthesis segments the text into sentences
+        (``data.frontend.split_sentences`` — abbreviation/initial-aware, with
+        a hard cap against run-ons) and streams each sentence through the
+        chunked decode, so total output length is unbounded while every
+        decode stays inside one budget.  Chunks stream across sentence
+        boundaries with no host-side gap beyond the next sentence's prefill.
+
+        carry='prompt' (default): every sentence is conditioned on the
+        original speaker prompt — voice-consistent, immune to drift, and each
+        sentence is bit-identical (greedy) to ``synthesize_streaming`` run on
+        that sentence alone.
+        carry='chain': sentence i+1 is conditioned on [original prompt ++
+        sentence i's text and REFINED codes] for prosodic continuity across
+        boundaries (VALL-E continuation-style), falling back to the original
+        prompt whenever the combined acoustic prompt would exceed
+        ``max_chain_frames`` (keeps the prefill bounded and the voice
+        anchored).  Chained codes come from the emitter's final full-context
+        NAR refinement, so the next sentence hears real acoustics, not raw
+        first-codebook tokens.
+
+        Per-sentence rng is ``fold_in(rng, sentence_index)`` — sampled output
+        for sentence i does not depend on how earlier sentences' decodes
+        consumed the stream.  No reference counterpart (the reference has no
+        serving or long-form path; its generate is one bounded loop,
+        /root/reference/valle/models/valle_ar.py:92-180).
+        """
+        from .data.frontend import split_sentences
+        from .models.ar import DecodeStream
+
+        if carry not in ('prompt', 'chain'):
+            raise ValueError(f"carry must be 'prompt' or 'chain', got {carry!r}")
+        if int(chunk_frames) < 1:
+            raise ValueError(f'chunk_frames must be >= 1, got {chunk_frames}')
+        if int(lookahead_frames) < 0:
+            raise ValueError(
+                f'lookahead_frames must be >= 0, got {lookahead_frames}')
+        sentences = split_sentences(text)
+        if rng is None:
+            rng = jax.random.key(self.config.seed)
+        rng = jnp.asarray(rng)
+        self._ensure_stream_models()
+        nq = self.config.num_quantizers
+        base_tokens = np.asarray(prompt_tokens, np.int32)
+        base_codes = np.asarray(prompt_codes, np.int32).reshape(-1, nq)
+
+        def chunks():
+            cur_tokens, cur_codes = base_tokens, base_codes
+            for i, sent in enumerate(sentences):
+                r_ar, r_nar = jax.random.split(jax.random.fold_in(rng, i))
+                sent_tokens = self.tokenizer(sent)
+                tokens = np.concatenate([cur_tokens, sent_tokens])
+                stream = DecodeStream(self._stream_ar, tokens, cur_codes,
+                                      rng=r_ar, bucket=bucket)
+                emitter = _ChunkEmitter(self, tokens, cur_codes,
+                                        lookahead_frames, r_nar, bucket=bucket)
+                while True:
+                    new = stream.advance(chunk_frames)
+                    for wav in emitter.push(new, stream.finished):
+                        yield wav
+                    if stream.finished:
+                        break
+                if carry == 'chain' and emitter.last_codes is not None:
+                    chained = np.concatenate([base_codes, emitter.last_codes])
+                    if len(chained) <= max_chain_frames:
+                        cur_tokens = np.concatenate([base_tokens, sent_tokens])
+                        cur_codes = chained
+                    else:
+                        cur_tokens, cur_codes = base_tokens, base_codes
+
+        return chunks()
+
     def _ensure_stream_models(self) -> None:
         """Lazy-init the streaming models (a num_beams=1 AR sibling sharing
         params + the per-chunk NAR→wav program); idempotent and thread-safe.
@@ -444,6 +523,10 @@ class _ChunkEmitter:
         self._buf = np.zeros((max_new,), np.int32)
         self._n = 0
         self._emitted = 0
+        #: Latest refined codes, (n_generated, num_quantizers) — the last
+        #: refinement the stream ran (full-context once the stream finished).
+        #: None until the first emission.  Long-form prompt chaining reads it.
+        self.last_codes: np.ndarray | None = None
 
     def push(self, new, done: bool) -> list[np.ndarray]:
         """Feed newly decoded tokens (+ the stream-finished flag); returns the
@@ -454,13 +537,14 @@ class _ChunkEmitter:
         out = []
         if finalize > self._emitted:
             width = next(b for b in self._widths if b >= self._n)
-            wav, _codes = self._tts._nar_wav_jit(
+            wav, codes = self._tts._nar_wav_jit(
                 self._tts.nar.params, self._tts.codec.dec_params,
                 self._tokens_pad, self._tl, self._pcodes_pad, self._pl,
                 jnp.asarray(self._buf[None, :width]),
                 jnp.asarray([self._n], jnp.int32), self._rng)
             out.append(np.asarray(wav)[0, self._emitted * self.HOP:
                                        finalize * self.HOP])
+            self.last_codes = np.asarray(codes)[0, :self._n]
             self._emitted = finalize
         return out
 
