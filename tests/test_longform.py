@@ -164,3 +164,137 @@ class TestLongform:
         assert total.dtype == np.float32
         assert total.size % 320 == 0
         assert np.isfinite(total).all()
+
+
+class TestHubLongform:
+    """Pipelined long-form through the continuous-batching hub
+    (StreamHub.open_longform): sentence i+1 decodes in the shared loop while
+    sentence i streams.  Parity surface: output == synthesize_longform
+    (carry='prompt') — bit-exact with batched_nar=False, float32 round-off
+    with the batched-NAR default."""
+
+    def _prompt(self, seed=21):
+        rs = np.random.RandomState(seed)
+        return rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8))
+
+    @pytest.fixture(scope='class')
+    def tts(self):
+        return ValleTTS(tiny_cfg())
+
+    @staticmethod
+    def _collect(gen):
+        out = [np.asarray(c) for c in gen]
+        return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+    @pytest.mark.parametrize('batched', [True, False])
+    def test_equals_solo_longform(self, tts, batched):
+        from valle2_tpu.stream_hub import StreamHub
+        pt, pc = self._prompt()
+        text = 'go on. stop now. once more.'
+        want = self._collect(tts.synthesize_longform(
+            text, pt, pc, carry='prompt', chunk_frames=4, lookahead_frames=2))
+        hub = StreamHub(tts, n_slots=3, chunk_frames=4, batched_nar=batched)
+        try:
+            got = self._collect(hub.open_longform(text, pt, pc,
+                                                  lookahead_frames=2))
+            assert got.shape == want.shape
+            if batched:
+                # Identical refined codes; the joint-batch codec decode
+                # reassociates float32 reductions.
+                np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+            else:
+                np.testing.assert_array_equal(got, want)
+            # At 3 slots / max_inflight=2 at least one later sentence decoded
+            # concurrently with an earlier one still streaming.
+            assert hub.longform_prefetched >= 1
+            assert hub.live_sessions() == 0
+        finally:
+            hub.stop()
+
+    def test_oversize_sentence_streams_solo(self, tts):
+        """A sentence too big for the hub geometry falls back to solo
+        streaming — output still equals synthesize_longform exactly."""
+        from valle2_tpu.stream_hub import StreamHub
+        pt, pc = self._prompt(22)
+        # Middle sentence phonemizes well past ttm=16 - len(pt); the short
+        # ones fit.
+        text = ('go on. the quick brown fox jumps over the lazy sleeping '
+                'yellow dog tonight. stop now.')
+        want = self._collect(tts.synthesize_longform(
+            text, pt, pc, carry='prompt', chunk_frames=4, lookahead_frames=2))
+        hub = StreamHub(tts, n_slots=2, chunk_frames=4, batched_nar=False,
+                        ttm=16, pm=16)
+        try:
+            got = self._collect(hub.open_longform(text, pt, pc,
+                                                  lookahead_frames=2))
+            np.testing.assert_array_equal(got, want)
+        finally:
+            hub.stop()
+
+    def test_hub_full_mid_stream_falls_back_to_solo(self, tts):
+        """Rows busy with other traffic when a later sentence's turn comes:
+        it streams solo instead of blocking; output unchanged."""
+        from valle2_tpu.stream_hub import HubFull, StreamHub
+        pt, pc = self._prompt(23)
+        text = 'go on. stop now. once more.'
+        want = self._collect(tts.synthesize_longform(
+            text, pt, pc, carry='prompt', chunk_frames=4, lookahead_frames=2))
+        hub = StreamHub(tts, n_slots=2, chunk_frames=4, batched_nar=False)
+        try:
+            orig_open = hub.open
+            opens = []
+
+            def stingy_open(*a, **k):
+                opens.append(a[0] if a else k.get('text'))
+                if len(opens) > 1:          # only sentence 0 gets a row
+                    raise HubFull('rows held by other sessions')
+                return orig_open(*a, **k)
+
+            hub.open = stingy_open
+            got = self._collect(hub.open_longform(text, pt, pc,
+                                                  lookahead_frames=2))
+            np.testing.assert_array_equal(got, want)
+            assert len(opens) > 1           # the fallback path actually ran
+        finally:
+            hub.stop()
+
+    def test_first_sentence_hub_full_raises(self, tts):
+        """No row for sentence 0 at call time → HubFull propagates (the
+        serve-layer 429 contract)."""
+        from valle2_tpu.stream_hub import HubFull, StreamHub
+        pt, pc = self._prompt(24)
+        hub = StreamHub(tts, n_slots=1, chunk_frames=4)
+        try:
+            hub.cb.join(pt, pc)             # occupy the only row
+            with pytest.raises(HubFull):
+                hub.open_longform('hi there. go on.', pt, pc)
+        finally:
+            hub.stop()
+
+    def test_early_close_frees_all_rows(self, tts):
+        """Client disconnect mid-sentence closes BOTH the streaming session
+        and any prefetched ones."""
+        import time
+        from valle2_tpu.stream_hub import StreamHub
+        pt, pc = self._prompt(25)
+        hub = StreamHub(tts, n_slots=3, chunk_frames=2, batched_nar=False)
+        try:
+            gen = hub.open_longform('go on. stop now. once more.', pt, pc,
+                                    lookahead_frames=0)
+            next(gen)
+            gen.close()
+            deadline = time.time() + 10
+            while hub.live_sessions() and time.time() < deadline:
+                time.sleep(0.05)
+            assert hub.live_sessions() == 0
+        finally:
+            hub.stop()
+
+    def test_empty_text_yields_nothing(self, tts):
+        from valle2_tpu.stream_hub import StreamHub
+        pt, pc = self._prompt(26)
+        hub = StreamHub(tts, n_slots=1)
+        try:
+            assert list(hub.open_longform('   ', pt, pc)) == []
+        finally:
+            hub.stop()

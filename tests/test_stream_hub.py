@@ -289,3 +289,32 @@ class TestServerIntegration:
             assert server.stats()['rejected'] == 1
         finally:
             server.stop()
+
+    def test_server_longform_prompt_mode_rides_the_hub(self):
+        """longform + carry='prompt' under --cb-streams goes through
+        StreamHub.open_longform (pipelined); carry='chain' stays solo."""
+        tts = ValleTTS(tiny_cfg())
+        rs = np.random.RandomState(4)
+        pt, pc = rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8))
+        text = 'go on. stop now. once more.'
+        want = collect(tts.synthesize_longform(text, pt, pc, carry='prompt',
+                                               chunk_frames=25))
+        server = TTSServer(tts, cb_streams=3)
+        try:
+            got = collect(server.stream(text, pt, pc, longform=True))
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+            st = server.stats()
+            assert st['longform_prefetched'] >= 1      # pipelining happened
+            assert st['stream_hub_live'] == 0
+
+            # chain mode: solo path (bit-exact vs direct synthesize_longform).
+            want_chain = collect(tts.synthesize_longform(
+                text, pt, pc, carry='chain', chunk_frames=25))
+            got_chain = collect(server.stream(text, pt, pc, longform=True,
+                                              carry='chain'))
+            np.testing.assert_array_equal(got_chain, want_chain)
+            assert server.stats()['longform_prefetched'] == \
+                st['longform_prefetched']              # hub untouched
+        finally:
+            server.stop()

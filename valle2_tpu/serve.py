@@ -113,7 +113,7 @@ _PROM_COUNTERS = frozenset({'requests', 'stream_requests', 'asr_requests',
                             'batches', 'errors', 'rejected',
                             'audio_seconds', 'busy_seconds',
                             'aot_compiles', 'aot_disk_loads',
-                            'aot_fallbacks'})
+                            'aot_fallbacks', 'longform_prefetched'})
 
 _PROM_HELP = {
     'requests': 'Requests served through the batched pipeline',
@@ -136,6 +136,8 @@ _PROM_HELP = {
     'aot_fallbacks': 'AOT entries that failed and fell back to plain jit',
     'stream_hub_slots': 'Continuous-batching rows configured (--cb-streams)',
     'stream_hub_live': 'Streaming sessions currently in the shared loop',
+    'longform_prefetched': 'Long-form sentences decoded concurrently with an '
+                           'earlier one still streaming (hub pipelining)',
 }
 
 
@@ -303,12 +305,14 @@ class TTSServer:
         worker thread meanwhile.  Argument validation happens HERE, at call
         time — not at first iteration.
 
-        ``longform=True`` routes through ``ValleTTS.synthesize_longform``:
-        the text is sentence-segmented so total output length is unbounded
-        by ``max_audio_len`` (``carry`` picks 'prompt'/'chain' conditioning).
-        Long-form sessions always use the solo path — a chained sentence
-        needs its predecessor's refined codes back before it can start, so
-        it cannot ride the continuous-batching hub."""
+        ``longform=True`` synthesizes sentence-segmented unbounded text
+        (``ValleTTS.synthesize_longform`` semantics; ``carry`` picks
+        'prompt'/'chain' conditioning).  Under ``--cb-streams``, prompt-mode
+        long-form rides the hub PIPELINED — the next sentence decodes in the
+        shared loop while the current one streams out
+        (``StreamHub.open_longform``).  carry='chain' always uses the solo
+        path: a chained sentence needs its predecessor's refined codes back
+        before it can start, so it cannot ride the hub."""
         if self.tts.config.num_beams != 1:
             raise ValueError('streaming requires num_beams=1 '
                              f'(server config has {self.tts.config.num_beams})')
@@ -326,15 +330,24 @@ class TTSServer:
         pt = np.asarray(prompt_tokens, np.int32)
         pc = np.asarray(prompt_codes, np.int32)
 
-        if self._hub is not None and not longform:
+        if self._hub is not None and (not longform or carry == 'prompt'):
             # Continuous batching: join the shared loop.  chunk_frames is
             # hub-wide (the joint advance cadence), so the per-request value
             # is ignored here; lookahead stays per-session.  HubFull maps to
             # 429 at CALL time (before any chunked response starts).
+            # Long-form prompt-mode sessions ride the hub PIPELINED (sentences
+            # are independent given the original prompt, so the next sentence
+            # decodes while the current one streams — StreamHub.open_longform);
+            # carry='chain' needs each sentence's refined codes before the
+            # next prefill, so it stays on the solo path below.
             from .stream_hub import HubFull
             try:
-                inner = self._hub.open(text, pt, pc,
-                                       lookahead_frames=int(lookahead_frames))
+                if longform:
+                    inner = self._hub.open_longform(
+                        text, pt, pc, lookahead_frames=int(lookahead_frames))
+                else:
+                    inner = self._hub.open(
+                        text, pt, pc, lookahead_frames=int(lookahead_frames))
             except HubFull:
                 with self._stats_lock:
                     self._stats.rejected += 1
@@ -460,6 +473,7 @@ class TTSServer:
         if self._hub is not None:
             out['stream_hub_slots'] = self._hub.cb.n_slots
             out['stream_hub_live'] = self._hub.live_sessions()
+            out['longform_prefetched'] = self._hub.longform_prefetched
         return out
 
     def warmup(self, all_lengths: bool = False, prompt_frames: int = 8,

@@ -98,6 +98,9 @@ class StreamHub:
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         self._stopped = False
+        #: Sentences opened CONCURRENTLY with an earlier one still streaming
+        #: (open_longform pipelining gauge; exported in serve.py /stats).
+        self.longform_prefetched = 0
 
         if self.batched_nar:
             import jax.numpy as jnp
@@ -200,6 +203,109 @@ class StreamHub:
                             return
                 finally:
                     self._abort(sess)
+
+        return chunks()
+
+    def open_longform(self, text: str, prompt_tokens, prompt_codes,
+                      lookahead_frames: int = 38, rng=None,
+                      max_inflight: int = 2) -> Iterator[np.ndarray]:
+        """PIPELINED long-form synthesis through the shared loop.
+
+        ``ValleTTS.synthesize_longform(carry='prompt')`` conditions every
+        sentence on the original speaker prompt, which makes sentences
+        independent — so instead of decoding them back to back, the hub
+        decodes up to ``max_inflight`` sentences CONCURRENTLY in the joint
+        loop: while sentence *i*'s audio streams to the client, sentences
+        *i+1..* are already decoding, their chunks buffering in their session
+        queues (a finished prefetch frees its row immediately — rows are not
+        held while buffered audio waits).  Greedy output is bit-identical to
+        ``synthesize_longform(carry='prompt')`` (per-sentence rng is the same
+        ``fold_in(rng, i)``; each hub session is solo-exact by the hub's own
+        parity surface).
+
+        Degradation is graceful and never blocks: a sentence whose combined
+        prompt exceeds the hub geometry streams solo
+        (``synthesize_streaming`` — identical waveform), and a sentence whose
+        turn arrives while every row is busy with other traffic falls back to
+        solo as well.  Only the FIRST sentence propagates ``HubFull`` (the
+        serve-layer 429 contract: reject at call time, before any chunked
+        response starts).  ``carry='chain'`` cannot ride the hub — sentence
+        *i+1* needs sentence *i*'s refined codes before its prefill — and
+        stays on the solo path (serve.py routes it there).
+        """
+        if int(lookahead_frames) < 0:
+            raise ValueError(
+                f'lookahead_frames must be >= 0, got {lookahead_frames}')
+        if int(max_inflight) < 1:
+            raise ValueError(f'max_inflight must be >= 1, got {max_inflight}')
+        if self._stopped:
+            raise RuntimeError('hub is stopped')
+        from .data.frontend import split_sentences
+        import jax.numpy as jnp
+        if rng is None:
+            rng = jax.random.key(self.tts.config.seed)
+        rng = jnp.asarray(rng)
+        pt = np.asarray(prompt_tokens, np.int32)
+        pc = np.asarray(prompt_codes, np.int32).reshape(
+            -1, self.tts.config.num_quantizers)
+        sentences = split_sentences(text)
+        if not sentences:
+            return iter(())
+
+        def solo(i):
+            # Identical to what synthesize_longform(carry='prompt') runs for
+            # sentence i: same rng fold, same chunk cadence.  Pull-driven, so
+            # "prefetching" one costs nothing until it is consumed.
+            return self.tts.synthesize_streaming(
+                sentences[i], pt, pc, chunk_frames=self.chunk_frames,
+                lookahead_frames=int(lookahead_frames),
+                rng=jax.random.fold_in(rng, i))
+
+        def try_open(i):
+            """Prefetch sentence i onto the hub; None = no row free right now
+            (retried at the next sentence boundary)."""
+            try:
+                return self.open(sentences[i], pt, pc,
+                                 lookahead_frames=int(lookahead_frames),
+                                 rng=jax.random.fold_in(rng, i))
+            except HubFull:
+                return None
+            except ValueError as exc:
+                if 'exceed' not in str(exc):
+                    raise
+                return solo(i)      # prompt too big for the hub geometry
+
+        # Sentence 0 opens NOW so HubFull raises to the caller (→ 429); an
+        # oversized first sentence still streams solo.
+        first = try_open(0)
+        if first is None:
+            raise HubFull(f'all {self.cb.n_slots} hub rows busy')
+        gens: dict[int, Iterator] = {0: first}
+
+        def chunks():
+            nxt = 1
+            try:
+                for i in range(len(sentences)):
+                    gen_i = gens.pop(i, None)
+                    if gen_i is None:
+                        gen_i = try_open(i) or solo(i)
+                        gens[i] = gen_i     # visible to the finally-cleanup
+                    else:
+                        gens[i] = gen_i
+                    while nxt < len(sentences) and nxt - i < max_inflight:
+                        g = try_open(nxt)
+                        if g is None:
+                            break           # no row free — retry next sentence
+                        gens[nxt] = g
+                        self.longform_prefetched += 1
+                        nxt += 1
+                    for wav in gen_i:
+                        yield wav
+                    gens.pop(i, None)
+            finally:
+                for g in gens.values():     # client gone: free every row
+                    g.close()
+                gens.clear()
 
         return chunks()
 
