@@ -435,6 +435,135 @@ class TestFusedDecode:
         np.testing.assert_array_equal(got, want)
 
 
+class TestFusedVerify:
+    """Fused q-block verify kernel (speculative decoding): must match the XLA
+    q-token ``transformer_decode_step`` under the speculative attend mask —
+    per-row write indices, in-block causality (query i sees draft keys j <= i
+    from REGISTERS, the cache slots being stale), int8 KV/weights, chunked
+    caches with the block straddling a chunk boundary."""
+
+    def _setup(self, K=3, S=48, seed=0):
+        from valle2_tpu.ops.transformer import KVCache, transformer_init
+        L, rows, h, hd, dff = 2, 3, 2, 16, 64
+        d = h * hd
+        ttm, pm = 6, 8
+        p = transformer_init(jax.random.key(seed), L, d, h, dff,
+                             adaptive_norm=False)
+        cache = KVCache(
+            jax.random.normal(jax.random.key(seed + 1), (L, rows, h, S, hd)),
+            jax.random.normal(jax.random.key(seed + 2), (L, rows, h, S, hd)))
+        x = jax.random.normal(jax.random.key(seed + 3), (rows, K, d))
+        tl = jnp.asarray([6, 4, 5])
+        plen = jnp.asarray([8, 6, 3])
+        return p, cache, x, tl, plen, (h, ttm, pm, S, K)
+
+    @staticmethod
+    def _attend(tl, plen, index, ttm, pm, S, K):
+        slots = jnp.arange(S)[None, None, :]
+        qi = jnp.arange(K)[None, :, None]
+        base = ((slots < tl[:, None, None])
+                | ((slots >= ttm) & (slots < ttm + plen[:, None, None])))
+        return base | ((slots >= ttm + pm)
+                       & (slots <= index[:, None, None] + qi))
+
+    def test_matches_xla_block_step(self):
+        from valle2_tpu.ops.transformer import transformer_decode_step
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_verify_step)
+        p, cache, x, tl, plen, (h, ttm, pm, S, K) = self._setup()
+        index = jnp.asarray([ttm + pm + 5, ttm + pm + 2, ttm + pm + 9],
+                            jnp.int32)
+        got_y, got_cache = fused_verify_step(p, x, h, fused_cache_layout(cache),
+                                             index, tl, plen, ttm, pm)
+        want_y, want_cache = transformer_decode_step(
+            p, x, h, cache, index,
+            attend_mask=self._attend(tl, plen, index, ttm, pm, S, K))
+        want_cache = fused_cache_layout(want_cache)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_cache.k),
+                                   np.asarray(want_cache.k), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_cache.v),
+                                   np.asarray(want_cache.v), atol=1e-5)
+
+    def test_int8_cache_matches_xla(self):
+        from valle2_tpu.ops.transformer import (KVCache, quantize_kv,
+                                                transformer_decode_step)
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_verify_step)
+        p, cache, x, tl, plen, (h, ttm, pm, S, K) = self._setup(seed=10)
+        kq, ks = quantize_kv(cache.k)
+        vq, vs = quantize_kv(cache.v)
+        qcache = KVCache(kq, vq, ks, vs)
+        index = jnp.asarray([ttm + pm + 5, ttm + pm + 2, ttm + pm + 9],
+                            jnp.int32)
+        got_y, got_cache = fused_verify_step(
+            p, x, h, fused_cache_layout(qcache), index, tl, plen, ttm, pm)
+        want_y, want_cache = transformer_decode_step(
+            p, x, h, qcache, index,
+            attend_mask=self._attend(tl, plen, index, ttm, pm, S, K))
+        want_cache = fused_cache_layout(want_cache)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=5e-3, atol=5e-3)
+        for g, w in ((got_cache.k, want_cache.k), (got_cache.v, want_cache.v)):
+            diff = np.abs(np.asarray(g, np.int32) - np.asarray(w, np.int32))
+            assert diff.max() <= 1 and (diff > 0).mean() < 1e-2
+
+    def test_int8_weights_match_xla(self):
+        from valle2_tpu.ops.transformer import transformer_decode_step
+        from valle2_tpu.quantize import quantize_transformer
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_verify_step)
+        p, cache, x, tl, plen, (h, ttm, pm, S, K) = self._setup(seed=20)
+        p = quantize_transformer(p)
+        index = jnp.asarray([ttm + pm + 5, ttm + pm + 2, ttm + pm + 9],
+                            jnp.int32)
+        got_y, _ = fused_verify_step(p, x, h, fused_cache_layout(cache),
+                                     index, tl, plen, ttm, pm)
+        want_y, _ = transformer_decode_step(
+            p, x, h, cache, index,
+            attend_mask=self._attend(tl, plen, index, ttm, pm, S, K))
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_chunked_block_straddles_boundary(self, monkeypatch):
+        """Forced chunk 16 on S=48: row 0's block [14, 17) straddles the
+        chunk-0/1 boundary — the in-register block contribution (applied at
+        the LAST visited chunk) must still match the XLA step exactly."""
+        from valle2_tpu.ops.transformer import transformer_decode_step
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_verify_step)
+        monkeypatch.setenv('VALLE2_FUSED_CHUNK', '16')
+        p, cache, x, tl, plen, (h, ttm, pm, S, K) = self._setup(seed=30)
+        index = jnp.asarray([14, 30, 20], jnp.int32)
+        got_y, got_cache = fused_verify_step(p, x, h, fused_cache_layout(cache),
+                                             index, tl, plen, ttm, pm)
+        want_y, want_cache = transformer_decode_step(
+            p, x, h, cache, index,
+            attend_mask=self._attend(tl, plen, index, ttm, pm, S, K))
+        want_cache = fused_cache_layout(want_cache)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_cache.k),
+                                   np.asarray(want_cache.k), atol=1e-5)
+
+    def test_scalar_index_broadcasts(self):
+        """A scalar index (all rows at the same depth — spec turn 0) must
+        equal the explicit per-row vector call."""
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_verify_step)
+        p, cache, x, tl, plen, (h, ttm, pm, S, K) = self._setup(seed=40)
+        rows = x.shape[0]
+        fcache = fused_cache_layout(cache)
+        got_y, got_c = fused_verify_step(p, x, h, fcache, jnp.int32(ttm + pm),
+                                         tl, plen, ttm, pm)
+        want_y, want_c = fused_verify_step(
+            p, x, h, fcache, jnp.full((rows,), ttm + pm, jnp.int32),
+            tl, plen, ttm, pm)
+        np.testing.assert_array_equal(np.asarray(got_y), np.asarray(want_y))
+        np.testing.assert_array_equal(np.asarray(got_c.k), np.asarray(want_c.k))
+
+
 class TestRVQKernel:
     def test_matches_jnp_rvq_exactly(self):
         from valle2_tpu.codec.rvq import rvq_encode, rvq_init

@@ -172,9 +172,11 @@ class TestSpecGate:
     def test_gate_allows_sampling(self):
         assert _spec_gate(cfg(temperature=1.0, speculative_k=4))
 
-    def test_gate_rejects_forced_fused(self):
-        with pytest.raises(ValueError, match='fused'):
-            _spec_gate(cfg(use_fused_decode=True, speculative_k=4))
+    def test_gate_allows_forced_fused(self):
+        """The verify pass follows the fused gate (fused_verify_step) — a
+        forced fused config is valid with speculation (r3: previously the
+        XLA-only verify rejected it)."""
+        assert _spec_gate(cfg(use_fused_decode=True, speculative_k=4))
 
     def test_gate_off_by_default(self):
         assert not _spec_gate(cfg())
@@ -182,6 +184,97 @@ class TestSpecGate:
     def test_gate_rejects_ngram_zero(self):
         with pytest.raises(ValueError, match='ngram'):
             _spec_gate(cfg(speculative_k=4, speculative_ngram=0))
+
+
+class TestSpecFused:
+    """Speculation through the fused whole-stack Pallas verify kernel
+    (kernels/fused_decode.fused_verify_step): greedy tokens must be identical
+    to the plain (non-speculative) loop — same bar as the XLA verify path."""
+
+    def _items(self, n, seed=5):
+        rs = np.random.RandomState(seed)
+        return [(rs.randint(0, 24, (3 + 2 * i,)), rs.randint(0, 96, (2 + i, 8)))
+                for i in range(n)]
+
+    def test_fused_spec_tokens_identical(self):
+        base = cfg(ignore_eos=True)
+        plain = ValleAR(base)
+        items = self._items(3)
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4,
+                                           use_fused_decode=True),
+                       params=plain.params)
+        got = spec.generate_batch([t for t, _ in items],
+                                  [c for _, c in items], bucket=False)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_fused_spec_eos_freezing(self):
+        """Committed draft EOS must freeze rows exactly as the plain loop —
+        through the fused verify path."""
+        base = cfg()
+        plain = ValleAR(base)
+        eos = plain.eos_token
+        w = plain.params['proj']['w']
+        b = jnp.zeros((w.shape[1],), w.dtype).at[eos].set(1.5)
+        plain.params = {**plain.params,
+                        'proj': {**plain.params['proj'], 'b': b}}
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4,
+                                           use_fused_decode=True),
+                       params=plain.params)
+        items = self._items(3, seed=6)
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        got = spec.generate_batch([t for t, _ in items],
+                                  [c for _, c in items], bucket=False)
+        lens = set()
+        for w_, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
+            lens.add(len(np.asarray(w_)))
+        assert any(n < base.max_audio_len for n in lens)
+
+    def test_fused_spec_chunked_cache(self):
+        """config.decode_chunk forces the chunked verify path (the streaming
+        prefix-skip default); tokens unchanged."""
+        base = cfg(ignore_eos=True)
+        plain = ValleAR(base)
+        items = self._items(2, seed=7)
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4,
+                                           use_fused_decode=True,
+                                           decode_chunk=16),
+                       params=plain.params)
+        got = spec.generate_batch([t for t, _ in items],
+                                  [c for _, c in items], bucket=False)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_fused_spec_logprobs_match(self):
+        """sum_logprobs through the fused verify path match the plain loop's
+        (same accumulation semantics)."""
+        base = cfg(ignore_eos=True)
+        plain = ValleAR(base)
+        spec = ValleAR(dataclasses.replace(base, speculative_k=3,
+                                           use_fused_decode=True),
+                       params=plain.params)
+        items = self._items(2, seed=8)
+        tok = [jnp.asarray(t, jnp.int32) for t, _ in items]
+        cds = [jnp.concatenate([jnp.array([plain.bos_token], jnp.int32),
+                                jnp.asarray(c, jnp.int32)[:, 0]])
+               for _, c in items]
+        ttm = max(t.shape[0] for t in tok)
+        pm = max(c.shape[0] for c in cds)
+        args = (jnp.stack([jnp.pad(t, (0, ttm - t.shape[0])) for t in tok]),
+                jnp.asarray([t.shape[0] for t in tok], jnp.int32),
+                jnp.stack([jnp.pad(c, (0, pm - c.shape[0])) for c in cds]),
+                jnp.asarray([c.shape[0] for c in cds], jnp.int32),
+                jax.random.key(0))
+        _, lp_plain, _ = plain._decode_jit(plain.params, *args)
+        _, lp_spec, _ = spec._decode_jit(spec.params, *args)
+        np.testing.assert_allclose(np.asarray(lp_spec), np.asarray(lp_plain),
+                                   rtol=1e-4, atol=1e-4)
 
 
 class TestSpecSampled:

@@ -189,19 +189,21 @@ def _q8_dot(x32, wq, scale_row):
 
 
 def _fake_quant_row(x_row, n_heads: int):
-    """quantize→dequantize roundtrip of a (1, d) head-major row, per-head
-    scales — EXACTLY the int8 cache's view of a freshly written slot:
+    """quantize→dequantize roundtrip of an (m, d) head-major slab, per-(row,
+    head) scales — EXACTLY the int8 cache's view of freshly written slots:
     quantize_kv_rowmajor rounds with the f32 scale and later steps dequantize
     with the bf16-STORED scale, so this must too (rounding with the bf16 scale
-    would drift ±1 int8 step from what step t+1 reads back)."""
-    d = x_row.shape[-1]
+    would drift ±1 int8 step from what step t+1 reads back).  m = 1 for the
+    single-token kernel's self slot; m = K for the verify kernel's in-flight
+    draft block."""
+    m, d = x_row.shape
     hd = d // n_heads
-    head_of = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1) // hd   # (1, d)
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (m, d), 1) // hd   # (m, d)
     outs = jnp.zeros_like(x_row)
     for hh in range(n_heads):
         sel = head_of == hh
         xs = jnp.where(sel, x_row, 0.0)
-        amax = jnp.max(jnp.abs(xs))
+        amax = jnp.max(jnp.abs(xs), axis=1, keepdims=True)           # (m, 1)
         sc32 = jnp.maximum(amax, 1e-8) / 127.0
         sc_stored = sc32.astype(jnp.bfloat16).astype(jnp.float32)
         q = jnp.clip(jnp.round(x_row / sc32), -127, 127)
@@ -523,3 +525,335 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
             write(cache.k, kq), write(cache.v, vq),
             write(cache.k_scale, ks), write(cache.v_scale, vs))
     return y[:, None, :], KVCache(write(cache.k, k_new), write(cache.v, v_new))
+
+
+# ---------------------------------------------------------------------------
+# Fused q-block verify step (speculative decoding)
+# ---------------------------------------------------------------------------
+
+def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
+                   outb_ref, n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref,
+                   f2b_ref, ck_ref, cv_ref, *rest, n_heads: int, ttm: int,
+                   pm: int, rows: int, seq: int, chunk: int, q_blk: int,
+                   quant: bool, quant_w: bool):
+    """The whole L-layer K-token verify block as one kernel.
+
+    Differences from ``_kernel`` (the single-token step):
+    - ``rows * q_blk`` query rows flow through the projections/FFN (better MXU
+      fill than the single-token step, at the same weight traffic).
+    - Attention scores per cache row are ONE (K·h, chunk) dot — the
+      block-diagonal q trick extended to K queries (score row i·h + hh is
+      query i, head hh).
+    - **In-block causality in-register**: cache slots [idx_r, idx_r + K) hold
+      stale data (this same call produces their k/v), so they are masked out
+      of the cache reads and the block's scores come from the freshly
+      projected k_new/v_new, with query i allowed keys j <= i — applied once,
+      at the LAST visited chunk (the online softmax is order-invariant modulo
+      f32 reordering).  int8 caches see the quantize→dequantize roundtrip of
+      the new rows, exactly what the next turn reads back.
+    """
+    rest = list(rest)
+    if quant_w:
+        qkvs_ref, outs_ref, f1s_ref, f2s_ref = rest[:4]
+        del rest[:4]
+    if quant:
+        cks_ref, cvs_ref = rest[:2]
+        del rest[:2]
+    else:
+        cks_ref = cvs_ref = None
+    y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest
+    l = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = seq // chunk
+    idx_max = meta_ref[0]
+    maxc = idx_max // chunk          # cache reads stop at the deepest prefix
+
+    d = x_ref.shape[-1]
+    hd = d // n_heads
+    kh = q_blk * n_heads
+    scale = 1.0 / math.sqrt(hd)
+    # Per-score-row (query i, head hh) helper masks; qi = i for row i*h + hh.
+    qi_col = jax.lax.broadcasted_iota(jnp.int32, (kh, 1), 0) // n_heads
+    # sel[(i*h + hh), j] = (j == i): replicates q rows to score rows and (via
+    # a contraction over axis 0) reduces per-head score rows back to queries.
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (kh, q_blk), 0) // n_heads
+           == jax.lax.broadcasted_iota(jnp.int32, (kh, q_blk), 1)) \
+        .astype(jnp.float32)
+    # mask_K[(i*h + hh), f] = (feature f belongs to head hh).
+    mask_k = (jax.lax.broadcasted_iota(jnp.int32, (kh, d), 0) % n_heads
+              == jax.lax.broadcasted_iota(jnp.int32, (kh, d), 1) // hd) \
+        .astype(jnp.float32)
+    # head_mask[(hh), f] — int8 cache scale broadcast, as in ``_kernel``.
+    head_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 1) // hd) \
+        .astype(jnp.float32)
+
+    @pl.when((l == 0) & (c == 0))
+    def _seed():
+        y_ref[...] = x_ref[...]
+
+    @pl.when(c == 0)
+    def _project():
+        x = y_ref[...].astype(jnp.float32)                   # (rows*K, d)
+        h1 = _layernorm(x, n1s_ref[0, 0].astype(jnp.float32),
+                        n1b_ref[0, 0].astype(jnp.float32))
+        if quant_w:
+            qkv = _q8_dot(h1, qkv_ref[0], qkvs_ref[0, 0].astype(jnp.float32))
+        else:
+            qkv = jnp.dot(h1.astype(x_ref.dtype), qkv_ref[0],
+                          preferred_element_type=jnp.float32)
+        q_s[...] = qkv[:, :d] * scale
+        knew_ref[0] = qkv[:, d:2 * d].astype(knew_ref.dtype)
+        vnew_ref[0] = qkv[:, 2 * d:].astype(vnew_ref.dtype)
+        acc_s[...] = jnp.zeros_like(acc_s)
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+
+    contract_last = (((1,), (1,)), ((), ()))                 # A (m,d) @ B (n,d)T
+    contract_inner = (((1,), (0,)), ((), ()))                # A @ B
+    contract_rows = (((0,), (0,)), ((), ()))                 # A(kh,m)T @ B(kh,n)
+
+    @pl.when(c <= maxc)
+    def _attend():
+        is_last = c == maxc
+        slot = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        for r in range(rows):
+            tl_r = meta_ref[1 + r]
+            pl_r = meta_ref[1 + rows + r]
+            idx_r = meta_ref[1 + 2 * rows + r]
+            rs, re = r * kh, (r + 1) * kh
+            # (kh, chunk) attend: prompt regions + committed generated slots
+            # <= idx_r + qi, EXCLUDING the in-flight block [idx_r, idx_r + K)
+            # whose cache contents are stale (in-register below).
+            attend = ((slot < tl_r)
+                      | ((slot >= ttm) & (slot < ttm + pl_r))
+                      | ((slot >= ttm + pm) & (slot <= idx_r + qi_col)
+                         & (slot < idx_r)))                  # (kh, chunk)
+            q_rows = q_s[r * q_blk:(r + 1) * q_blk, :]       # (K, d) pre-scaled
+            q_bd = jax.lax.dot_general(
+                sel, q_rows, contract_inner,
+                preferred_element_type=jnp.float32) * mask_k  # (kh, d)
+            k2 = ck_ref[0, r].astype(jnp.float32)            # (chunk, d)
+            v2 = cv_ref[0, r].astype(jnp.float32)
+            if quant:
+                ks = cks_ref[0, r].astype(jnp.float32)       # (chunk, h)
+                vs = cvs_ref[0, r].astype(jnp.float32)
+                k2 = k2 * jax.lax.dot_general(
+                    ks, head_mask, contract_inner,
+                    preferred_element_type=jnp.float32)
+                v2 = v2 * jax.lax.dot_general(
+                    vs, head_mask, contract_inner,
+                    preferred_element_type=jnp.float32)
+            kn = knew_ref[0][r * q_blk:(r + 1) * q_blk].astype(jnp.float32)
+            vn = vnew_ref[0][r * q_blk:(r + 1) * q_blk].astype(jnp.float32)
+            if quant:
+                kn = _fake_quant_row(kn, n_heads)
+                vn = _fake_quant_row(vn, n_heads)
+            s = jax.lax.dot_general(q_bd, k2, contract_last,
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(attend, s, NEG_INF)                # (kh, chunk)
+            # In-block scores (query i ~ key j <= i), applied ONCE (last chunk).
+            s_blk = jax.lax.dot_general(q_bd, kn, contract_last,
+                                        preferred_element_type=jnp.float32)
+            blk_ok = (jax.lax.broadcasted_iota(jnp.int32, (kh, q_blk), 1)
+                      <= qi_col) & is_last
+            s_blk = jnp.where(blk_ok, s_blk, NEG_INF)        # (kh, K)
+            m_prev = m_s[rs:re]                              # (kh, 1)
+            l_prev = l_s[rs:re]
+            m_cur = jnp.maximum(
+                m_prev, jnp.maximum(jnp.max(s, axis=1, keepdims=True),
+                                    jnp.max(s_blk, axis=1, keepdims=True)))
+            alpha = jnp.exp(m_prev - m_cur)                  # (kh, 1)
+            p = jnp.exp(s - m_cur)                           # (kh, chunk)
+            p_blk = jnp.exp(s_blk - m_cur)                   # (kh, K)
+            l_add = (jnp.sum(p, axis=1, keepdims=True)
+                     + jnp.sum(p_blk, axis=1, keepdims=True))
+            o = (jax.lax.dot_general(p, v2, contract_inner,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(p_blk, vn, contract_inner,
+                                       preferred_element_type=jnp.float32))
+            o_head = o * mask_k                              # (kh, d) diag blocks
+            contrib = jax.lax.dot_general(sel, o_head, contract_rows,
+                                          preferred_element_type=jnp.float32)
+            alpha_mat = jax.lax.dot_general(sel, alpha * mask_k, contract_rows,
+                                            preferred_element_type=jnp.float32)
+            qs_, qe_ = r * q_blk, (r + 1) * q_blk
+            acc_s[qs_:qe_, :] = acc_s[qs_:qe_, :] * alpha_mat + contrib
+            m_s[rs:re] = m_cur
+            l_s[rs:re] = l_prev * alpha + l_add
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        x = y_ref[...].astype(jnp.float32)
+        rows_out = []
+        for r in range(rows):
+            rs, re = r * kh, (r + 1) * kh
+            inv = 1.0 / jnp.maximum(l_s[rs:re], 1e-30)       # (kh, 1)
+            inv_mat = jax.lax.dot_general(sel, inv * mask_k, contract_rows,
+                                          preferred_element_type=jnp.float32)
+            rows_out.append(acc_s[r * q_blk:(r + 1) * q_blk, :] * inv_mat)
+        attn = jnp.concatenate(rows_out, axis=0)             # (rows*K, d)
+        if quant_w:
+            o = _q8_dot(attn, outw_ref[0], outs_ref[0, 0].astype(jnp.float32))
+        else:
+            o = jnp.dot(attn.astype(x_ref.dtype), outw_ref[0],
+                        preferred_element_type=jnp.float32)
+        x = x + (o + outb_ref[0, 0])
+        h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
+                        n2b_ref[0, 0].astype(jnp.float32))
+        if quant_w:
+            hmid = _q8_dot(h2, f1w_ref[0], f1s_ref[0, 0].astype(jnp.float32)) \
+                + f1b_ref[0, 0]
+        else:
+            hmid = jnp.dot(h2.astype(x_ref.dtype), f1w_ref[0],
+                           preferred_element_type=jnp.float32) + f1b_ref[0, 0]
+        hmid = _gelu_exact(hmid)
+        if quant_w:
+            f2 = _q8_dot(hmid, f2w_ref[0], f2s_ref[0, 0].astype(jnp.float32))
+        else:
+            f2 = jnp.dot(hmid.astype(x_ref.dtype), f2w_ref[0],
+                         preferred_element_type=jnp.float32)
+        x = x + (f2 + f2b_ref[0, 0])
+        y_ref[...] = x.astype(y_ref.dtype)
+
+
+def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
+                      codes_lens, ttm: int, pm: int,
+                      chunk_override: int | None = None):
+    """One K-token verify block through the whole stacked-layer transformer as
+    one kernel — the speculative-decoding twin of ``fused_decode_step``.
+
+    p/cache/layout exactly as ``fused_decode_step``; x: (rows, K, d) draft
+    block embeddings at absolute positions ``index[r] .. index[r] + K - 1``;
+    index: (rows,) per-row write-start slots (speculative rows advance by
+    different amounts per turn).  Returns (y (rows, K, d), new_cache with all
+    K slots written per row) — matches ``transformer_decode_step`` fed the
+    q-block with the speculative attend mask (models/ar.py
+    ``_decode_advance_spec``), modulo the fused layout.
+
+    Why: the verify pass was the XLA block step, measured at ~1.6-1.7x the
+    fused single-token step (BENCHMARKS.md r3 spec section) — exactly the
+    cost ratio that set speculation's break-even acceptance.  Fusing the
+    verify block removes the same ~135 us/step per-op overhead class the
+    decode kernel removes, and its (K·h, chunk) score dots fill the MXU
+    BETTER than the single-token kernel's (h, chunk).
+    """
+    from ..ops.transformer import KVCache
+
+    num_layers, rows, seq, d = cache.k.shape
+    h = n_heads
+    _, q_blk, _ = x.shape
+    rk = rows * q_blk
+    quant = cache.k_scale is not None
+    quant_w = 'q' in p['attn']['qkv']
+    chunk = chunk_for(seq, rows, d, n_heads, cache.k.dtype,
+                      forced=chunk_override)
+    if seq % chunk:
+        raise ValueError(
+            f'cache length {seq} is not a multiple of the required chunk '
+            f'{chunk}; pad the cache to a multiple (ar._decode_prefill does)')
+    n_chunks = seq // chunk
+    x2 = x.reshape(rk, d)
+    index = jnp.broadcast_to(jnp.asarray(index, jnp.int32), (rows,))
+    meta = jnp.concatenate([jnp.max(index).reshape(1),
+                            jnp.asarray(tokens_lens, jnp.int32).reshape(rows),
+                            jnp.asarray(codes_lens, jnp.int32).reshape(rows),
+                            index])
+
+    kernel = functools.partial(_verify_kernel, n_heads=n_heads, ttm=ttm, pm=pm,
+                               rows=rows, seq=seq, chunk=chunk, q_blk=q_blk,
+                               quant=quant, quant_w=quant_w)
+    interpret = jax.default_backend() != 'tpu'
+    layer_spec = lambda *shape: pl.BlockSpec(
+        (1, *shape), lambda l, c, meta: (l,) + (0,) * len(shape))
+    const_spec = pl.BlockSpec((rk, d), lambda l, c, meta: (0, 0))
+    cache_spec = lambda width: pl.BlockSpec(
+        (1, rows, chunk, width),
+        lambda l, c, meta: (l, 0, jnp.minimum(c, meta[0] // chunk), 0))
+
+    wkey = 'q' if quant_w else 'w'
+    qkv_w, out_w = p['attn']['qkv'][wkey], p['attn']['out'][wkey]
+    f1_w, f2_w = p['ffn']['lin1'][wkey], p['ffn']['lin2'][wkey]
+    dff = f1_w.shape[-1]
+    in_specs = [
+        const_spec,                                   # x
+        layer_spec(1, d), layer_spec(1, d),           # norm1 scale/bias
+        layer_spec(d, 3 * d),                         # qkv w
+        layer_spec(d, d), layer_spec(1, d),           # out w, b
+        layer_spec(1, d), layer_spec(1, d),           # norm2 scale/bias
+        layer_spec(d, dff), layer_spec(1, dff),       # ffn1 w, b
+        layer_spec(dff, d), layer_spec(1, d),         # ffn2 w, b
+        cache_spec(d), cache_spec(d),                 # cache k, v
+    ]
+    inputs = [meta, x2,
+              p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
+              qkv_w,
+              out_w, p['attn']['out']['b'][:, None],
+              p['norm2']['scale'][:, None], p['norm2']['bias'][:, None],
+              f1_w, p['ffn']['lin1']['b'][:, None],
+              f2_w, p['ffn']['lin2']['b'][:, None],
+              cache.k, cache.v]
+    if quant_w:
+        in_specs += [layer_spec(1, 3 * d), layer_spec(1, d),
+                     layer_spec(1, dff), layer_spec(1, d)]
+        inputs += [p['attn']['qkv']['scale'][:, None],
+                   p['attn']['out']['scale'][:, None],
+                   p['ffn']['lin1']['scale'][:, None],
+                   p['ffn']['lin2']['scale'][:, None]]
+    if quant:
+        in_specs += [cache_spec(h), cache_spec(h)]
+        inputs += [cache.k_scale, cache.v_scale]
+    new_dtype = x.dtype if quant else cache.k.dtype
+
+    wbytes = (qkv_w.nbytes + out_w.nbytes + f1_w.nbytes + f2_w.nbytes) \
+        // num_layers
+    cbytes = (rows * chunk * 2 * d * jnp.dtype(cache.k.dtype).itemsize
+              + (rows * chunk * 4 * h if quant else 0))
+    resident = (3 * rk * d * 4) + 2 * num_layers * rk * d * 2
+    vmem_limit = int(min(110 * 2 ** 20,
+                         max(32 * 2 ** 20,
+                             2 * (wbytes + cbytes) + resident + 8 * 2 ** 20)))
+
+    y, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_layers, n_chunks),
+            in_specs=in_specs,
+            out_specs=(
+                const_spec,
+                pl.BlockSpec((1, rk, d), lambda l, c, meta: (l, 0, 0)),
+                pl.BlockSpec((1, rk, d), lambda l, c, meta: (l, 0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rk, d), jnp.float32),             # q (pre-scaled)
+                pltpu.VMEM((rk, d), jnp.float32),             # attention accum
+                pltpu.VMEM((rows * q_blk * h, 1), jnp.float32),  # running max
+                pltpu.VMEM((rows * q_blk * h, 1), jnp.float32),  # running denom
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rk, d), x.dtype),
+            jax.ShapeDtypeStruct((num_layers, rk, d), new_dtype),
+            jax.ShapeDtypeStruct((num_layers, rk, d), new_dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(*inputs)
+
+    zero = jnp.int32(0)
+    k_new = k_new.reshape(num_layers, rows, q_blk, d)
+    v_new = v_new.reshape(num_layers, rows, q_blk, d)
+
+    def write(buf, new):
+        def one_row(buf_r, new_r, i):         # (L, S, w), (L, K, w), scalar
+            return jax.lax.dynamic_update_slice(buf_r, new_r, (zero, i, zero))
+        return jax.vmap(one_row, in_axes=(1, 1, 0), out_axes=1)(buf, new, index)
+
+    y = y.reshape(rows, q_blk, d)
+    if quant:
+        kq, ks = quantize_kv_rowmajor(k_new, n_heads)
+        vq, vs = quantize_kv_rowmajor(v_new, n_heads)
+        return y, KVCache(write(cache.k, kq), write(cache.v, vq),
+                          write(cache.k_scale, ks), write(cache.v_scale, vs))
+    return y, KVCache(write(cache.k, k_new), write(cache.v, v_new))

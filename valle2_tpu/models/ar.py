@@ -233,9 +233,12 @@ def _spec_gate(config: ConfigValle) -> bool:
     Greedy decode commits bit-identically to the plain loop; sampled decode
     (temperature > 0) commits the exact plain-sampling DISTRIBUTION via
     rejection sampling (different rng draw pattern — see
-    ``_decode_advance_spec``).  The verify pass runs the XLA block step (a
-    q-token ``transformer_decode_step``), so the fused whole-stack Pallas
-    kernel (one-token programs) is turned off.
+    ``_decode_advance_spec``).  The verify pass follows the fused gate like
+    the plain loop: under the fused path it runs the whole-stack Pallas
+    q-block kernel (``kernels.fused_decode.fused_verify_step`` — same per-op
+    overhead removal as the decode kernel, which drops the break-even
+    acceptance from the XLA block step's ~1.6-1.7x cost ratio to ~1x),
+    otherwise the XLA q-token ``transformer_decode_step``.
     """
     k = config.speculative_k
     if k <= 0:
@@ -249,9 +252,6 @@ def _spec_gate(config: ConfigValle) -> bool:
         raise ValueError('speculative_ngram must be >= 1 (drafts continue a '
                          'match strictly after the buffer start — ngram 0 '
                          'could draft the out-of-vocab BOS slot)')
-    if config.use_fused_decode is True:
-        raise ValueError('speculative decoding runs the XLA block-verify step; '
-                         "use_fused_decode must be False or 'auto'")
     return True
 
 
@@ -523,7 +523,10 @@ def _decode_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
     max_new = config.max_audio_len
     k_blk = config.speculative_k
     rows = state.codes.shape[0]
-    total_max = state.cache.k.shape[3]
+    # Head-major (L, rows, S, d) cache layout == prefill chose the fused path
+    # (same dispatch convention as _decode_advance).
+    use_fused = state.cache.k.ndim == 4
+    total_max = state.cache.k.shape[2] if use_fused else state.cache.k.shape[3]
     n_heads = config.n_heads
     pe = sinusoidal_table(MAX_POS, config.d_model)
     dtype = jnp.dtype(config.dtype)
@@ -563,13 +566,19 @@ def _decode_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
         x = embedding(params['audio_emb'], block)
         x = (x + jnp.take(pe, pos, axis=0)).astype(dtype)
         write_idx = ttm + pm + s.step                                # (rows,)
-        qi = jnp.arange(k_blk)[None, :, None]
-        attend = (base_valid[:, None, :]
-                  | ((slots[:, None, :] >= ttm + pm)
-                     & (slots[:, None, :] <= write_idx[:, None, None] + qi)))
-        y, cache = transformer_decode_step(
-            tparams, x, n_heads, s.cache, write_idx, attend_mask=attend,
-            attn_buckets=config.decode_attn_buckets)
+        if use_fused:
+            from ..kernels.fused_decode import fused_verify_step
+            y, cache = fused_verify_step(
+                tparams, x, n_heads, s.cache, write_idx, tl_f, pl_f, ttm, pm,
+                chunk_override=config.decode_chunk or None)
+        else:
+            qi = jnp.arange(k_blk)[None, :, None]
+            attend = (base_valid[:, None, :]
+                      | ((slots[:, None, :] >= ttm + pm)
+                         & (slots[:, None, :] <= write_idx[:, None, None] + qi)))
+            y, cache = transformer_decode_step(
+                tparams, x, n_heads, s.cache, write_idx, attend_mask=attend,
+                attn_buckets=config.decode_attn_buckets)
         flat = linear(params['proj'],
                       y.astype(jnp.float32)).reshape(rows * k_blk, -1)
         flat3 = flat.reshape(rows, k_blk, -1)
@@ -678,11 +687,6 @@ def _decode_fn(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
     b, ttm = tokens.shape
     pm = codes.shape[1]
     spec = _spec_gate(config)
-    if spec:
-        # The verify pass is a q-token XLA decode step; the fused Pallas
-        # kernel's one-token programs don't apply ('auto' resolves off).
-        import dataclasses
-        config = dataclasses.replace(config, use_fused_decode=False)
     state, tl_f, pl_f = _decode_prefill(params, tokens, tokens_lens, codes,
                                         codes_lens, rng, config)
     if spec:

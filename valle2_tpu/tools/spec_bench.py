@@ -17,9 +17,11 @@ cost, from which any intermediate regime follows:
 - ``repetitive``: an EOS-suppressed dominant-token model — the best case
   (acceptance → 1, speedup → K x cost_ratio).
 - ``cost_ratio``: spec turns/s vs plain steps/s.  A verify turn is one
-  K-token ``transformer_decode_step`` (same cache-bandwidth bound as a
-  1-token step, K-wide matmuls marginal) plus the VPU n-gram scan; the ratio
-  is the break-even acceptance: speedup = mean_accepted / cost_ratio.
+  K-token whole-stack step — the fused Pallas q-block verify kernel when the
+  fused gate is on (same per-op overhead removal as the decode kernel; the
+  K-wide matmuls are marginal against the cache-bandwidth bound), else the
+  XLA block ``transformer_decode_step`` — plus the VPU n-gram scan; the
+  ratio is the break-even acceptance: speedup = mean_accepted / cost_ratio.
 
 Each arm reports tokens/s, turns (verify passes), and mean accepted tokens
 per turn.  Results recorded in BENCHMARKS.md "Speculative decoding".
@@ -30,7 +32,6 @@ time (/root/reference/valle/models/valle_ar.py:141-171).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import time
 
@@ -81,10 +82,10 @@ def _spec_turns(model, tokens, codes):
     import jax.numpy as jnp
     from ..models.ar import _decode_advance_spec, _decode_prefill
 
-    # Mirror _decode_fn: the spec verify pass is the XLA block step, so the
-    # prefill must not pick the fused head-major cache layout ('auto' resolves
-    # True on the real chip and _decode_advance_spec cannot consume it).
-    config = dataclasses.replace(model.config, use_fused_decode=False)
+    # Mirror _decode_fn: the verify pass follows the fused gate (the fused
+    # q-block verify kernel consumes the head-major layout directly), so the
+    # turns counter runs the same path the timed arms do.
+    config = model.config
     tok = jnp.asarray(tokens, jnp.int32)[None]
     cds = jnp.concatenate([jnp.array([model.bos_token], jnp.int32),
                            jnp.asarray(codes, jnp.int32)[:, 0]])[None]
