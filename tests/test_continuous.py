@@ -255,3 +255,118 @@ class TestContinuousDecoder:
         s = cb.join(t, c)
         got = drain(cb, [s])
         np.testing.assert_array_equal(got[s], want)
+
+
+class TestSpecContinuous:
+    """Speculative continuous batching (``ContinuousDecoder(speculative=
+    True)``): the joint loop runs n-gram verify turns — rows commit 1..K
+    tokens per turn at independent depths — and every session's tokens stay
+    bit-identical to its solo decode (plain greedy for temperature=0; the
+    solo SPECULATIVE decode for sampled, which is itself distribution-exact
+    vs plain sampling)."""
+
+    def _prompts(self, n, seed=0):
+        rs = np.random.RandomState(seed)
+        return [(rs.randint(0, 70, (rs.randint(4, 9),)),
+                 rs.randint(0, 1024, (rs.randint(3, 8), 8))) for _ in range(n)]
+
+    def _models(self, seed=0, **kw):
+        import dataclasses
+        plain = ValleAR(tiny_cfg(**kw), seed=seed)
+        spec = ValleAR(dataclasses.replace(plain.config, speculative_k=4),
+                       params=plain.params)
+        return plain, spec
+
+    def test_spec_greedy_equals_solo(self):
+        plain, spec = self._models(seed=10)
+        prompts = self._prompts(3, seed=41)
+        want = [solo(plain, t, c) for t, c in prompts]
+        cb = ContinuousDecoder(spec, n_slots=3, speculative=True)
+        slots = [cb.join(t, c) for t, c in prompts]
+        got = drain(cb, slots)
+        for s, w in zip(slots, want):
+            np.testing.assert_array_equal(got[s], w)
+
+    def test_spec_staggered_join_and_slot_reuse(self):
+        """Rows at different depths committing different amounts per turn:
+        join mid-flight, abort, reuse the row — every session still matches
+        its solo decode."""
+        plain, spec = self._models(seed=11)
+        prompts = self._prompts(3, seed=43)
+        want = [solo(plain, t, c) for t, c in prompts]
+        cb = ContinuousDecoder(spec, n_slots=2, speculative=True)
+        s0 = cb.join(*prompts[0])
+        got0 = list(cb.advance(2).get(s0, []))
+        s1 = cb.join(*prompts[1])
+        got1 = []
+        while not cb.finished(s0):
+            out = cb.advance(1)
+            got0.extend(out.get(s0, []))
+            got1.extend(out.get(s1, []))
+        cb.release(s0)
+        s2 = cb.join(*prompts[2])                  # reuses slot s0
+        got2 = []
+        while not (cb.finished(s1) and cb.finished(s2)):
+            out = cb.advance(2)
+            got1.extend(out.get(s1, []))
+            got2.extend(out.get(s2, []))
+        np.testing.assert_array_equal(np.asarray(got0, np.int32), want[0])
+        np.testing.assert_array_equal(np.asarray(got1, np.int32), want[1])
+        np.testing.assert_array_equal(np.asarray(got2, np.int32), want[2])
+
+    def test_spec_sampled_equals_solo_spec(self):
+        """Sampled sessions: per-row 4-way-split chains reproduce the solo
+        SPECULATIVE decode bit-for-bit (the strong determinism claim — the
+        solo spec decode is in turn distribution-exact vs plain sampling,
+        tests/test_spec_decode.py)."""
+        _, spec = self._models(seed=12, temperature=1.0, top_k=50)
+        prompts = self._prompts(3, seed=47)
+        keys = [jax.random.key(300 + i) for i in range(3)]
+        want = [np.asarray(spec.generate(t, c, rng=k))
+                for (t, c), k in zip(prompts, keys)]
+        cb = ContinuousDecoder(spec, n_slots=2, speculative=True)
+        s0 = cb.join(*prompts[0], rng=keys[0])
+        got0 = list(cb.advance(2).get(s0, []))
+        s1 = cb.join(*prompts[1], rng=keys[1])
+        got1 = []
+        while not cb.finished(s0):
+            out = cb.advance(1)
+            got0.extend(out.get(s0, []))
+            got1.extend(out.get(s1, []))
+        cb.release(s0)
+        s2 = cb.join(*prompts[2], rng=keys[2])
+        got2 = []
+        while not (cb.finished(s1) and cb.finished(s2)):
+            out = cb.advance(2)
+            got1.extend(out.get(s1, []))
+            got2.extend(out.get(s2, []))
+        np.testing.assert_array_equal(np.asarray(got0, np.int32), want[0])
+        np.testing.assert_array_equal(np.asarray(got1, np.int32), want[1])
+        np.testing.assert_array_equal(np.asarray(got2, np.int32), want[2])
+
+    def test_spec_fused_joint(self):
+        """Speculative joint loop through the fused q-block verify kernel
+        (interpret mode on CPU) — per-row write indices at different depths,
+        staggered join included."""
+        plain, spec = self._models(seed=13, use_fused_decode=True,
+                                   max_audio_len=8)
+        (ta, ca), (tb, cbc) = self._prompts(2, seed=53)
+        want_a, want_b = solo(plain, ta, ca), solo(plain, tb, cbc)
+        cb = ContinuousDecoder(spec, n_slots=2, ttm=16, pm=16,
+                               speculative=True)
+        assert cb._use_fused
+        sa = cb.join(ta, ca)
+        got_a = list(cb.advance(1).get(sa, []))
+        sb = cb.join(tb, cbc)
+        got_b = []
+        while not (cb.finished(sa) and cb.finished(sb)):
+            out = cb.advance(1)
+            got_a.extend(out.get(sa, []))
+            got_b.extend(out.get(sb, []))
+        np.testing.assert_array_equal(np.asarray(got_a, np.int32), want_a)
+        np.testing.assert_array_equal(np.asarray(got_b, np.int32), want_b)
+
+    def test_spec_requires_k(self):
+        model = ValleAR(tiny_cfg(), seed=0)
+        with pytest.raises(ValueError, match='speculative_k'):
+            ContinuousDecoder(model, n_slots=2, speculative=True)

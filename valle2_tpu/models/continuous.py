@@ -47,7 +47,9 @@ import numpy as np
 from ..config import ConfigValle
 from ..ops import (KVCache, embedding, linear, sinusoidal_table,
                    topk_sampling, transformer_decode_step)
-from .ar import MAX_POS, DecodeState, ValleAR, _dims, _specials, _to_compute
+from ..ops.masks import NEG_INF
+from .ar import (MAX_POS, DecodeState, ValleAR, _dims, _ngram_draft,
+                 _spec_gate, _specials, _to_compute)
 
 Params = dict[str, Any]
 
@@ -153,6 +155,178 @@ def _cb_advance(params: Params, state: DecodeState, tl_f: jax.Array,
     return final
 
 
+def _cb_advance_spec(params: Params, state: DecodeState, tl_f: jax.Array,
+                     pl_f: jax.Array, turns: jax.Array, config: ConfigValle,
+                     ttm: int, pm: int) -> DecodeState:
+    """Speculative continuous batching: advance every ACTIVE row by up to
+    ``turns`` verify turns, each committing 1..K tokens (traced scalar — one
+    compilation serves any cadence).
+
+    The turn body mirrors ``ar._decode_advance_spec`` (n-gram drafting, one
+    K-token verify pass — the fused q-block Pallas kernel under the fused
+    gate, whose per-row write indices exist for exactly this: rows advance by
+    different amounts per turn — greedy commit-iff-argmax, sampled exact
+    rejection sampling with a forced one-hot carry), with the continuous-
+    batching deltas of ``_cb_advance``:
+
+    - PER-ROW rng chains: each row splits its own key 4 ways per turn,
+      consuming exactly the sequence its SOLO speculative decode would — so
+      sampled sessions commit bit-identical tokens to their solo spec decode
+      (and greedy to the plain loop, since greedy speculation is
+      bit-identical to plain greedy), independent of join order / co-tenants
+      / slot reuse.  Inactive rows' chains freeze.
+    - Frozen (pending / finished / released) rows are exact no-ops: zero
+      commit length, carried logits preserved (a pending row's prefill
+      logits determine its first token after activation), statistics frozen.
+      Their verify pass still writes K stale kv slots at [step, step+K) —
+      harmless, as in ``_cb_advance``: the in-flight block is excluded from
+      cache reads (served from registers), only the row itself could attend
+      those slots, and activation/next-turn rewrites them (the cache carries
+      K slots of slack past max_new for exactly this idle write — same slack
+      ``ar._decode_prefill`` adds).
+    """
+    eos, _ = _specials(config)
+    max_new = config.max_audio_len
+    k_blk = config.speculative_k
+    use_fused = state.cache.k.ndim == 4
+    rows = state.codes.shape[0]
+    total_max = state.cache.k.shape[2] if use_fused else state.cache.k.shape[3]
+    n_heads = config.n_heads
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    dtype = jnp.dtype(config.dtype)
+    tparams = jax.tree.map(_to_compute(dtype), params['transformer'])
+
+    slots = jnp.arange(total_max)[None, :]
+    base_valid = ((slots < tl_f[:, None])
+                  | ((slots >= ttm) & (slots < ttm + pl_f[:, None])))
+    sampled = bool(config.temperature and config.temperature > 0.0)
+    temp = float(config.temperature) if sampled else 1.0
+
+    def one_row_sample(kk, lg):
+        smp, lp = topk_sampling(kk, lg[None], top_k=config.top_k,
+                                tok_p=config.tok_p,
+                                temperature=config.temperature)
+        return smp[0], lp[0]
+
+    def turn(s: DecodeState) -> DecodeState:
+        alive = (~s.finished) & (s.step < max_new)
+        # 4-way split PER ROW, same unpack order as the solo loop (next
+        # chain, t0 draw, acceptance, residual) — an active row's chain
+        # consumes exactly what its solo spec decode consumes per turn.
+        keys = jax.vmap(lambda kk: jax.random.split(kk, 4))(s.rng)
+        rng_next = jnp.where(alive, keys[:, 0], s.rng)
+        t0, lp0 = jax.vmap(one_row_sample)(keys[:, 1], s.logits)
+        t0 = jnp.where(alive, t0.astype(jnp.int32), eos)
+        codes_t0 = jax.vmap(lambda row, v, i: jax.lax.dynamic_update_slice(
+            row, v[None], (i,)))(s.codes, t0, pm + s.step)
+        draft = _ngram_draft(codes_t0, pm + s.step + 1,
+                             config.speculative_ngram, k_blk - 1, t0)
+        block = jnp.concatenate([t0[:, None], draft], axis=1)       # (rows, K)
+
+        pos = pl_f[:, None] + s.step[:, None] + jnp.arange(k_blk)[None, :]
+        x = embedding(params['audio_emb'], block)
+        x = (x + jnp.take(pe, pos, axis=0)).astype(dtype)
+        write_idx = ttm + pm + s.step                                # (rows,)
+        if use_fused:
+            from ..kernels.fused_decode import fused_verify_step
+            y, cache = fused_verify_step(
+                tparams, x, n_heads, s.cache, write_idx, tl_f, pl_f, ttm, pm,
+                chunk_override=config.decode_chunk or None)
+        else:
+            qi = jnp.arange(k_blk)[None, :, None]
+            attend = (base_valid[:, None, :]
+                      | ((slots[:, None, :] >= ttm + pm)
+                         & (slots[:, None, :] <= write_idx[:, None, None] + qi)))
+            y, cache = transformer_decode_step(
+                tparams, x, n_heads, s.cache, write_idx, attend_mask=attend,
+                attn_buckets=config.decode_attn_buckets)
+        flat3 = linear(params['proj'],
+                       y.astype(jnp.float32)).reshape(rows, k_blk, -1)
+        vocab = flat3.shape[-1]
+
+        if not sampled:
+            # Greedy acceptance: draft == the model's own argmax there
+            # (per-row keys are ignored by greedy topk_sampling — bit parity
+            # with the solo loop is rng-independent).
+            g_tok, g_lp = jax.vmap(
+                lambda kk, lg: topk_sampling(kk, lg, top_k=config.top_k,
+                                             tok_p=config.tok_p,
+                                             temperature=config.temperature)
+            )(keys[:, 2], flat3)
+            g_tok = g_tok.astype(jnp.int32)                      # (rows, K)
+            match = (block[:, 1:] == g_tok[:, :-1]).astype(jnp.int32)
+            lp_blk = jnp.concatenate([lp0[:, None], g_lp[:, :-1]], axis=1)
+        else:
+            # Exact rejection sampling for the point-mass draft, per row
+            # (solo semantics; ar._decode_advance_spec for the math).
+            from ..ops.sampling import top_k_top_p_filter
+            filt = top_k_top_p_filter(flat3 / temp, config.top_k,
+                                      config.tok_p)              # (r, K, V)
+            logp = jax.nn.log_softmax(filt, axis=-1)
+            lp_draft = jnp.take_along_axis(
+                logp[:, :-1], block[:, 1:, None], axis=-1)[..., 0]  # (r, K-1)
+            u = jax.vmap(lambda kk: jax.random.uniform(kk, (k_blk - 1,)))(
+                keys[:, 2])
+            match = (jnp.log(u) < lp_draft).astype(jnp.int32)
+            lp_blk = jnp.concatenate([lp0[:, None], lp_draft], axis=1)
+        c_acc = jnp.cumprod(match, axis=1).sum(axis=1) + 1           # 1..K
+
+        c = c_acc
+        if not config.ignore_eos:
+            is_eos = block == eos
+            first_eos = jnp.argmax(is_eos, axis=1)
+            c = jnp.where(jnp.any(is_eos, axis=1),
+                          jnp.minimum(c, first_eos + 1), c)
+        c = jnp.where(alive, jnp.minimum(c, max_new - s.step), 0)
+        take = jnp.arange(k_blk)[None, :] < c[:, None]
+
+        sum_logprobs = s.sum_logprobs + jnp.sum(lp_blk * take, axis=1)
+        codes_new = jax.vmap(lambda row, vals, i: jax.lax.dynamic_update_slice(
+            row, vals, (i,)))(s.codes, jnp.where(take, block, eos), pm + s.step)
+        step_new = s.step + c
+        finished = s.finished | (step_new >= max_new)
+        if not config.ignore_eos:
+            committed_eos = jnp.any((block == eos) & take, axis=1)
+            finished = finished | committed_eos
+        ci = jnp.clip(c - 1, 0, k_blk - 1)[:, None, None]
+        logits_next = jnp.take_along_axis(flat3, ci, axis=1)[:, 0]
+        # c == 0 covers frozen rows too: a pending row's carried prefill
+        # logits must survive until activation (same rule as _cb_advance).
+        logits_next = jnp.where((c > 0)[:, None], logits_next, s.logits)
+
+        if sampled:
+            # Residual resample at the first rejection; commits via a forced
+            # one-hot carry next turn (ar._decode_advance_spec for why).
+            prev = jnp.clip(c_acc - 1, 0, k_blk - 1)
+            filt_prev = jnp.take_along_axis(
+                filt, prev[:, None, None], axis=1)[:, 0]         # (rows, V)
+            d_rej = jnp.take_along_axis(
+                block, jnp.clip(c_acc, 0, k_blk - 1)[:, None], axis=1)[:, 0]
+            resid = jnp.where(jnp.arange(vocab)[None, :] == d_rej[:, None],
+                              NEG_INF, filt_prev)
+            x_new = jax.vmap(jax.random.categorical)(keys[:, 3], resid) \
+                .astype(jnp.int32)
+            lp_new = jnp.take_along_axis(
+                jnp.take_along_axis(logp, prev[:, None, None], axis=1)[:, 0],
+                x_new[:, None], axis=1)[:, 0]
+            do_force = alive & (c_acc < k_blk) & (c == c_acc) & ~finished
+            sum_logprobs = sum_logprobs + jnp.where(do_force, lp_new, 0.0)
+            force_row = jnp.where(jnp.arange(vocab)[None, :] == x_new[:, None],
+                                  0.0, NEG_INF)
+            logits_next = jnp.where(do_force[:, None], force_row, logits_next)
+
+        return DecodeState(step_new, codes_new, logits_next, cache,
+                           sum_logprobs, finished, rng_next)
+
+    def cond(carry):
+        i, s = carry
+        return (i < turns) & jnp.any((~s.finished) & (s.step < max_new))
+
+    _, final = jax.lax.while_loop(cond, lambda c: (c[0] + 1, turn(c[1])),
+                                  (jnp.int32(0), state))
+    return final
+
+
 def _cb_insert(state: DecodeState, tl_f: jax.Array, pl_f: jax.Array,
                row: DecodeState, row_tl: jax.Array, row_pl: jax.Array,
                slot: jax.Array):
@@ -206,10 +380,11 @@ class ContinuousDecoder:
     for the next session.  Thread-safe (one lock around the device state —
     callers like serve.TTSServer drive it from several request threads).
 
-    ``model``: a ValleAR (its params are shared; a num_beams=1, unfused-decode
-    sibling config drives the loop — the fused whole-stack kernel needs a
-    per-row index variant, planned; the XLA path already wins the aggregate
-    throughput that motivates batching).
+    ``model``: a ValleAR (its params are shared; a num_beams=1 sibling config
+    drives the loop — prefill runs unfused at rows=1, and the JOINT loop
+    takes the fused whole-stack Pallas kernel when the caller's
+    ``use_fused_decode`` gate passes at the joint geometry, via the kernel's
+    per-row index variant).
     ``n_slots``: rows in the joint state (compiled size — pick the expected
     peak concurrency).  ``ttm``/``pm``: shared prompt geometry (token / code
     slots) — size it to the prompt distribution; prompts that exceed it are
@@ -217,23 +392,45 @@ class ContinuousDecoder:
     the smallest ``config.bucket_sizes`` bucket (128 by default — a ~1.7 s
     acoustic prompt; the largest bucket would triple every row's cache for
     headroom most sessions never use).
+    ``speculative``: opt-in n-gram speculative decoding for the joint loop
+    (requires ``config.speculative_k >= 2``) — each ``advance(k)`` runs up
+    to ``k`` verify turns committing 1..K tokens per row per turn
+    (``_cb_advance_spec``).  Greedy sessions stay bit-identical to their
+    solo decode; sampled sessions are bit-identical to their solo
+    SPECULATIVE decode (same per-row chain), which is distribution-exact
+    vs plain sampling.
     """
 
     def __init__(self, model: ValleAR, n_slots: int = 4,
                  ttm: int | None = None, pm: int | None = None,
-                 rng: jax.Array | None = None):
+                 rng: jax.Array | None = None, speculative: bool = False):
         import dataclasses
         config = model.config
         if config.num_beams != 1:
             raise ValueError('continuous batching requires num_beams == 1')
         if n_slots < 1:
             raise ValueError(f'n_slots must be >= 1, got {n_slots}')
-        # speculative_k=0: the joint loop advances one token per row per step
-        # (speculation is a solo-decode feature), and a spec-enabled config
-        # would make the rows=1 prefill pad its cache K slots longer than the
-        # joint geometry computed below — the row insert would not fit.
-        cfg = dataclasses.replace(config, num_beams=1, use_fused_decode=False,
-                                  speculative_k=0)
+        self._spec = bool(speculative)
+        if self._spec:
+            # Speculative continuous batching (_cb_advance_spec): the joint
+            # loop runs n-gram verify turns; geometry gains the same K-slot
+            # slack the solo spec prefill adds.  Opt-in (not inferred from
+            # the model config): a verify turn commits 1..K tokens, so
+            # ``advance(k)`` becomes turn-bounded rather than token-bounded —
+            # callers pacing emission by token count should opt in knowingly.
+            cfg = dataclasses.replace(config, num_beams=1,
+                                      use_fused_decode=False)
+            if not _spec_gate(cfg):       # validates; False = k < 2 (off)
+                raise ValueError('speculative=True requires '
+                                 'config.speculative_k >= 2')
+        else:
+            # speculative_k=0: the plain joint loop advances one token per
+            # row per step, and a spec-enabled config would make the rows=1
+            # prefill pad its cache K slots longer than the joint geometry
+            # computed below — the row insert would not fit.
+            cfg = dataclasses.replace(config, num_beams=1,
+                                      use_fused_decode=False,
+                                      speculative_k=0)
         self._ar = ValleAR(cfg, params=model.params)
         # Share any int8 decode view instead of re-quantizing a duplicate.
         if config.weight_dtype == 'int8':
@@ -249,6 +446,11 @@ class ContinuousDecoder:
 
         unroll = max(1, cfg.decode_unroll)
         max_new_pad = -(-self.max_new // unroll) * unroll
+        if self._spec:
+            # Same slack ar._decode_prefill adds: finished rows idling while
+            # others decode write K slots from position max_new (the row
+            # prefill uses this exact formula, so insert widths match).
+            max_new_pad += cfg.speculative_k
         total_max = self.ttm + self.pm + max_new_pad
         width = self.pm + max_new_pad
         cache_dtype = jnp.dtype(cfg.kv_cache_dtype)
@@ -308,12 +510,15 @@ class ContinuousDecoder:
         ck = config_key(cfg) + f'|cb{n_slots}x{self.ttm}x{self.pm}'
         prec = cfg.matmul_precision
 
+        advance_fn = _cb_advance_spec if self._spec else _cb_advance
+
         def _advance_wrapped(p, state, tl, pl, k):
             with jax.default_matmul_precision(prec):
-                return _cb_advance(p, state, tl, pl, k, cfg, self.ttm, self.pm)
+                return advance_fn(p, state, tl, pl, k, cfg, self.ttm, self.pm)
 
-        self._advance_jit = cached_jit(_advance_wrapped, tag='cb_advance',
-                                       extra_key=ck, donate_argnums=(1,))
+        self._advance_jit = cached_jit(
+            _advance_wrapped, tag='cb_advance_spec' if self._spec
+            else 'cb_advance', extra_key=ck, donate_argnums=(1,))
         self._insert_jit = cached_jit(_cb_insert, tag='cb_insert',
                                       extra_key=ck, donate_argnums=(0, 1, 2))
         self._finish_jit = cached_jit(_cb_finish, tag='cb_finish',
@@ -421,7 +626,9 @@ class ContinuousDecoder:
             sess['pending'] = False
 
     def advance(self, k: int, tags: bool = False):
-        """One joint device step of up to ``k`` tokens for every live row.
+        """One joint device step of up to ``k`` tokens for every live row
+        (``speculative=True``: up to ``k`` verify TURNS, each committing
+        1..speculative_k tokens per row).
 
         Returns {slot: newly generated ids (EOS stripped)} for every occupied
         slot that produced tokens or just finished; consult ``finished(slot)``

@@ -99,11 +99,45 @@ def _spec_turns(model, tokens, codes):
     return int(turns), int(final.step[0])
 
 
+def _cb_timed(model, tokens, codes, n_sessions: int, steps: int,
+              speculative: bool, repeats: int = 3):
+    """Best-of-N wall time for N concurrent sessions drained through the
+    continuous batcher (join + advance-to-completion; one warm run first)."""
+    from ..models.continuous import ContinuousDecoder
+
+    def run():
+        cb = ContinuousDecoder(model, n_slots=n_sessions,
+                               speculative=speculative)
+        slots = [cb.join(tokens, codes) for _ in range(n_sessions)]
+        got = 0
+        for _ in range(10 * steps):
+            out = cb.advance(steps)
+            got += sum(len(v) for v in out.values())
+            if all(cb.finished(s) for s in slots):
+                return got
+        raise AssertionError('batcher did not finish')
+
+    run()                                                  # compile
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        got = run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert got == n_sessions * steps, got
+    return best
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split('\n')[0])
     ap.add_argument('--steps', type=int, default=512)
     ap.add_argument('--k', type=int, default=4)
     ap.add_argument('--ngram', type=int, default=3)
+    ap.add_argument('--cb', type=int, default=0, metavar='N',
+                    help='continuous-batching mode: drain N concurrent '
+                         'sessions through ContinuousDecoder, plain loop vs '
+                         'speculative=True, at both acceptance extremes '
+                         '(replaces the solo arms)')
     ap.add_argument('--scale', choices=('default', 'large'), default='default')
     ap.add_argument('--temperature', type=float, default=0.0,
                     help='0 = greedy (bit-identical spec); >0 = sampled '
@@ -116,6 +150,32 @@ def main(argv=None):
     tokens = rs.randint(0, 70, (24,))
     codes = rs.randint(0, 1024, (75, 8))
     result: dict = {'steps': args.steps, 'k': args.k, 'scale': args.scale}
+
+    if args.cb:
+        # Continuous-batching A/B: N sessions drained jointly, plain
+        # one-token loop vs speculative verify turns, same weights.
+        n = args.cb
+        result['cb_sessions'] = n
+        for arm, dom in (('natural', None), ('repetitive', 7)):
+            base = _model(args.scale, args.steps, dominant=dom,
+                          temperature=args.temperature, ngram=args.ngram)
+            t_plain = _cb_timed(base, tokens, codes, n, args.steps, False)
+            spec = _model(args.scale, args.steps, spec_k=args.k, dominant=dom,
+                          temperature=args.temperature, ngram=args.ngram)
+            spec.params = base.params
+            t_spec = _cb_timed(spec, tokens, codes, n, args.steps, True)
+            result[f'cb_{arm}'] = {
+                'plain_tok_s': round(n * args.steps / t_plain, 1),
+                'spec_tok_s': round(n * args.steps / t_spec, 1),
+                'speedup': round(t_plain / t_spec, 2),
+            }
+            print(f'cb[{arm}] x{n}: plain {t_plain * 1e3:.1f} ms '
+                  f'({result[f"cb_{arm}"]["plain_tok_s"]} tok/s) vs spec '
+                  f'{t_spec * 1e3:.1f} ms '
+                  f'({result[f"cb_{arm}"]["spec_tok_s"]} tok/s) = '
+                  f'{result[f"cb_{arm}"]["speedup"]}x', flush=True)
+        print(json.dumps(result), flush=True)
+        return result
 
     plain = _model(args.scale, args.steps, temperature=args.temperature)
     t_plain = _decode_timed(plain, tokens, codes)
