@@ -83,6 +83,49 @@ class TestStreamHub:
         finally:
             hub.stop()
 
+    def test_speculative_hub_waveform_equals_solo(self):
+        """speculative=True: the hub decodes via n-gram verify turns — tokens
+        are bit-identical (greedy speculation == plain greedy) and emission is
+        token-count-based, so waveforms match the solo streaming path (which
+        keeps the plain loop) to batched-NAR float round-off, even though
+        chunks arrive at turn granularity."""
+        tts = ValleTTS(tiny_cfg(speculative_k=4))
+        prompts = self._prompts(2, seed=9)
+        texts = ['hello there.', 'go on now.']
+        want = [collect(tts.synthesize_streaming(
+            tx, pt, pc, chunk_frames=4, rng=jax.random.key(7)))
+            for tx, (pt, pc) in zip(texts, prompts)]
+        hub = StreamHub(tts, n_slots=2, chunk_frames=4, speculative=True)
+        try:
+            got = [None, None]
+            errs = []
+
+            def run(i):
+                try:
+                    tx, (pt, pc) = texts[i], prompts[i]
+                    got[i] = collect(hub.open(tx, pt, pc,
+                                              rng=jax.random.key(7)))
+                except Exception as e:      # noqa: BLE001
+                    errs.append(e)
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert not errs, errs
+            for w, g in zip(want, got):
+                assert g.shape == w.shape
+                np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+            assert hub.live_sessions() == 0
+        finally:
+            hub.stop()
+
+    def test_speculative_hub_requires_k(self, tts):
+        with pytest.raises(ValueError, match='speculative_k'):
+            StreamHub(tts, n_slots=2, speculative=True)
+
     def test_hub_full_raises(self, tts):
         hub = StreamHub(tts, n_slots=1)
         try:

@@ -182,7 +182,8 @@ class TTSServer:
     def __init__(self, tts: ValleTTS, max_batch: int = 8,
                  max_wait_ms: float = 10.0, rng: jax.Array | None = None,
                  max_queue: int = 256, max_streams: int = 1, asr=None,
-                 cb_streams: int = 0, cb_geometry: tuple | None = None):
+                 cb_streams: int = 0, cb_geometry: tuple | None = None,
+                 cb_speculative: bool = False):
         assert max_batch >= 1
         self.tts = tts
         # Optional ValleASRPipeline: enables transcribe() and POST /transcribe.
@@ -228,7 +229,12 @@ class TTSServer:
         if int(cb_streams) > 0:
             from .stream_hub import StreamHub
             ttm, pm = cb_geometry if cb_geometry else (None, None)
-            self._hub = StreamHub(tts, n_slots=int(cb_streams), ttm=ttm, pm=pm)
+            # cb_speculative: hub sessions decode via n-gram verify turns
+            # (requires config.speculative_k >= 2; waveforms unchanged —
+            # greedy speculation is bit-identical — throughput rises with
+            # content repetitiveness; see docs/serving.md).
+            self._hub = StreamHub(tts, n_slots=int(cb_streams), ttm=ttm,
+                                  pm=pm, speculative=bool(cb_speculative))
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -871,6 +877,12 @@ def main(argv=None):
                         help='Hub prompt geometry: token / code slots per row '
                              '(default: smallest config bucket).  Prompts '
                              'beyond it use the solo path')
+    parser.add_argument('--cb-spec', action='store_true',
+                        help='Speculative continuous batching: hub sessions '
+                             'decode via n-gram verify turns (requires '
+                             'config.speculative_k >= 2; waveforms unchanged, '
+                             'throughput rises with content repetitiveness — '
+                             'docs/serving.md)')
     parser.add_argument('--compile-cache', type=Path, default=None,
                         help='Persistent XLA compilation cache dir: restarted '
                              'servers deserialize compiled executables instead '
@@ -909,7 +921,8 @@ def main(argv=None):
                        max_queue=args.max_queue, max_streams=args.max_streams,
                        asr=asr, cb_streams=args.cb_streams,
                        cb_geometry=tuple(args.cb_geometry)
-                       if args.cb_geometry else None)
+                       if args.cb_geometry else None,
+                       cb_speculative=args.cb_spec)
     if args.warmup or args.warmup_all_lengths or args.warmup_streams:
         # Compile before the port opens: the first real request must never pay
         # the ~3 min first-compile cost (BENCH_r02: 180 s at 204M).

@@ -78,11 +78,17 @@ class StreamHub:
     that do not fit raise ValueError — route those to the solo path).
     ``batched_nar``: refine all due sessions' prefixes in ONE joint NAR→wav
     dispatch per chunk (default; see module docstring).
+    ``speculative``: run the joint loop as n-gram verify turns (requires
+    ``config.speculative_k >= 2``; see ContinuousDecoder).  Waveforms are
+    unchanged (greedy speculation commits bit-identical tokens and emission
+    is token-count-based) — only the arrival cadence coarsens to turn
+    granularity, so the hub advances by ~chunk_frames/K turns per cycle to
+    keep per-cycle token counts near the configured chunk.
     """
 
     def __init__(self, tts, n_slots: int = 4, chunk_frames: int = 25,
                  ttm: int | None = None, pm: int | None = None,
-                 batched_nar: bool = True):
+                 batched_nar: bool = True, speculative: bool = False):
         if int(chunk_frames) < 1:
             raise ValueError(f'chunk_frames must be >= 1, got {chunk_frames}')
         if tts.config.num_beams != 1:
@@ -91,7 +97,13 @@ class StreamHub:
         self.tts = tts
         self.chunk_frames = int(chunk_frames)
         self.cb = ContinuousDecoder(tts._stream_ar, n_slots=n_slots,
-                                    ttm=ttm, pm=pm)
+                                    ttm=ttm, pm=pm,
+                                    speculative=bool(speculative))
+        # advance() is token-bounded on the plain loop, TURN-bounded (1..K
+        # tokens each) on the speculative loop — scale so a cycle still
+        # delivers roughly chunk_frames tokens per session.
+        self._advance_k = self.chunk_frames if not speculative else \
+            max(1, round(self.chunk_frames / tts.config.speculative_k))
         self.batched_nar = bool(batched_nar)
         self._by_slot: dict[int, _Session] = {}
         self._emitters: dict[int, object] = {}      # batched_nar=False only
@@ -378,7 +390,7 @@ class StreamHub:
                 # DURING the advance (join-time tag) plus doneness captured
                 # under the batcher lock — routing by slot id alone could hand
                 # a released/re-joined slot's tokens to the wrong session.
-                out = self.cb.advance(self.chunk_frames, tags=True)
+                out = self.cb.advance(self._advance_k, tags=True)
             except Exception as e:          # device failure: fail all sessions
                 log_warning('stream hub advance failed (%s: %s) — ending '
                             'live sessions', type(e).__name__, e)

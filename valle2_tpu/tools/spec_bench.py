@@ -114,17 +114,20 @@ def _cb_timed(model, tokens, codes, n_sessions: int, steps: int,
             out = cb.advance(steps)
             got += sum(len(v) for v in out.values())
             if all(cb.finished(s) for s in slots):
-                return got
+                # Every ignore_eos session decoded exactly ``steps`` tokens;
+                # emission may report slightly fewer (advance() strips eos
+                # IDS a random-init model can legitimately sample).
+                assert got >= n_sessions * (steps - 16), got
+                return
         raise AssertionError('batcher did not finish')
 
     run()                                                  # compile
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        got = run()
+        run()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    assert got == n_sessions * steps, got
     return best
 
 
