@@ -172,6 +172,38 @@ class TestTrainer:
             state.params, restored.params)
         assert all(jax.tree.leaves(chex_equal))
 
+    def test_checkpoint_retention_keeps_newest_n(self, tmp_path):
+        """keep_checkpoints=2: older completed step dirs are pruned after each
+        save; the newest two survive and resume still works."""
+        cfg = tiny_cfg(tmp_path)
+        cfg.keep_checkpoints = 2
+        cfg.async_checkpoint = False      # deterministic dir set per save
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        trainer = Trainer(cfg, 'ValleAR', use_tensorboard=False)
+        for s in (1, 2, 3, 4):
+            trainer.save_checkpoint(
+                TrainState(state.params, state.opt_state, jnp.int32(s)))
+        root = Path(cfg.ckpt_path) / 'ValleAR'
+        names = sorted(p.name for p in root.glob('step_*'))
+        assert names == ['step_3', 'step_4'], names
+        latest = trainer.latest_checkpoint()
+        assert latest is not None and latest.name == 'step_4'
+        restored = trainer.restore_checkpoint(
+            init_state(cfg, 'ValleAR', jax.random.key(9)), latest)
+        assert int(restored.step) == 4
+
+    def test_checkpoint_retention_off_by_default(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        cfg.async_checkpoint = False
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        trainer = Trainer(cfg, 'ValleAR', use_tensorboard=False)
+        for s in (1, 2, 3):
+            trainer.save_checkpoint(
+                TrainState(state.params, state.opt_state, jnp.int32(s)))
+        root = Path(cfg.ckpt_path) / 'ValleAR'
+        assert sorted(p.name for p in root.glob('step_*')) == \
+            ['step_1', 'step_2', 'step_3']
+
 
 class TestSharding:
     def test_dryrun_multichip_8(self):

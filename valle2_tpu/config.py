@@ -154,6 +154,13 @@ class ConfigValle:
                           'later runs with ZERO re-encodes.  Empty = in-RAM '
                           'memoization only (re-encodes each process)'},
     )
+    keep_checkpoints: int = field(
+        default=0,
+        metadata={'help': 'Retention: keep only the newest N completed '
+                          'checkpoint dirs per model, pruning older ones after '
+                          'each successful save (the reference accumulates '
+                          'every save).  0 = keep all'},
+    )
     async_checkpoint: bool = field(
         default=True,
         metadata={'help': 'Checkpoint saves return once the device→host copy '

@@ -247,6 +247,31 @@ class Trainer:
         log_info('Saved checkpoint at step %d → %s%s', opt_step, path,
                  '' if wait or not self.config.async_checkpoint
                  else ' (async, write in flight)')
+        self._prune_checkpoints(keep_step=opt_step)
+
+    def _prune_checkpoints(self, keep_step: int) -> None:
+        """Retention (``config.keep_checkpoints = N > 0``): delete all but the
+        newest N completed checkpoint dirs.  Only fully-numeric ``step_*``
+        dirs are candidates (orbax tmp dirs from an in-flight or crashed save
+        are never touched), the just-saved step never is, and on multi-host
+        runs only the primary process deletes (saves are collective; the
+        filesystem side effect must be singleton)."""
+        keep = int(self.config.keep_checkpoints)
+        if keep <= 0:
+            return
+        from .parallel import is_primary
+        if not is_primary():
+            return
+        root = Path(self.config.ckpt_path).resolve() / self.model_name
+        steps = sorted((int(p.name.split('_')[1]), p)
+                       for p in root.glob('step_*')
+                       if p.name.split('_')[1].isdigit())
+        import shutil
+        for _, p in steps[:-keep]:
+            if p.name == f'step_{keep_step}':
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            log_info('Pruned checkpoint %s (keep_checkpoints=%d)', p, keep)
 
     def finish_checkpoints(self) -> None:
         """Block until any in-flight async save lands and release the writer."""
