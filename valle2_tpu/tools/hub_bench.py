@@ -11,6 +11,9 @@ simultaneous sessions, comparing the serving arms on the real chip:
   chunk from its handler thread.
 - ``hub``: StreamHub default — AR batched AND all due sessions' NAR refines
   in ONE joint dispatch per chunk.
+- ``hub-spec``: the hub decoding via speculative verify turns
+  (``speculative=True``, ``--spec-k``) — random-init weights put this at the
+  n-gram acceptance floor, so it measures the verify turns' pure overhead.
 
 Reports per-arm wall time, aggregate frames/s, and audio-seconds/s (RTF⁻¹).
 Each arm runs once to compile, then ``--repeats`` timed runs (best kept).
@@ -31,12 +34,13 @@ import numpy as np
 FRAME_S = 320.0 / 24000.0     # seconds of audio per codec frame
 
 
-def _tts(steps: int):
+def _tts(steps: int, spec_k: int = 0):
     from ..config import ConfigValle
     from ..tts import ValleTTS
     return ValleTTS(ConfigValle(dtype='bfloat16', temperature=0.0,
                                 num_beams=1, max_audio_len=steps,
-                                ignore_eos=True, dropout=0.0))
+                                ignore_eos=True, dropout=0.0,
+                                speculative_k=spec_k))
 
 
 def _prompts(n: int):
@@ -96,10 +100,11 @@ def bench_solo(tts, prompts, chunk: int, repeats: int):
         for pt, pc in prompts]), repeats)
 
 
-def bench_hub(tts, prompts, chunk: int, repeats: int, batched_nar: bool):
+def bench_hub(tts, prompts, chunk: int, repeats: int, batched_nar: bool,
+              speculative: bool = False):
     from ..stream_hub import StreamHub
     hub = StreamHub(tts, n_slots=len(prompts), chunk_frames=chunk,
-                    batched_nar=batched_nar)
+                    batched_nar=batched_nar, speculative=speculative)
     try:
         return _timed(lambda: _drain_concurrent([
             hub.open('hello there.', pt, pc) for pt, pc in prompts]), repeats)
@@ -114,6 +119,8 @@ def main(argv=None):
     ap.add_argument('--chunk', type=int, default=25)
     ap.add_argument('--repeats', type=int, default=3)
     ap.add_argument('--arms', default='solo,hub-solo-nar,hub')
+    ap.add_argument('--spec-k', type=int, default=4,
+                    help='speculative_k for the hub-spec arm')
     args = ap.parse_args(argv)
 
     tts = _tts(args.steps)
@@ -129,6 +136,14 @@ def main(argv=None):
             dt, ttfa = bench_hub(tts, prompts, args.chunk, args.repeats, True)
         elif arm == 'hub-solo-nar':
             dt, ttfa = bench_hub(tts, prompts, args.chunk, args.repeats, False)
+        elif arm == 'hub-spec':
+            # Speculative hub at the acceptance FLOOR: random-init weights
+            # produce non-repetitive streams, so this measures the verify
+            # turns' pure overhead; real repetitive content scales it up
+            # (spec_bench measures the acceptance axis ends).
+            dt, ttfa = bench_hub(_tts(args.steps, args.spec_k), prompts,
+                                 args.chunk, args.repeats, True,
+                                 speculative=True)
         else:
             raise SystemExit(f'unknown arm {arm!r}')
         result[arm] = {
