@@ -285,6 +285,57 @@ class TestStreamHub:
             hub.stop()
 
 
+class TestAdaptiveVerifyTurns:
+    """Pure-logic gates on the speculative hub's per-cycle turn budget
+    (stream_hub._turns_for_cycle / _observe_acceptance): the cycle should
+    deliver ~chunk_frames tokens per session at any observed acceptance,
+    clamped to [1, chunk_frames]."""
+
+    @staticmethod
+    def bare_hub(chunk_frames=24, spec=True, ema=4.0):
+        hub = StreamHub.__new__(StreamHub)     # logic-only: skip device setup
+        hub.chunk_frames = chunk_frames
+        hub._spec = spec
+        hub._accept_ema = ema
+        return hub
+
+    def test_plain_hub_uses_chunk_frames(self):
+        assert self.bare_hub(spec=False)._turns_for_cycle() == 24
+
+    def test_turns_track_acceptance(self):
+        # Perfect acceptance (K=4): a quarter of the turns; floor acceptance
+        # (1 token/turn): the full chunk; EMA below 1 clamps the divisor.
+        assert self.bare_hub(ema=4.0)._turns_for_cycle() == 6
+        assert self.bare_hub(ema=1.0)._turns_for_cycle() == 24
+        assert self.bare_hub(ema=0.25)._turns_for_cycle() == 24
+        assert self.bare_hub(ema=100.0)._turns_for_cycle() == 1
+
+    def test_never_exceeds_plain_token_budget(self):
+        # turns * 1-token-minimum <= chunk_frames AND turns >= 1, all EMAs.
+        for ema in (0.0, 0.5, 1.0, 1.5, 2.0, 3.9, 4.0, 7.0, 1e6):
+            t = self.bare_hub(ema=ema)._turns_for_cycle()
+            assert 1 <= t <= 24
+
+    def test_ema_converges_to_observed_rate(self):
+        hub = self.bare_hub(ema=4.0)
+        # Two producing rows commit 6 tokens total over 6 turns → 0.5/turn/row.
+        out = {0: (object(), np.zeros(3, np.int32), False),
+               1: (object(), np.zeros(3, np.int32), False)}
+        for _ in range(30):
+            hub._observe_acceptance(out, turns=6)
+        assert abs(hub._accept_ema - 0.5) < 1e-6
+        # Low acceptance drives the next cycle back to the full chunk budget.
+        assert hub._turns_for_cycle() == 24
+
+    def test_empty_cycle_keeps_ema(self):
+        hub = self.bare_hub(ema=2.5)
+        hub._observe_acceptance({}, turns=10)
+        assert hub._accept_ema == 2.5
+        hub._spec = False
+        hub._observe_acceptance({0: (object(), np.zeros(9), True)}, turns=3)
+        assert hub._accept_ema == 2.5      # plain hub never adapts
+
+
 class TestServerIntegration:
     def test_server_stream_routes_through_hub(self):
         tts = ValleTTS(tiny_cfg())

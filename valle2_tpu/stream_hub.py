@@ -391,9 +391,7 @@ class StreamHub:
                 if self._stopped:
                     self._fail_all()
                     return
-            turns = self.chunk_frames if not self._spec else max(
-                1, min(self.chunk_frames,
-                       round(self.chunk_frames / max(self._accept_ema, 1.0))))
+            turns = self._turns_for_cycle()
             try:
                 # tags=True: output rows carry the _Session that owned them
                 # DURING the advance (join-time tag) plus doneness captured
@@ -406,17 +404,32 @@ class StreamHub:
                 with self._lock:
                     self._fail_all()
                 continue
-            if self._spec and out:
-                # Mean tokens committed per turn per producing row this cycle
-                # (EOS-stripped / mid-advance-finished rows undercount, which
-                # only errs toward more turns — the safe direction).
-                got = sum(len(t) for (_s, t, _d) in out.values())
-                obs = got / (turns * len(out))
-                self._accept_ema = 0.5 * self._accept_ema + 0.5 * obs
+            self._observe_acceptance(out, turns)
             if self.batched_nar:
                 self._route_batched(out)
             else:
                 self._route_tokens(out)
+
+    def _turns_for_cycle(self) -> int:
+        """Advance budget for the next cycle.  Plain loop: chunk_frames token
+        steps.  Speculative loop: verify TURNS, chosen from the acceptance EMA
+        so the cycle still delivers ~chunk_frames tokens per session — clamped
+        to [1, chunk_frames] (a cycle never exceeds the plain loop's token
+        budget per row, so emission cadence can only coarsen, never burst)."""
+        if not self._spec:
+            return self.chunk_frames
+        return max(1, min(self.chunk_frames,
+                          round(self.chunk_frames / max(self._accept_ema, 1.0))))
+
+    def _observe_acceptance(self, out: dict, turns: int) -> None:
+        """Fold one advance cycle's mean tokens-per-turn-per-producing-row
+        into the acceptance EMA (EOS-stripped / mid-advance-finished rows
+        undercount, which only errs toward more turns — the safe direction)."""
+        if not self._spec or not out:
+            return
+        got = sum(len(t) for (_s, t, _d) in out.values())
+        obs = got / (turns * len(out))
+        self._accept_ema = 0.5 * self._accept_ema + 0.5 * obs
 
     def _route_tokens(self, out: dict) -> None:
         """batched_nar=False: deliver raw tokens; handler threads refine."""
