@@ -174,10 +174,15 @@ def bench_e2e_rtf(steps: int = 384) -> dict:
     text = 'the quick brown fox jumps over the lazy dog.'
 
     # Fused serving path: whole pipeline in one XLA program, one host fetch.
+    # Best-of-3 like the AR bench: the tunnel runtime drifts hour-to-hour
+    # (NOTES.md) and a single slow sample is dispatch noise, not capability.
     res = tts.synthesize_fused(text, prompt_tokens, prompt_codes)   # compile
-    t0 = time.perf_counter()
-    res = tts.synthesize_fused(text, prompt_tokens, prompt_codes)
-    wall = time.perf_counter() - t0
+    wall = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = tts.synthesize_fused(text, prompt_tokens, prompt_codes)
+        dt = time.perf_counter() - t0
+        wall = dt if wall is None else min(wall, dt)
     audio_secs = len(res.waveform) / 24000
     rtf = wall / max(audio_secs, 1e-9)
     log(f'E2E TTS (fused): {audio_secs:.2f}s audio in {wall:.2f}s -> RTF {rtf:.4f} '
@@ -191,9 +196,12 @@ def bench_e2e_rtf(steps: int = 384) -> dict:
         pts = [prompt_tokens] * bsz
         pcs = [prompt_codes] * bsz
         tts.batch_synthesize(texts, pts, pcs)            # compile
-        t0 = time.perf_counter()
-        results = tts.batch_synthesize(texts, pts, pcs)
-        wall_b = time.perf_counter() - t0
+        wall_b = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            results = tts.batch_synthesize(texts, pts, pcs)
+            dt = time.perf_counter() - t0
+            wall_b = dt if wall_b is None else min(wall_b, dt)
         total = sum(len(r.waveform) for r in results) / 24000
         batch_rtf = wall_b / max(total, 1e-9)
         log(f'E2E TTS batched (B={bsz}): {total:.1f}s audio in {wall_b:.2f}s '
