@@ -176,6 +176,56 @@ class TestHTTPFrontend:
                 httpd.shutdown()
 
 
+class TestGracefulShutdown:
+    def test_sigterm_returns_from_blocking_serve_and_drains(self, tts):
+        """SIGTERM while ``serve_http(block=True)`` runs: the accept loop
+        stops, serve_http RETURNS (instead of the default handler killing the
+        process with queued work), an in-flight HTTP request still gets its
+        200 (drain), and the previous signal disposition is restored."""
+        import signal
+
+        text, pt, pc = make_requests(1, seed=11)[0]
+        # Pre-compile so the in-flight request finishes promptly during drain.
+        tts.synthesize_fused(text, pt, pc)
+        prev_term = signal.getsignal(signal.SIGTERM)
+        prev_int = signal.getsignal(signal.SIGINT)
+        with TTSServer(tts, max_batch=2, max_wait_ms=0.0) as server:
+            # Grab a port, then free it for the blocking server below.
+            probe = serve_http(server, port=0, block=False)
+            port = probe.server_address[1]
+            probe.shutdown()
+            probe.server_close()
+
+            result: dict = {}
+
+            def client():
+                body = json.dumps({'text': text,
+                                   'prompt_tokens': pt.tolist(),
+                                   'prompt_codes': pc.tolist()}).encode()
+                req = urllib.request.Request(
+                    f'http://127.0.0.1:{port}/synthesize', data=body)
+                try:
+                    resp = urllib.request.urlopen(req, timeout=300)
+                    result['code'] = resp.status
+                    result['body'] = resp.read()
+                except Exception as exc:   # noqa: BLE001 — recorded for assert
+                    result['error'] = exc
+
+            t = threading.Thread(target=client)
+            # The request needs the listener up — delay it past serve start,
+            # and the signal past the request.
+            threading.Timer(0.3, t.start).start()
+            threading.Timer(0.9, signal.raise_signal, [signal.SIGTERM]).start()
+            serve_http(server, port=port, block=True)   # returns on SIGTERM
+            t.join(timeout=300)
+            assert not t.is_alive()
+        assert signal.getsignal(signal.SIGTERM) == prev_term
+        assert signal.getsignal(signal.SIGINT) == prev_int
+        assert result.get('code') == 200, result.get('error')
+        with wave.open(io.BytesIO(result['body']), 'rb') as w:
+            assert w.getnframes() > 0
+
+
 class TestPrometheusFormat:
     def test_counters_and_gauges(self):
         from valle2_tpu.serve import stats_to_prometheus

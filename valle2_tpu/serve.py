@@ -819,7 +819,34 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
     httpd = ThreadingHTTPServer((host, port), Handler)
     log_info('TTS HTTP server on http://%s:%d', host, port)
     if block:
-        httpd.serve_forever()
+        # Graceful termination: SIGTERM/SIGINT stop the accept loop (from a
+        # helper thread — httpd.shutdown() blocks until serve_forever returns,
+        # so calling it inline in the handler would deadlock), serve_forever
+        # returns, and the caller's ``with server:`` exit then DRAINS queued
+        # requests before the process ends (TTSServer.stop(drain=True)) — an
+        # orchestrator restart never drops accepted work on the floor.  The
+        # signal module only allows handler installation on the main thread;
+        # anywhere else keeps the default disposition.
+        import signal
+
+        def _graceful(signum, _frame):
+            log_info('received %s — closing listener, draining in-flight '
+                     'requests', signal.Signals(signum).name)
+            threading.Thread(target=httpd.shutdown, daemon=True,
+                             name='valle2-http-shutdown').start()
+
+        installed: dict = {}
+        try:
+            for s in (signal.SIGTERM, signal.SIGINT):
+                installed[s] = signal.signal(s, _graceful)
+        except ValueError:                 # not the main thread
+            installed.clear()
+        try:
+            httpd.serve_forever()
+        finally:
+            httpd.server_close()           # release the port during drain
+            for s, prev in installed.items():
+                signal.signal(s, prev)
     else:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd
