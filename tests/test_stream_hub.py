@@ -285,6 +285,98 @@ class TestStreamHub:
             hub.stop()
 
 
+class TestHubDrain:
+    """stop(drain=True): live sessions finish their FULL decode (never cut
+    mid-stream), new opens are refused, and in-flight long-form streams
+    truncate cleanly at a sentence boundary."""
+
+    @pytest.fixture(scope='class')
+    def tts(self):
+        return ValleTTS(tiny_cfg())
+
+    def test_drain_finishes_live_session(self, tts):
+        rs = np.random.RandomState(3)
+        pt, pc = rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8))
+        want = collect(tts.synthesize_streaming(
+            'hello there.', pt, pc, chunk_frames=4, rng=jax.random.key(7)))
+        hub = StreamHub(tts, n_slots=2, chunk_frames=4)
+        try:
+            got = {}
+
+            def run():
+                got['w'] = collect(hub.open('hello there.', pt, pc,
+                                            rng=jax.random.key(7)))
+
+            t = threading.Thread(target=run)
+            t.start()
+            for _ in range(1200):      # overlap drain with the LIVE session
+                if hub.live_sessions():
+                    break
+                time.sleep(0.05)
+            hub.stop(drain=True)       # returns only once the row finished
+            t.join(timeout=120)
+            assert not t.is_alive()
+            assert hub.live_sessions() == 0
+            # The complete waveform, not a truncated one (fail_all would have
+            # ended the session with whatever had streamed so far).
+            assert got['w'].shape == want.shape
+            np.testing.assert_allclose(got['w'], want, rtol=1e-5, atol=1e-6)
+            with pytest.raises(RuntimeError, match='stopped'):
+                hub.open('more.', pt, pc)
+        finally:
+            hub.stop()
+
+    def test_open_refused_while_draining(self, tts):
+        from valle2_tpu.stream_hub import HubDraining
+        hub = StreamHub(tts, n_slots=1)
+        try:
+            hub._draining = True
+            with pytest.raises(HubDraining, match='draining'):
+                hub.open('hi there.', np.zeros(2, np.int32),
+                         np.zeros((2, 8), np.int32))
+            with pytest.raises(HubDraining, match='draining'):
+                collect(hub.open_longform('hi there. and more.',
+                                          np.zeros(2, np.int32),
+                                          np.zeros((2, 8), np.int32)))
+        finally:
+            hub._draining = False
+            hub.stop()
+
+    def test_longform_truncates_at_sentence_boundary(self, tts):
+        rs = np.random.RandomState(4)
+        pt, pc = rs.randint(0, 70, (5,)), rs.randint(0, 1024, (6, 8))
+        rng = jax.random.key(5)
+        want0 = collect(tts.synthesize_streaming(
+            'hello there.', pt, pc, chunk_frames=4,
+            rng=jax.random.fold_in(rng, 0)))
+        # n_slots=1: sentence 1 cannot prefetch while sentence 0 streams, so
+        # its open happens after the drain flag is set → clean truncation.
+        hub = StreamHub(tts, n_slots=1, chunk_frames=4)
+        try:
+            gen = hub.open_longform('hello there. go on now.', pt, pc, rng=rng)
+            hub._draining = True       # drain starts before sentence 1 opens
+            got = collect(gen)         # no exception — truncates, not errors
+            assert got.shape == want0.shape
+            np.testing.assert_allclose(got, want0, rtol=1e-5, atol=1e-6)
+        finally:
+            hub._draining = False
+            hub.stop()
+
+    def test_server_stop_passes_drain_to_hub(self, tts):
+        server = TTSServer(tts, cb_streams=2)
+        rec = {}
+        orig = server._hub.stop
+
+        def spy(drain=False, timeout=600.0):
+            rec['drain'] = drain
+            orig(drain=drain, timeout=timeout)
+
+        server._hub.stop = spy
+        with server:
+            pass                       # __exit__ → stop(drain=True) default
+        assert rec.get('drain') is True
+
+
 class TestAdaptiveVerifyTurns:
     """Pure-logic gates on the speculative hub's per-cycle turn budget
     (stream_hub._turns_for_cycle / _observe_acceptance): the cycle should

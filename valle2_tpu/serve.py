@@ -248,14 +248,16 @@ class TTSServer:
         return self
 
     def stop(self, drain: bool = True):
-        """Stop the worker.  ``drain=True`` serves queued requests first;
-        otherwise they fail with RuntimeError."""
+        """Stop the worker.  ``drain=True`` serves queued requests first AND
+        lets live hub streaming sessions finish (new sessions get 503; each
+        live one is bounded by its decode budget); otherwise queued requests
+        fail with RuntimeError and live streams end with their next chunk."""
         self._drain = drain
         with self._submit_lock:
             self._stop.set()
             self._queue.put(None)         # wake the worker; always last in queue
         if self._hub is not None:
-            self._hub.stop()
+            self._hub.stop(drain=drain)
         if self._thread is not None:
             self._thread.join()
             self._thread = None
@@ -346,7 +348,7 @@ class TTSServer:
             # decodes while the current one streams — StreamHub.open_longform);
             # carry='chain' needs each sentence's refined codes before the
             # next prefill, so it stays on the solo path below.
-            from .stream_hub import HubFull
+            from .stream_hub import HubDraining, HubFull
             try:
                 if longform:
                     inner = self._hub.open_longform(
@@ -354,6 +356,8 @@ class TTSServer:
                 else:
                     inner = self._hub.open(
                         text, pt, pc, lookahead_frames=int(lookahead_frames))
+            except HubDraining as exc:     # graceful shutdown: retryable 503
+                raise ServerStopped(str(exc)) from None
             except HubFull:
                 with self._stats_lock:
                     self._stats.rejected += 1

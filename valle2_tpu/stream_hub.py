@@ -48,9 +48,14 @@ from .models.continuous import BatcherFull, ContinuousDecoder
 from .tts import HOP, finalize_frames
 from .utils import log_warning
 
-__all__ = ['StreamHub', 'HubFull']
+__all__ = ['StreamHub', 'HubFull', 'HubDraining']
 
 HubFull = BatcherFull       # serving-layer alias (maps to HTTP 429)
+
+
+class HubDraining(RuntimeError):
+    """Raised by ``open``/``open_longform`` during ``stop(drain=True)``: the
+    hub is finishing its live sessions and accepts no new ones."""
 
 
 class _Session:
@@ -116,6 +121,7 @@ class StreamHub:
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         self._stopped = False
+        self._draining = False
         #: Sentences opened CONCURRENTLY with an earlier one still streaming
         #: (open_longform pipelining gauge; exported in serve.py /stats).
         self.longform_prefetched = 0
@@ -165,6 +171,8 @@ class StreamHub:
                 f'lookahead_frames must be >= 0, got {lookahead_frames}')
         if self._stopped:
             raise RuntimeError('hub is stopped')
+        if self._draining:
+            raise HubDraining('hub is draining — not accepting new sessions')
         if rng is None:
             rng = jax.random.key(self.tts.config.seed)
         import jax.numpy as jnp
@@ -191,6 +199,16 @@ class StreamHub:
         sess.slot = slot = self.cb.join(tokens, pcodes, start=False,
                                         rng=rng_ar, tag=sess)
         with self._wake:
+            # Re-check under the lock: a stop()/stop(drain=True) that landed
+            # while this open was prefilling must not register a session the
+            # (possibly already exited) driver will never advance — the
+            # consumer would hang until the stall timeout.
+            if self._stopped or self._draining:
+                self.cb.release(slot)
+                if self._draining and not self._stopped:
+                    raise HubDraining(
+                        'hub is draining — not accepting new sessions')
+                raise RuntimeError('hub is stopped')
             self._by_slot[slot] = sess
             if emitter is not None:
                 self._emitters[slot] = emitter
@@ -258,6 +276,8 @@ class StreamHub:
             raise ValueError(f'max_inflight must be >= 1, got {max_inflight}')
         if self._stopped:
             raise RuntimeError('hub is stopped')
+        if self._draining:
+            raise HubDraining('hub is draining — not accepting new sessions')
         from .data.frontend import split_sentences
         import jax.numpy as jnp
         if rng is None:
@@ -279,13 +299,18 @@ class StreamHub:
                 lookahead_frames=int(lookahead_frames),
                 rng=jax.random.fold_in(rng, i))
 
+        _DRAIN = object()           # sentinel: hub draining — truncate here
+
         def try_open(i):
             """Prefetch sentence i onto the hub; None = no row free right now
-            (retried at the next sentence boundary)."""
+            (retried at the next sentence boundary); ``_DRAIN`` = the hub is
+            shutting down gracefully — stop opening sentences."""
             try:
                 return self.open(sentences[i], pt, pc,
                                  lookahead_frames=int(lookahead_frames),
                                  rng=jax.random.fold_in(rng, i))
+            except HubDraining:
+                return _DRAIN
             except HubFull:
                 return None
             except ValueError as exc:
@@ -294,8 +319,12 @@ class StreamHub:
                 return solo(i)      # prompt too big for the hub geometry
 
         # Sentence 0 opens NOW so HubFull raises to the caller (→ 429); an
-        # oversized first sentence still streams solo.
+        # oversized first sentence still streams solo.  A drain that starts
+        # before the first sentence rejects the whole request (same contract
+        # as open()).
         first = try_open(0)
+        if first is _DRAIN:
+            raise HubDraining('hub is draining — not accepting new sessions')
         if first is None:
             raise HubFull(f'all {self.cb.n_slots} hub rows busy')
         gens: dict[int, Iterator] = {0: first}
@@ -306,13 +335,25 @@ class StreamHub:
                 for i in range(len(sentences)):
                     gen_i = gens.pop(i, None)
                     if gen_i is None:
-                        gen_i = try_open(i) or solo(i)
+                        gen_i = try_open(i)
+                        if gen_i is _DRAIN:
+                            # Graceful shutdown mid-longform: everything up to
+                            # the previous sentence has streamed; truncate at
+                            # this sentence boundary instead of erroring the
+                            # client.  (Already-open prefetched sentences
+                            # cannot exist past a failed open — prefetch is
+                            # strictly sequential.)
+                            log_warning('long-form stream truncated at '
+                                        'sentence %d/%d: hub draining',
+                                        i, len(sentences))
+                            return
+                        gen_i = gen_i or solo(i)
                         gens[i] = gen_i     # visible to the finally-cleanup
                     else:
                         gens[i] = gen_i
                     while nxt < len(sentences) and nxt - i < max_inflight:
                         g = try_open(nxt)
-                        if g is None:
+                        if g is None or g is _DRAIN:
                             break           # no row free — retry next sentence
                         gens[nxt] = g
                         self.longform_prefetched += 1
@@ -331,8 +372,27 @@ class StreamHub:
         with self._lock:
             return len(self._by_slot)
 
-    def stop(self) -> None:
-        """Stop the driver thread; live sessions end with their next chunk."""
+    def stop(self, drain: bool = False, timeout: float = 600.0) -> None:
+        """Stop the driver thread.
+
+        ``drain=False`` (default): live sessions end with their next chunk.
+        ``drain=True``: new ``open``s are refused (``HubDraining``) while the
+        driver keeps advancing until every live row finishes — each is
+        bounded by its own decode budget (EOS or ``max_audio_len``), so drain
+        is bounded too (plus ``timeout`` as the hard stop for a wedged
+        device).  In-flight long-form streams truncate cleanly at their
+        current sentence boundary (no mid-sentence cut, no error to the
+        client).  Idempotent either way."""
+        import time as _time
+        if drain:
+            with self._wake:
+                self._draining = True
+            deadline = _time.monotonic() + timeout
+            while _time.monotonic() < deadline:
+                with self._lock:
+                    if not self._by_slot or self._stopped:
+                        break
+                _time.sleep(0.05)
         with self._wake:
             self._stopped = True
             self._wake.notify()
