@@ -9,6 +9,7 @@ synthesize_fused calls."""
 import io
 import json
 import threading
+import time
 import urllib.request
 import wave
 
@@ -181,8 +182,16 @@ class TestGracefulShutdown:
         """SIGTERM while ``serve_http(block=True)`` runs: the accept loop
         stops, serve_http RETURNS (instead of the default handler killing the
         process with queued work), an in-flight HTTP request still gets its
-        200 (drain), and the previous signal disposition is restored."""
+        200 (drain), handler threads are joinable for delivery, and the
+        previous signal dispositions are restored.
+
+        Sequencing is event-driven, not wall-clock: the client retries until
+        the listener accepts, and SIGTERM fires only once the request has
+        reached the server (a wrapped ``server.synthesize`` signals arrival)
+        — no fixed timers to go flaky under CI load."""
         import signal
+
+        from valle2_tpu.serve import join_handler_threads
 
         text, pt, pc = make_requests(1, seed=11)[0]
         # Pre-compile so the in-flight request finishes promptly during drain.
@@ -190,12 +199,20 @@ class TestGracefulShutdown:
         prev_term = signal.getsignal(signal.SIGTERM)
         prev_int = signal.getsignal(signal.SIGINT)
         with TTSServer(tts, max_batch=2, max_wait_ms=0.0) as server:
-            # Grab a port, then free it for the blocking server below.
+            # Grab a free port, then rebind it below (allow_reuse_address).
             probe = serve_http(server, port=0, block=False)
             port = probe.server_address[1]
             probe.shutdown()
             probe.server_close()
 
+            arrived = threading.Event()
+            orig_synthesize = server.synthesize
+
+            def synthesize(*a, **kw):
+                arrived.set()              # request reached the server
+                return orig_synthesize(*a, **kw)
+
+            server.synthesize = synthesize
             result: dict = {}
 
             def client():
@@ -204,26 +221,44 @@ class TestGracefulShutdown:
                                    'prompt_codes': pc.tolist()}).encode()
                 req = urllib.request.Request(
                     f'http://127.0.0.1:{port}/synthesize', data=body)
-                try:
-                    resp = urllib.request.urlopen(req, timeout=300)
-                    result['code'] = resp.status
-                    result['body'] = resp.read()
-                except Exception as exc:   # noqa: BLE001 — recorded for assert
-                    result['error'] = exc
+                deadline = time.monotonic() + 60
+                while True:                # retry until the listener is up
+                    try:
+                        resp = urllib.request.urlopen(req, timeout=300)
+                        result['code'] = resp.status
+                        result['body'] = resp.read()
+                        return
+                    except urllib.error.URLError as exc:
+                        if time.monotonic() > deadline:
+                            result['error'] = exc
+                            return
+                        time.sleep(0.02)
+                    except Exception as exc:   # noqa: BLE001 — for the assert
+                        result['error'] = exc
+                        return
 
             t = threading.Thread(target=client)
-            # The request needs the listener up — delay it past serve start,
-            # and the signal past the request.
-            threading.Timer(0.3, t.start).start()
-            threading.Timer(0.9, signal.raise_signal, [signal.SIGTERM]).start()
-            serve_http(server, port=port, block=True)   # returns on SIGTERM
+            t.start()
+
+            def fire_when_arrived():
+                # Python runs the handler on the main thread (inside
+                # serve_forever's poll loop) wherever the signal is raised.
+                if arrived.wait(timeout=60):
+                    signal.raise_signal(signal.SIGTERM)
+
+            w = threading.Thread(target=fire_when_arrived)
+            w.start()
+            httpd = serve_http(server, port=port, block=True)  # returns on TERM
             t.join(timeout=300)
+            w.join(timeout=60)
             assert not t.is_alive()
+        # Worker drained by the context exit; handlers finish delivering.
+        assert join_handler_threads(httpd, timeout=60)
         assert signal.getsignal(signal.SIGTERM) == prev_term
         assert signal.getsignal(signal.SIGINT) == prev_int
         assert result.get('code') == 200, result.get('error')
-        with wave.open(io.BytesIO(result['body']), 'rb') as w:
-            assert w.getnframes() > 0
+        with wave.open(io.BytesIO(result['body']), 'rb') as w2:
+            assert w2.getnframes() > 0
 
 
 class TestPrometheusFormat:

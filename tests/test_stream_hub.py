@@ -410,7 +410,7 @@ class TestAdaptiveVerifyTurns:
 
     def test_ema_converges_to_observed_rate(self):
         hub = self.bare_hub(ema=4.0)
-        # Two producing rows commit 6 tokens total over 6 turns → 0.5/turn/row.
+        # Two rows, each committing 3 tokens over 6 turns → 0.5/turn/row.
         out = {0: (object(), np.zeros(3, np.int32), False),
                1: (object(), np.zeros(3, np.int32), False)}
         for _ in range(30):
@@ -419,12 +419,41 @@ class TestAdaptiveVerifyTurns:
         # Low acceptance drives the next cycle back to the full chunk budget.
         assert hub._turns_for_cycle() == 24
 
+    def test_ema_tracks_fastest_row(self):
+        """Mixed hub: the EMA follows the MAX per-row rate, so the fastest
+        session's per-cycle delivery stays bounded at ~chunk_frames (the
+        burst-free choice); the mean would let it burst 1.6x indefinitely."""
+        hub = self.bare_hub(ema=1.0, chunk_frames=24)
+        out = {0: (object(), np.zeros(24, np.int32), False),   # 4 tok/turn
+               1: (object(), np.zeros(6, np.int32), False)}    # 1 tok/turn
+        for _ in range(30):
+            hub._observe_acceptance(out, turns=6)
+        assert abs(hub._accept_ema - 4.0) < 1e-6
+        assert hub._turns_for_cycle() == 6   # 6 turns x 4/turn = one chunk
+
+    def test_mid_advance_finishers_do_not_poison_ema(self):
+        """A row that finished mid-advance ran an unknown number of turns
+        (the joint loop exits early when all rows finish) — its tokens/turns
+        ratio would understate acceptance and pin the EMA at the floor under
+        short-utterance traffic.  Done rows are skipped; a cycle where EVERY
+        producing row finished leaves the EMA untouched."""
+        hub = self.bare_hub(ema=4.0)
+        # Perfect-acceptance session EOSes after 8 tokens of a 24-turn cycle.
+        hub._observe_acceptance({0: (object(), np.zeros(8, np.int32), True)},
+                                turns=24)
+        assert hub._accept_ema == 4.0
+        # Live rows still update; the co-tenant that finished is ignored.
+        hub._observe_acceptance(
+            {0: (object(), np.zeros(2, np.int32), True),
+             1: (object(), np.zeros(24, np.int32), False)}, turns=6)
+        assert abs(hub._accept_ema - 4.0) < 1e-6
+
     def test_empty_cycle_keeps_ema(self):
         hub = self.bare_hub(ema=2.5)
         hub._observe_acceptance({}, turns=10)
         assert hub._accept_ema == 2.5
         hub._spec = False
-        hub._observe_acceptance({0: (object(), np.zeros(9), True)}, turns=3)
+        hub._observe_acceptance({0: (object(), np.zeros(9), False)}, turns=3)
         assert hub._accept_ema == 2.5      # plain hub never adapts
 
 

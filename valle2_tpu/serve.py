@@ -348,7 +348,7 @@ class TTSServer:
             # decodes while the current one streams — StreamHub.open_longform);
             # carry='chain' needs each sentence's refined codes before the
             # next prefill, so it stays on the solo path below.
-            from .stream_hub import HubDraining, HubFull
+            from .stream_hub import HubDraining, HubFull, HubStopped
             try:
                 if longform:
                     inner = self._hub.open_longform(
@@ -356,7 +356,7 @@ class TTSServer:
                 else:
                     inner = self._hub.open(
                         text, pt, pc, lookahead_frames=int(lookahead_frames))
-            except HubDraining as exc:     # graceful shutdown: retryable 503
+            except (HubDraining, HubStopped) as exc:   # shutdown: 503, retry
                 raise ServerStopped(str(exc)) from None
             except HubFull:
                 with self._stats_lock:
@@ -670,6 +670,21 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
     import json
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    class TrackingHTTPServer(ThreadingHTTPServer):
+        """ThreadingHTTPServer that records live handler threads, so a
+        graceful shutdown can wait (bounded) for response DELIVERY — handler
+        threads are daemons the interpreter kills at process exit, which
+        would truncate already-computed (especially streamed) responses."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            import weakref
+            self.handler_threads = weakref.WeakSet()
+
+        def process_request_thread(self, request, client_address):
+            self.handler_threads.add(threading.current_thread())
+            super().process_request_thread(request, client_address)
+
     sr = server.tts.codec.sampling_rate
 
     class Handler(BaseHTTPRequestHandler):
@@ -820,7 +835,7 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
                 return
             self._send(200, wav_pcm16_bytes(result.waveform, sr), 'audio/wav')
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd = TrackingHTTPServer((host, port), Handler)
     log_info('TTS HTTP server on http://%s:%d', host, port)
     if block:
         # Graceful termination: SIGTERM/SIGINT stop the accept loop (from a
@@ -856,6 +871,23 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
     return httpd
 
 
+def join_handler_threads(httpd, timeout: float = 60.0) -> bool:
+    """Wait (bounded) for in-flight HTTP handler threads to finish DELIVERING
+    their responses.  Call after the worker/hub have drained (their results
+    are what the handlers are writing); returns False if some handler was
+    still alive at the deadline (e.g. a client reading a stream at playback
+    rate slower than the grace window).  No-op for servers not built by
+    ``serve_http`` (no ``handler_threads`` attribute)."""
+    deadline = time.monotonic() + timeout
+    threads = list(getattr(httpd, 'handler_threads', ()))
+    for t in threads:
+        if t is threading.current_thread():
+            continue
+        t.join(max(0.0, deadline - time.monotonic()))
+    return all(not t.is_alive() for t in threads
+               if t is not threading.current_thread())
+
+
 def main(argv=None):
     """CLI: serve TTS over HTTP with dynamic batching.
 
@@ -880,6 +912,10 @@ def main(argv=None):
                         help='Concurrent /stream sessions; extras get HTTP 429')
     parser.add_argument('--request-timeout-s', type=float, default=600.0,
                         help='Per-request wait bound on the batching worker (504 on expiry)')
+    parser.add_argument('--drain-timeout-s', type=float, default=60.0,
+                        help='On SIGTERM/SIGINT: grace window for in-flight '
+                             'responses (incl. streams) to finish delivering '
+                             'after the worker/hub drain')
     parser.add_argument('--warmup', action='store_true',
                         help='Pre-compile one pipeline shape per batch bucket before serving')
     parser.add_argument('--warmup-streams', action='store_true',
@@ -960,8 +996,15 @@ def main(argv=None):
         server.warmup(all_lengths=args.warmup_all_lengths,
                       streams=args.warmup_streams)
     with server:
-        serve_http(server, host=args.host, port=args.port,
-                   request_timeout_s=args.request_timeout_s)
+        httpd = serve_http(server, host=args.host, port=args.port,
+                           request_timeout_s=args.request_timeout_s)
+    # Worker queue and hub rows are drained; now wait (bounded) for handler
+    # threads to finish WRITING those results to their sockets — they are
+    # daemon threads the interpreter would otherwise kill at exit, cutting
+    # streamed audio mid-response.
+    if not join_handler_threads(httpd, timeout=args.drain_timeout_s):
+        log_info('drain window (%.0fs) expired with responses still in '
+                 'flight', args.drain_timeout_s)
 
 
 if __name__ == '__main__':

@@ -48,7 +48,7 @@ from .models.continuous import BatcherFull, ContinuousDecoder
 from .tts import HOP, finalize_frames
 from .utils import log_warning
 
-__all__ = ['StreamHub', 'HubFull', 'HubDraining']
+__all__ = ['StreamHub', 'HubFull', 'HubDraining', 'HubStopped']
 
 HubFull = BatcherFull       # serving-layer alias (maps to HTTP 429)
 
@@ -56,6 +56,11 @@ HubFull = BatcherFull       # serving-layer alias (maps to HTTP 429)
 class HubDraining(RuntimeError):
     """Raised by ``open``/``open_longform`` during ``stop(drain=True)``: the
     hub is finishing its live sessions and accepts no new ones."""
+
+
+class HubStopped(RuntimeError):
+    """Raised by ``open``/``open_longform`` once the hub has stopped (maps to
+    a retryable 503 in serve.py, like HubDraining)."""
 
 
 class _Session:
@@ -88,8 +93,10 @@ class StreamHub:
     unchanged (greedy speculation commits bit-identical tokens and emission
     is token-count-based) — only the arrival cadence coarsens to turn
     granularity.  The turn count per cycle adapts to the observed acceptance
-    rate (EMA), so each cycle keeps delivering roughly chunk_frames tokens
-    per session whatever the content's repetitiveness.
+    rate (EMA of the max per-row rate), so a cycle delivers ~chunk_frames
+    tokens for the fastest session and never more — slower sessions in a
+    mixed hub get finer-than-chunk cadence rather than anyone getting a
+    multi-chunk burst.
     """
 
     def __init__(self, tts, n_slots: int = 4, chunk_frames: int = 25,
@@ -170,7 +177,7 @@ class StreamHub:
             raise ValueError(
                 f'lookahead_frames must be >= 0, got {lookahead_frames}')
         if self._stopped:
-            raise RuntimeError('hub is stopped')
+            raise HubStopped('hub is stopped')
         if self._draining:
             raise HubDraining('hub is draining — not accepting new sessions')
         if rng is None:
@@ -208,14 +215,22 @@ class StreamHub:
                 if self._draining and not self._stopped:
                     raise HubDraining(
                         'hub is draining — not accepting new sessions')
-                raise RuntimeError('hub is stopped')
+                raise HubStopped('hub is stopped')
             self._by_slot[slot] = sess
             if emitter is not None:
                 self._emitters[slot] = emitter
             else:
                 self._write_nar_prompt(slot, tokens, pcodes)
-            self._wake.notify()
-        self.cb.activate(slot)
+            self._wake.notify_all()
+        try:
+            self.cb.activate(slot)
+        except KeyError:
+            # stop() landed between registration and activation: _fail_all
+            # already delivered this session's done marker and released the
+            # row — fail fast with the retryable error instead of handing the
+            # caller a dead generator (or a KeyError the HTTP layer would
+            # map to a non-retryable 400).
+            raise HubStopped('hub is stopped') from None
 
         if emitter is not None:
             def chunks():
@@ -275,7 +290,7 @@ class StreamHub:
         if int(max_inflight) < 1:
             raise ValueError(f'max_inflight must be >= 1, got {max_inflight}')
         if self._stopped:
-            raise RuntimeError('hub is stopped')
+            raise HubStopped('hub is stopped')
         if self._draining:
             raise HubDraining('hub is draining — not accepting new sessions')
         from .data.frontend import split_sentences
@@ -387,15 +402,18 @@ class StreamHub:
         if drain:
             with self._wake:
                 self._draining = True
-            deadline = _time.monotonic() + timeout
-            while _time.monotonic() < deadline:
-                with self._lock:
-                    if not self._by_slot or self._stopped:
+                # The routing paths notify when the last session leaves
+                # (_route_* / _fail_all) — no polling; ``timeout`` is the
+                # hard stop for a wedged device.
+                deadline = _time.monotonic() + timeout
+                while self._by_slot and not self._stopped:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
                         break
-                _time.sleep(0.05)
+                    self._wake.wait(remaining)
         with self._wake:
             self._stopped = True
-            self._wake.notify()
+            self._wake.notify_all()
         self._driver.join(timeout=30)
 
     # -- internals ---------------------------------------------------------
@@ -442,6 +460,7 @@ class StreamHub:
                             slot, type(e).__name__, e)
         self._by_slot.clear()
         self._emitters.clear()
+        self._wake.notify_all()             # wake a drain waiter (lock held)
 
     def _drive(self) -> None:
         while True:
@@ -472,24 +491,32 @@ class StreamHub:
 
     def _turns_for_cycle(self) -> int:
         """Advance budget for the next cycle.  Plain loop: chunk_frames token
-        steps.  Speculative loop: verify TURNS, chosen from the acceptance EMA
-        so the cycle still delivers ~chunk_frames tokens per session — clamped
-        to [1, chunk_frames] (a cycle never exceeds the plain loop's token
-        budget per row, so emission cadence can only coarsen, never burst)."""
+        steps.  Speculative loop: verify TURNS, chosen from the acceptance
+        EMA so the cycle delivers ~chunk_frames tokens for the FASTEST row —
+        the EMA tracks the max per-row rate (see _observe_acceptance), which
+        bounds any session's per-cycle burst at ~chunk_frames; slower rows
+        receive fewer tokens per cycle (finer-than-chunk cadence, more host
+        round trips in a mixed hub — the burst-free direction).  Clamped to
+        [1, chunk_frames]."""
         if not self._spec:
             return self.chunk_frames
         return max(1, min(self.chunk_frames,
                           round(self.chunk_frames / max(self._accept_ema, 1.0))))
 
     def _observe_acceptance(self, out: dict, turns: int) -> None:
-        """Fold one advance cycle's mean tokens-per-turn-per-producing-row
-        into the acceptance EMA (EOS-stripped / mid-advance-finished rows
-        undercount, which only errs toward more turns — the safe direction)."""
+        """Fold one advance cycle's observed per-row commit rate into the
+        acceptance EMA.  Uses the MAX over rows (the burst-bounding choice —
+        see _turns_for_cycle) and only rows that stayed live through the
+        whole advance: a row that finished mid-cycle ran an unknown number of
+        turns (the joint while_loop also exits early when all rows finish),
+        so tokens/turns would understate its true acceptance and pin the EMA
+        at the floor under short-utterance traffic."""
         if not self._spec or not out:
             return
-        got = sum(len(t) for (_s, t, _d) in out.values())
-        obs = got / (turns * len(out))
-        self._accept_ema = 0.5 * self._accept_ema + 0.5 * obs
+        rates = [len(t) / turns for (_s, t, done) in out.values() if not done]
+        if not rates:
+            return
+        self._accept_ema = 0.5 * self._accept_ema + 0.5 * max(rates)
 
     def _route_tokens(self, out: dict) -> None:
         """batched_nar=False: deliver raw tokens; handler threads refine."""
@@ -505,6 +532,8 @@ class StreamHub:
                     del self._by_slot[slot]
                     self._emitters.pop(slot, None)
                     self.cb.release(slot)
+            if not self._by_slot:
+                self._wake.notify_all()     # wake a drain waiter
 
     def _route_batched(self, out: dict) -> None:
         """Refine every due session's prefix in ONE joint NAR→wav dispatch,
@@ -574,6 +603,8 @@ class StreamHub:
                 if self._by_slot.get(sess.slot) is sess:
                     del self._by_slot[sess.slot]
                     self.cb.release(sess.slot)
+            if not self._by_slot:
+                self._wake.notify_all()     # wake a drain waiter
 
     def _abort(self, sess: _Session) -> None:
         """Generator closed (client gone or stream drained): free the row.
@@ -583,3 +614,5 @@ class StreamHub:
                 del self._by_slot[sess.slot]
                 self._emitters.pop(sess.slot, None)
                 self.cb.release(sess.slot)
+            if not self._by_slot:
+                self._wake.notify_all()     # wake a drain waiter
