@@ -136,6 +136,8 @@ _PROM_HELP = {
     'aot_fallbacks': 'AOT entries that failed and fell back to plain jit',
     'stream_hub_slots': 'Continuous-batching rows configured (--cb-streams)',
     'stream_hub_live': 'Streaming sessions currently in the shared loop',
+    'stream_hub_draining': 'Graceful shutdown in progress: finishing live '
+                           'sessions, refusing new ones (503)',
     'longform_prefetched': 'Long-form sentences decoded concurrently with an '
                            'earlier one still streaming (hub pipelining)',
 }
@@ -483,6 +485,7 @@ class TTSServer:
         if self._hub is not None:
             out['stream_hub_slots'] = self._hub.cb.n_slots
             out['stream_hub_live'] = self._hub.live_sessions()
+            out['stream_hub_draining'] = int(self._hub._draining)
             out['longform_prefetched'] = self._hub.longform_prefetched
         return out
 
