@@ -203,6 +203,72 @@ class TestStreamHub:
         finally:
             hub.stop()
 
+    def test_randomized_lifecycle_fuzz(self):
+        """Seeded random schedule of overlapping joins, mid-stream ABORTS
+        (generator close at a random chunk), and full consumptions on one
+        hub: every completed session must equal its solo waveform, aborted
+        sessions must free their rows, and the hub must end idle and still
+        serve — randomized interleavings the staggered-cycle stress cannot
+        reach (abort-while-cotenant-decodes, rejoin after abort, etc.)."""
+        tts = ValleTTS(tiny_cfg(max_audio_len=10, ignore_eos=True))
+        rs = np.random.RandomState(42)
+        texts = ['hello there.', 'go on now.', 'stop that.']
+        n_slots = 2
+        hub = StreamHub(tts, n_slots=n_slots, chunk_frames=3)
+        try:
+            jobs = []
+            for j in range(8):
+                pt, pc = (rs.randint(0, 70, (5,)),
+                          rs.randint(0, 1024, (6, 8)))
+                abort_after = int(rs.randint(0, 3)) if rs.rand() < 0.4 else None
+                jobs.append((texts[j % 3], pt, pc, abort_after))
+            want = {i: collect(tts.synthesize_streaming(
+                        tx, pt, pc, chunk_frames=3, lookahead_frames=2))
+                    for i, (tx, pt, pc, ab) in enumerate(jobs) if ab is None}
+            want0 = collect(tts.synthesize_streaming(
+                jobs[0][0], jobs[0][1], jobs[0][2],
+                chunk_frames=3, lookahead_frames=2))
+            errs: list = []
+            got: dict = {}
+            sem = threading.Semaphore(n_slots)   # bound concurrent opens
+
+            def worker(i):
+                tx, pt, pc, abort_after = jobs[i]
+                try:
+                    with sem:
+                        time.sleep(0.005 * (i % 4))
+                        gen = hub.open(tx, pt, pc, lookahead_frames=2)
+                        if abort_after is None:
+                            got[i] = collect(gen)
+                        else:
+                            for k, _ch in enumerate(gen):
+                                if k >= abort_after:
+                                    break
+                            gen.close()          # abort mid-stream
+                except Exception as e:           # noqa: BLE001
+                    errs.append(f'job{i}: {e!r}')
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(len(jobs))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert not [t for t in threads if t.is_alive()], 'sessions hung'
+            assert not errs, errs
+            for i, w in want.items():
+                assert got[i].shape == w.shape, (i, got[i].shape, w.shape)
+                np.testing.assert_allclose(got[i], w, rtol=1e-5, atol=1e-6,
+                                           err_msg=f'job {i}')
+            assert hub.live_sessions() == 0
+            assert hub.cb.free_slots() == n_slots, 'aborts leaked rows'
+            # The hub still serves cleanly after the churn.
+            wav = collect(hub.open(jobs[0][0], jobs[0][1], jobs[0][2],
+                                   lookahead_frames=2))
+            np.testing.assert_allclose(wav, want0, rtol=1e-5, atol=1e-6)
+        finally:
+            hub.stop()
+
     def test_sampled_hub_stream_equals_solo(self):
         """temperature > 0 with per-session rng: hub AR sampling draws the
         solo stream's exact chain, so with per-session NAR refinement
