@@ -40,6 +40,57 @@ class TestFlashAttention:
         np.testing.assert_allclose(o[0, :, :150], w[0, :, :150], atol=2e-5)
         np.testing.assert_allclose(o[1], w[1], atol=2e-5)
 
+    @pytest.mark.parametrize('causal', [True, False])
+    def test_folded_forward_matches_reference(self, causal):
+        """fold_heads=True (kept for other head counts/hardware — off by
+        default after measuring negative on v5e): the head-batched forward
+        must match the reference and the per-head kernel exactly, including
+        per-row padding."""
+        b, h, s, hd = 2, 4, 160, 32
+        q, k, v = make_qkv(21, b, h, s, hd)
+        tokens_total = 48
+        meta = jnp.asarray([[40, 150], [48, s]], jnp.int32)
+        out = flash_attention(q, k, v, meta, tokens_total, causal,
+                              fold_heads=True)
+        want = reference_attention(q, k, v, meta, tokens_total, causal)
+        o, w = np.asarray(out), np.asarray(want)
+        np.testing.assert_allclose(o[0, :, :150], w[0, :, :150], atol=2e-5)
+        np.testing.assert_allclose(o[1], w[1], atol=2e-5)
+        per_head = np.asarray(flash_attention(q, k, v, meta, tokens_total,
+                                              causal, fold_heads=False))
+        np.testing.assert_allclose(o[0, :, :150], per_head[0, :, :150],
+                                   atol=2e-5)
+
+    def test_folded_grads_match_unfolded(self):
+        """The backward always runs the per-head blockwise kernels off the
+        folded forward's lse — grads must match the unfolded path."""
+        b, h, s, hd = 1, 4, 128, 32
+        q, k, v = make_qkv(22, b, h, s, hd)
+        meta = jnp.asarray([[32, s]], jnp.int32)
+
+        def loss(fold):
+            def f(q, k, v):
+                return jnp.sum(flash_attention(q, k, v, meta, 32, True,
+                                               fold_heads=fold) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        for g_fold, g_plain in zip(loss(True), loss(False)):
+            np.testing.assert_allclose(np.asarray(g_fold),
+                                       np.asarray(g_plain), atol=2e-5)
+
+    def test_folded_honors_explicit_blocks(self):
+        """Explicit block_q/block_k must reach the folded forward (they were
+        silently ignored — a folded block-size A/B measured nothing)."""
+        b, h, s, hd = 1, 2, 256, 32
+        q, k, v = make_qkv(23, b, h, s, hd)
+        meta = jnp.asarray([[48, s]], jnp.int32)
+        want = reference_attention(q, k, v, meta, 48, True)
+        for bq, bk in ((64, 64), (128, 64), (None, None)):
+            out = flash_attention(q, k, v, meta, 48, True, block_q=bq,
+                                  block_k=bk, fold_heads=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                       atol=2e-5)
+
     def test_non_multiple_seq_len(self):
         b, h, s, hd = 1, 2, 100, 32    # not a block multiple -> internal padding
         q, k, v = make_qkv(2, b, h, s, hd)

@@ -198,8 +198,14 @@ def _fwd_kernel_folded(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     acc = jnp.zeros((h, block_q, hd), jnp.float32)
     m0 = jnp.full((h, block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((h, block_q, 1), jnp.float32)
-    n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid, kv_end,
-                               causal)
+    if seq_len <= block_k:
+        # Single kv block: a dynamic bound can skip nothing and only turns
+        # the unrollable one-iteration loop into a while_loop (same bypass
+        # as _fwd_kernel).
+        n_blocks = 1
+    else:
+        n_blocks = _kv_block_bound(q_blk, block_q, block_k, tokens_valid,
+                                   kv_end, causal)
     acc, m_f, l_f = jax.lax.fori_loop(0, n_blocks, body, (acc, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
     lse_ref[0, :, pl.ds(q_blk * block_q, block_q)] = \
@@ -260,8 +266,10 @@ def _flash_fwd_folded(q, k, v, meta, tokens_total: int, causal: bool,
 
 def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
                block_q: int, block_k: int):
-    """q/k/v: (b, h, s, hd); meta: (b, 2) int32 [tokens_valid, kv_end]."""
+    """q/k/v: (b, h, s, hd); meta: (b, 2) int32 [tokens_valid, kv_end].
+    block_q/block_k: None -> adaptive (_auto_blocks)."""
     b, h, s, hd = q.shape
+    block_q, block_k = _auto_blocks(s, block_q, block_k)
     sm_scale = 1.0 / math.sqrt(hd)
     # Pad to a COMMON multiple of both block sizes: padding to only the larger
     # would make the grid floor-division drop trailing q rows when the smaller
@@ -306,8 +314,7 @@ def _flash_fwd(q, k, v, meta, tokens_total: int, causal: bool,
 def _flash_attention_vjp(q, k, v, meta, tokens_total: int, causal: bool,
                          block_q: int, block_k: int, fold: bool):
     fwd = _flash_fwd_folded if fold else _flash_fwd
-    out, _ = fwd(q, k, v, meta, tokens_total, causal,
-                 None if fold else block_q, None if fold else block_k)
+    out, _ = fwd(q, k, v, meta, tokens_total, causal, block_q, block_k)
     return out
 
 
@@ -342,7 +349,10 @@ def flash_attention(q, k, v, meta, tokens_total: int, causal: bool = True,
     """
     if fold_heads is None:
         fold_heads = _fold_default(q.shape[1], q.shape[2])
-    block_q, block_k = _auto_blocks(q.shape[2], block_q, block_k)
+    # Block sizes resolve inside each path (None -> adaptive): the per-head
+    # kernels via _auto_blocks, the folded forward via _folded_blocks (its
+    # (h, bq, bk) score tile has a different VMEM driver).  Explicit values
+    # override BOTH paths' forward and the backward.
     return _flash_attention_vjp(q, k, v, meta, tokens_total, causal,
                                 block_q, block_k, bool(fold_heads))
 
@@ -527,6 +537,7 @@ def _bwd_fused_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _flash_bwd(q, k, v, meta, out, lse, dout, tokens_total: int, causal: bool,
                block_q: int, block_k: int):
     b, h, s, hd = q.shape
+    block_q, block_k = _auto_blocks(s, block_q, block_k)
     sm_scale = 1.0 / math.sqrt(hd)
     blk = math.lcm(block_q, block_k)     # see _flash_fwd: common multiple
     s_pad = -(-s // blk) * blk
@@ -617,8 +628,7 @@ def _flash_bwd(q, k, v, meta, out, lse, dout, tokens_total: int, causal: bool,
 
 def _fwd_rule(q, k, v, meta, tokens_total, causal, block_q, block_k, fold):
     fwd = _flash_fwd_folded if fold else _flash_fwd
-    out, lse = fwd(q, k, v, meta, tokens_total, causal,
-                   None if fold else block_q, None if fold else block_k)
+    out, lse = fwd(q, k, v, meta, tokens_total, causal, block_q, block_k)
     return out, (q, k, v, meta, out, lse)
 
 

@@ -211,21 +211,145 @@ def _fake_quant_row(x_row, n_heads: int):
     return outs
 
 
-def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
-            n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref, ck_ref, cv_ref,
-            *rest, n_heads: int, ttm: int, pm: int, rows: int, seq: int,
-            chunk: int, quant: bool, quant_w: bool, per_row: bool):
+# --- pieces shared by the single-token kernel and the K-token verify kernel
+# (the verify kernel is the q-block generalization of the token step; their
+# per-layer projection, FFN epilogue, host-side spec/input plumbing, VMEM
+# budget, and cache writes are identical by construction — keep them in ONE
+# place so a fix can never land in only one of the two) ---
+
+def _project_qkv(y_ref, x_dtype, n1s_ref, n1b_ref, qkv_ref, qkv_scale_ref):
+    """Per-layer LN1 + fused QKV over the VMEM-resident hidden state.
+    Returns the (rows_like, 3d) f32 projection; qkv_scale_ref is the int8
+    per-channel weight scale ref (None = dense bf16 weights)."""
+    x = y_ref[...].astype(jnp.float32)
+    h1 = _layernorm(x, n1s_ref[0, 0].astype(jnp.float32),
+                    n1b_ref[0, 0].astype(jnp.float32))
+    if qkv_scale_ref is not None:
+        return _q8_dot(h1, qkv_ref[0], qkv_scale_ref[0, 0].astype(jnp.float32))
+    return jnp.dot(h1.astype(x_dtype), qkv_ref[0],
+                   preferred_element_type=jnp.float32)
+
+
+def _ffn_epilogue(y_ref, x_dtype, attn, outw_ref, outb_ref, n2s_ref, n2b_ref,
+                  f1w_ref, f1b_ref, f2w_ref, f2b_ref, wscales):
+    """Per-layer epilogue after attention: out-proj + residual + LN2 + FFN +
+    residual, written back into the resident hidden state.  wscales: None
+    (dense) or (out, f1, f2) int8 per-channel weight scale refs."""
+    x = y_ref[...].astype(jnp.float32)
+    if wscales is not None:
+        outs_ref, f1s_ref, f2s_ref = wscales
+        o = _q8_dot(attn, outw_ref[0], outs_ref[0, 0].astype(jnp.float32))
+    else:
+        o = jnp.dot(attn.astype(x_dtype), outw_ref[0],
+                    preferred_element_type=jnp.float32)
+    x = x + (o + outb_ref[0, 0])
+    h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
+                    n2b_ref[0, 0].astype(jnp.float32))
+    if wscales is not None:
+        hmid = _q8_dot(h2, f1w_ref[0], f1s_ref[0, 0].astype(jnp.float32)) \
+            + f1b_ref[0, 0]
+    else:
+        hmid = jnp.dot(h2.astype(x_dtype), f1w_ref[0],
+                       preferred_element_type=jnp.float32) + f1b_ref[0, 0]
+    hmid = _gelu_exact(hmid)
+    if wscales is not None:
+        f2 = _q8_dot(hmid, f2w_ref[0], f2s_ref[0, 0].astype(jnp.float32))
+    else:
+        f2 = jnp.dot(hmid.astype(x_dtype), f2w_ref[0],
+                     preferred_element_type=jnp.float32)
+    x = x + (f2 + f2b_ref[0, 0])
+    y_ref[...] = x.astype(y_ref.dtype)
+
+
+def _unpack_rest(rest, quant: bool, quant_w: bool):
+    """Split the trailing kernel refs: optional int8-weight scales, optional
+    int8-cache scales, then (y, k_new, v_new, q, acc, m, l)."""
     rest = list(rest)
+    wscales = None
     if quant_w:
-        # int8 weight mode: qkv/out/f1/f2 refs above are int8, these are their
-        # per-output-channel scales.
-        qkvs_ref, outs_ref, f1s_ref, f2s_ref = rest[:4]
+        wscales = tuple(rest[:4])          # qkv, out, f1, f2 channel scales
         del rest[:4]
     if quant:
         cks_ref, cvs_ref = rest[:2]
         del rest[:2]
     else:
         cks_ref = cvs_ref = None
+    return wscales, cks_ref, cvs_ref, rest
+
+
+def _layer_io(p, cache, const_spec, layer_spec, cache_spec, h: int,
+              quant: bool, quant_w: bool):
+    """Host-side in_specs + inputs shared by both kernels: x (const), the
+    per-layer weight/norm refs, the cache blocks, then optional int8 weight
+    scales and int8 cache scales.  Callers prepend the scalar-prefetch meta
+    and the token-block x to ``inputs``."""
+    wkey = 'q' if quant_w else 'w'
+    qkv_w, out_w = p['attn']['qkv'][wkey], p['attn']['out'][wkey]
+    f1_w, f2_w = p['ffn']['lin1'][wkey], p['ffn']['lin2'][wkey]
+    d = out_w.shape[-1]
+    dff = f1_w.shape[-1]
+    in_specs = [
+        const_spec,                                   # x
+        layer_spec(1, d), layer_spec(1, d),           # norm1 scale/bias
+        layer_spec(d, 3 * d),                         # qkv w
+        layer_spec(d, d), layer_spec(1, d),           # out w, b
+        layer_spec(1, d), layer_spec(1, d),           # norm2 scale/bias
+        layer_spec(d, dff), layer_spec(1, dff),       # ffn1 w, b
+        layer_spec(dff, d), layer_spec(1, d),         # ffn2 w, b
+        cache_spec(d), cache_spec(d),                 # cache k, v
+    ]
+    inputs = [p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
+              qkv_w,
+              out_w, p['attn']['out']['b'][:, None],
+              p['norm2']['scale'][:, None], p['norm2']['bias'][:, None],
+              f1_w, p['ffn']['lin1']['b'][:, None],
+              f2_w, p['ffn']['lin2']['b'][:, None],
+              cache.k, cache.v]
+    if quant_w:
+        in_specs += [layer_spec(1, 3 * d), layer_spec(1, d),
+                     layer_spec(1, dff), layer_spec(1, d)]
+        inputs += [p['attn']['qkv']['scale'][:, None],
+                   p['attn']['out']['scale'][:, None],
+                   p['ffn']['lin1']['scale'][:, None],
+                   p['ffn']['lin2']['scale'][:, None]]
+    if quant:
+        in_specs += [cache_spec(h), cache_spec(h)]
+        inputs += [cache.k_scale, cache.v_scale]
+    return in_specs, inputs, (qkv_w, out_w, f1_w, f2_w)
+
+
+def _vmem_budget(weights, num_layers: int, rows: int, chunk: int, d: int,
+                 h: int, cache_dtype, quant: bool, resident_rows: int) -> int:
+    """Mosaic scoped-VMEM limit: its 16 MB default is far under the 128 MB a
+    v5e core has; size from the actual double-buffered block set (2x streamed
+    weights + cache chunk, + resident outs/scratch + slack)."""
+    qkv_w, out_w, f1_w, f2_w = weights
+    wbytes = (qkv_w.nbytes + out_w.nbytes + f1_w.nbytes + f2_w.nbytes) \
+        // num_layers
+    cbytes = (rows * chunk * 2 * d * jnp.dtype(cache_dtype).itemsize
+              + (rows * chunk * 4 * h if quant else 0))   # bf16 k/v scales
+    resident = (3 * resident_rows * d * 4) \
+        + 2 * num_layers * resident_rows * d * 2
+    return int(min(110 * 2 ** 20,
+                   max(32 * 2 ** 20,
+                       2 * (wbytes + cbytes) + resident + 8 * 2 ** 20)))
+
+
+def _write_rows_per_slot(buf, new, index):
+    """Per-row cache write: one (L, 1.., w) slab per row at its own slot —
+    vmapped single-row dynamic_update_slice (an XLA scatter over rows)."""
+    zero = jnp.int32(0)
+
+    def one_row(buf_r, new_r, i):             # (L, S, w), (L, m, w), scalar
+        return jax.lax.dynamic_update_slice(buf_r, new_r, (zero, i, zero))
+    return jax.vmap(one_row, in_axes=(1, 1, 0), out_axes=1)(buf, new, index)
+
+
+def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
+            n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref, ck_ref, cv_ref,
+            *rest, n_heads: int, ttm: int, pm: int, rows: int, seq: int,
+            chunk: int, quant: bool, quant_w: bool, per_row: bool):
+    wscales, cks_ref, cvs_ref, rest = _unpack_rest(rest, quant, quant_w)
     y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest
     l = pl.program_id(0)
     c = pl.program_id(1)
@@ -252,14 +376,8 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
     # in scratch, k_new/v_new in this layer's (VMEM-resident) output blocks ---
     @pl.when(c == 0)
     def _project():
-        x = y_ref[...].astype(jnp.float32)                   # (rows, d)
-        h1 = _layernorm(x, n1s_ref[0, 0].astype(jnp.float32),
-                        n1b_ref[0, 0].astype(jnp.float32))
-        if quant_w:
-            qkv = _q8_dot(h1, qkv_ref[0], qkvs_ref[0, 0].astype(jnp.float32))
-        else:
-            qkv = jnp.dot(h1.astype(x_ref.dtype), qkv_ref[0],
-                          preferred_element_type=jnp.float32)  # (rows, 3d)
+        qkv = _project_qkv(y_ref, x_ref.dtype, n1s_ref, n1b_ref, qkv_ref,
+                           wscales[0] if quant_w else None)  # (rows, 3d)
         q_s[...] = qkv[:, :d] * scale
         knew_ref[0] = qkv[:, d:2 * d].astype(knew_ref.dtype)
         vnew_ref[0] = qkv[:, 2 * d:].astype(vnew_ref.dtype)
@@ -337,7 +455,6 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
     # --- once per layer, after the last chunk: normalize, project, FFN ---
     @pl.when(c == n_chunks - 1)
     def _finish():
-        x = y_ref[...].astype(jnp.float32)
         rows_out = []
         for r in range(rows):
             inv = jnp.concatenate(
@@ -346,28 +463,9 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
             inv_vec = jnp.sum(inv * head_mask, axis=0, keepdims=True)   # (1, d)
             rows_out.append(acc_s[r:r + 1, :] * inv_vec)
         attn = jnp.concatenate(rows_out, axis=0)             # (rows, d)
-        if quant_w:
-            o = _q8_dot(attn, outw_ref[0], outs_ref[0, 0].astype(jnp.float32))
-        else:
-            o = jnp.dot(attn.astype(x_ref.dtype), outw_ref[0],
-                        preferred_element_type=jnp.float32)
-        x = x + (o + outb_ref[0, 0])
-        h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
-                        n2b_ref[0, 0].astype(jnp.float32))
-        if quant_w:
-            hmid = _q8_dot(h2, f1w_ref[0], f1s_ref[0, 0].astype(jnp.float32)) \
-                + f1b_ref[0, 0]
-        else:
-            hmid = jnp.dot(h2.astype(x_ref.dtype), f1w_ref[0],
-                           preferred_element_type=jnp.float32) + f1b_ref[0, 0]
-        hmid = _gelu_exact(hmid)
-        if quant_w:
-            f2 = _q8_dot(hmid, f2w_ref[0], f2s_ref[0, 0].astype(jnp.float32))
-        else:
-            f2 = jnp.dot(hmid.astype(x_ref.dtype), f2w_ref[0],
-                         preferred_element_type=jnp.float32)
-        x = x + (f2 + f2b_ref[0, 0])
-        y_ref[...] = x.astype(y_ref.dtype)
+        _ffn_epilogue(y_ref, x_ref.dtype, attn, outw_ref, outb_ref, n2s_ref,
+                      n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+                      wscales[1:] if quant_w else None)
 
 
 def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
@@ -424,55 +522,12 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
         (1, rows, chunk, width),
         lambda l, c, meta: (l, 0, jnp.minimum(c, meta[0] // chunk), 0))
 
-    wkey = 'q' if quant_w else 'w'        # int8 weights carry 'q' + 'scale'
-    qkv_w, out_w = p['attn']['qkv'][wkey], p['attn']['out'][wkey]
-    f1_w, f2_w = p['ffn']['lin1'][wkey], p['ffn']['lin2'][wkey]
-    dff = f1_w.shape[-1]
-    in_specs = [
-        const_spec,                                   # x
-        layer_spec(1, d), layer_spec(1, d),           # norm1 scale/bias
-        layer_spec(d, 3 * d),                         # qkv w
-        layer_spec(d, d), layer_spec(1, d),           # out w, b
-        layer_spec(1, d), layer_spec(1, d),           # norm2 scale/bias
-        layer_spec(d, dff),                           # ffn1 w
-        layer_spec(1, dff),                           # ffn1 b
-        layer_spec(dff, d),                           # ffn2 w
-        layer_spec(1, d),                             # ffn2 b
-        cache_spec(d),                                # cache k
-        cache_spec(d),                                # cache v
-    ]
-    inputs = [meta, x2,
-              p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
-              qkv_w,
-              out_w, p['attn']['out']['b'][:, None],
-              p['norm2']['scale'][:, None], p['norm2']['bias'][:, None],
-              f1_w, p['ffn']['lin1']['b'][:, None],
-              f2_w, p['ffn']['lin2']['b'][:, None],
-              cache.k, cache.v]
-    if quant_w:
-        in_specs += [layer_spec(1, 3 * d), layer_spec(1, d),
-                     layer_spec(1, dff), layer_spec(1, d)]
-        inputs += [p['attn']['qkv']['scale'][:, None],
-                   p['attn']['out']['scale'][:, None],
-                   p['ffn']['lin1']['scale'][:, None],
-                   p['ffn']['lin2']['scale'][:, None]]
-    if quant:
-        in_specs += [cache_spec(h), cache_spec(h)]
-        inputs += [cache.k_scale, cache.v_scale]
+    in_specs, inputs, weights = _layer_io(p, cache, const_spec, layer_spec,
+                                          cache_spec, h, quant, quant_w)
+    inputs = [meta, x2] + inputs
     new_dtype = x.dtype if quant else cache.k.dtype
-
-    # Mosaic's default scoped-VMEM budget is 16 MB, far under the 128 MB a v5e
-    # core has.  Size the limit from the actual double-buffered block set so
-    # big-config layers (204M: ~22 MB of bf16 weights/layer) fit: 2x streamed
-    # ins (weights + cache chunk) + resident outs/scratch + slack.
-    wbytes = (qkv_w.nbytes + out_w.nbytes + f1_w.nbytes + f2_w.nbytes) \
-        // num_layers
-    cbytes = (rows * chunk * 2 * d * jnp.dtype(cache.k.dtype).itemsize
-              + (rows * chunk * 4 * h if quant else 0))   # bf16 k/v scales
-    resident = (3 * rows * d * 4) + 2 * num_layers * rows * d * 2
-    vmem_limit = int(min(110 * 2 ** 20,
-                         max(32 * 2 ** 20,
-                             2 * (wbytes + cbytes) + resident + 8 * 2 ** 20)))
+    vmem_limit = _vmem_budget(weights, num_layers, rows, chunk, d, h,
+                              cache.k.dtype, quant, resident_rows=rows)
 
     y, k_new, v_new = pl.pallas_call(
         kernel,
@@ -505,14 +560,8 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     k_new = k_new[:, :, None, :]                      # (L, rows, 1, d)
     v_new = v_new[:, :, None, :]
     if per_row:
-        # One (L, 1, w) slab per row at its own slot — vmapped single-row
-        # dynamic_update_slice (an XLA scatter over the rows axis).
         def write(buf, new):
-            def one_row(buf_r, new_r, i):     # (L, S, w), (L, 1, w), scalar
-                return jax.lax.dynamic_update_slice(buf_r, new_r,
-                                                    (zero, i, zero))
-            return jax.vmap(one_row, in_axes=(1, 1, 0), out_axes=1)(
-                buf, new, index)
+            return _write_rows_per_slot(buf, new, index)
     else:
         idx4 = (zero, zero, index, zero)
 
@@ -552,15 +601,7 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
       f32 reordering).  int8 caches see the quantize→dequantize roundtrip of
       the new rows, exactly what the next turn reads back.
     """
-    rest = list(rest)
-    if quant_w:
-        qkvs_ref, outs_ref, f1s_ref, f2s_ref = rest[:4]
-        del rest[:4]
-    if quant:
-        cks_ref, cvs_ref = rest[:2]
-        del rest[:2]
-    else:
-        cks_ref = cvs_ref = None
+    wscales, cks_ref, cvs_ref, rest = _unpack_rest(rest, quant, quant_w)
     y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest
     l = pl.program_id(0)
     c = pl.program_id(1)
@@ -594,14 +635,8 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
 
     @pl.when(c == 0)
     def _project():
-        x = y_ref[...].astype(jnp.float32)                   # (rows*K, d)
-        h1 = _layernorm(x, n1s_ref[0, 0].astype(jnp.float32),
-                        n1b_ref[0, 0].astype(jnp.float32))
-        if quant_w:
-            qkv = _q8_dot(h1, qkv_ref[0], qkvs_ref[0, 0].astype(jnp.float32))
-        else:
-            qkv = jnp.dot(h1.astype(x_ref.dtype), qkv_ref[0],
-                          preferred_element_type=jnp.float32)
+        qkv = _project_qkv(y_ref, x_ref.dtype, n1s_ref, n1b_ref, qkv_ref,
+                           wscales[0] if quant_w else None)  # (rows*K, 3d)
         q_s[...] = qkv[:, :d] * scale
         knew_ref[0] = qkv[:, d:2 * d].astype(knew_ref.dtype)
         vnew_ref[0] = qkv[:, 2 * d:].astype(vnew_ref.dtype)
@@ -622,13 +657,17 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
             pl_r = meta_ref[1 + rows + r]
             idx_r = meta_ref[1 + 2 * rows + r]
             rs, re = r * kh, (r + 1) * kh
-            # (kh, chunk) attend: prompt regions + committed generated slots
-            # <= idx_r + qi, EXCLUDING the in-flight block [idx_r, idx_r + K)
-            # whose cache contents are stale (in-register below).
+            # (1, chunk) attend, broadcast over the kh score rows: the CACHE
+            # supplies only prompt regions + COMMITTED generated slots
+            # (< idx_r) — visible to every query in the block.  The in-flight
+            # block [idx_r, idx_r + K) is stale in the cache (this call
+            # produces its k/v) and is served from registers below with
+            # per-query causality (s_blk / blk_ok) — do NOT widen this mask
+            # to the XLA path's `slot <= idx_r + qi` (models/ar.py): that
+            # would double-count the in-flight keys.
             attend = ((slot < tl_r)
                       | ((slot >= ttm) & (slot < ttm + pl_r))
-                      | ((slot >= ttm + pm) & (slot <= idx_r + qi_col)
-                         & (slot < idx_r)))                  # (kh, chunk)
+                      | ((slot >= ttm + pm) & (slot < idx_r)))   # (1, chunk)
             q_rows = q_s[r * q_blk:(r + 1) * q_blk, :]       # (K, d) pre-scaled
             q_bd = jax.lax.dot_general(
                 sel, q_rows, contract_inner,
@@ -684,7 +723,6 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
 
     @pl.when(c == n_chunks - 1)
     def _finish():
-        x = y_ref[...].astype(jnp.float32)
         rows_out = []
         for r in range(rows):
             rs, re = r * kh, (r + 1) * kh
@@ -693,28 +731,9 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
                                           preferred_element_type=jnp.float32)
             rows_out.append(acc_s[r * q_blk:(r + 1) * q_blk, :] * inv_mat)
         attn = jnp.concatenate(rows_out, axis=0)             # (rows*K, d)
-        if quant_w:
-            o = _q8_dot(attn, outw_ref[0], outs_ref[0, 0].astype(jnp.float32))
-        else:
-            o = jnp.dot(attn.astype(x_ref.dtype), outw_ref[0],
-                        preferred_element_type=jnp.float32)
-        x = x + (o + outb_ref[0, 0])
-        h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
-                        n2b_ref[0, 0].astype(jnp.float32))
-        if quant_w:
-            hmid = _q8_dot(h2, f1w_ref[0], f1s_ref[0, 0].astype(jnp.float32)) \
-                + f1b_ref[0, 0]
-        else:
-            hmid = jnp.dot(h2.astype(x_ref.dtype), f1w_ref[0],
-                           preferred_element_type=jnp.float32) + f1b_ref[0, 0]
-        hmid = _gelu_exact(hmid)
-        if quant_w:
-            f2 = _q8_dot(hmid, f2w_ref[0], f2s_ref[0, 0].astype(jnp.float32))
-        else:
-            f2 = jnp.dot(hmid.astype(x_ref.dtype), f2w_ref[0],
-                         preferred_element_type=jnp.float32)
-        x = x + (f2 + f2b_ref[0, 0])
-        y_ref[...] = x.astype(y_ref.dtype)
+        _ffn_epilogue(y_ref, x_ref.dtype, attn, outw_ref, outb_ref, n2s_ref,
+                      n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+                      wscales[1:] if quant_w else None)
 
 
 def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
@@ -771,48 +790,12 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
         (1, rows, chunk, width),
         lambda l, c, meta: (l, 0, jnp.minimum(c, meta[0] // chunk), 0))
 
-    wkey = 'q' if quant_w else 'w'
-    qkv_w, out_w = p['attn']['qkv'][wkey], p['attn']['out'][wkey]
-    f1_w, f2_w = p['ffn']['lin1'][wkey], p['ffn']['lin2'][wkey]
-    dff = f1_w.shape[-1]
-    in_specs = [
-        const_spec,                                   # x
-        layer_spec(1, d), layer_spec(1, d),           # norm1 scale/bias
-        layer_spec(d, 3 * d),                         # qkv w
-        layer_spec(d, d), layer_spec(1, d),           # out w, b
-        layer_spec(1, d), layer_spec(1, d),           # norm2 scale/bias
-        layer_spec(d, dff), layer_spec(1, dff),       # ffn1 w, b
-        layer_spec(dff, d), layer_spec(1, d),         # ffn2 w, b
-        cache_spec(d), cache_spec(d),                 # cache k, v
-    ]
-    inputs = [meta, x2,
-              p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
-              qkv_w,
-              out_w, p['attn']['out']['b'][:, None],
-              p['norm2']['scale'][:, None], p['norm2']['bias'][:, None],
-              f1_w, p['ffn']['lin1']['b'][:, None],
-              f2_w, p['ffn']['lin2']['b'][:, None],
-              cache.k, cache.v]
-    if quant_w:
-        in_specs += [layer_spec(1, 3 * d), layer_spec(1, d),
-                     layer_spec(1, dff), layer_spec(1, d)]
-        inputs += [p['attn']['qkv']['scale'][:, None],
-                   p['attn']['out']['scale'][:, None],
-                   p['ffn']['lin1']['scale'][:, None],
-                   p['ffn']['lin2']['scale'][:, None]]
-    if quant:
-        in_specs += [cache_spec(h), cache_spec(h)]
-        inputs += [cache.k_scale, cache.v_scale]
+    in_specs, inputs, weights = _layer_io(p, cache, const_spec, layer_spec,
+                                          cache_spec, h, quant, quant_w)
+    inputs = [meta, x2] + inputs
     new_dtype = x.dtype if quant else cache.k.dtype
-
-    wbytes = (qkv_w.nbytes + out_w.nbytes + f1_w.nbytes + f2_w.nbytes) \
-        // num_layers
-    cbytes = (rows * chunk * 2 * d * jnp.dtype(cache.k.dtype).itemsize
-              + (rows * chunk * 4 * h if quant else 0))
-    resident = (3 * rk * d * 4) + 2 * num_layers * rk * d * 2
-    vmem_limit = int(min(110 * 2 ** 20,
-                         max(32 * 2 ** 20,
-                             2 * (wbytes + cbytes) + resident + 8 * 2 ** 20)))
+    vmem_limit = _vmem_budget(weights, num_layers, rows, chunk, d, h,
+                              cache.k.dtype, quant, resident_rows=rk)
 
     y, k_new, v_new = pl.pallas_call(
         kernel,
@@ -841,14 +824,11 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
         interpret=interpret,
     )(*inputs)
 
-    zero = jnp.int32(0)
     k_new = k_new.reshape(num_layers, rows, q_blk, d)
     v_new = v_new.reshape(num_layers, rows, q_blk, d)
 
     def write(buf, new):
-        def one_row(buf_r, new_r, i):         # (L, S, w), (L, K, w), scalar
-            return jax.lax.dynamic_update_slice(buf_r, new_r, (zero, i, zero))
-        return jax.vmap(one_row, in_axes=(1, 1, 0), out_axes=1)(buf, new, index)
+        return _write_rows_per_slot(buf, new, index)
 
     y = y.reshape(rows, q_blk, d)
     if quant:

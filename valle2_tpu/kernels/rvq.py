@@ -37,9 +37,13 @@ def _rvq_kernel(latents_ref, codebooks_ref, codes_ref, *, n_q: int):
     t = residual.shape[0]
     for q in range(n_q):
         cb = codebooks_ref[q].astype(jnp.float32)            # (V, D)
-        scores = 2.0 * jnp.dot(residual, cb.T,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST) \
+        # Contract the trailing dims directly (A (T,D) x B (V,D)^T) — a
+        # jnp.dot(residual, cb.T) would materialize the (D, V) transpose in
+        # VMEM per stage per block (same pattern flash_attention.py avoids).
+        scores = 2.0 * jax.lax.dot_general(
+            residual, cb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) \
             - jnp.sum(cb * cb, axis=-1)[None, :]             # (T, V)
         idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # (T,)
         # Mosaic has no dynamic row gather; select the rows with a one-hot matmul
