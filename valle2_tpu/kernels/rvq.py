@@ -7,8 +7,11 @@ the latents, one codebook load, all eight argmin/subtract stages fused in-regist
 
 Status: optional (EncodecTPU(use_pallas_rvq=True)).  On the current axon runtime the
 XLA path is already fusion-friendly and measures faster (the RVQ is a small slice of
-encode; BENCHMARKS.md) — the kernel exists for runtimes/shapes where the per-stage
-HBM round trips dominate, and as the VMEM-resident reference implementation.
+encode; BENCHMARKS.md).  Re-checked r3 after making the score dot transpose-free
+(dot_general on trailing dims instead of materializing cb.T in VMEM): still
+6.5 ms XLA vs 7.3 ms fused at (B=8, T=1500, 8x1024x128), bit-compatible — the
+kernel exists for runtimes/shapes where the per-stage HBM round trips dominate,
+and as the VMEM-resident reference implementation.
 
 Distance uses the same expanded form as the jnp path (argmax of 2 x·c − |c|²), so
 ties resolve identically; the kernel is bit-compatible with codec.rvq.rvq_encode in
