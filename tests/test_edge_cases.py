@@ -84,3 +84,19 @@ class TestCollateEdges:
         batch = collate([ds[0]])
         assert batch['codes'].shape[0] == 1
         assert batch['codes'].shape[1] in c.bucket_sizes
+
+
+class TestPackageExports:
+    def test_lazy_toplevel_exports_resolve(self):
+        """`from valle2_tpu import ValleTTS` etc. resolve lazily (PEP 562)
+        without eager heavy imports at package import time."""
+        import valle2_tpu
+        for name in valle2_tpu.__all__:
+            if name == '__version__':
+                continue
+            obj = getattr(valle2_tpu, name)
+            assert obj is not None, name
+        assert set(valle2_tpu._LAZY) <= set(dir(valle2_tpu))
+        import pytest
+        with pytest.raises(AttributeError, match='not_a_thing'):
+            valle2_tpu.not_a_thing  # noqa: B018

@@ -19,5 +19,30 @@ from .compile_cache import enable_compilation_cache
 from .config import ConfigValle
 
 __version__ = '0.3.0'
+
+# User-facing classes resolve lazily (PEP 562): `from valle2_tpu import
+# ValleTTS` works without paying the heavy jax/model import cost for users
+# who only want the config or cache helpers.
+_LAZY = {
+    'ValleTTS': '.tts', 'ValleASRPipeline': '.tts',
+    'TTSServer': '.serve', 'serve_http': '.serve',
+    'StreamHub': '.stream_hub',
+    'ValleAR': '.models', 'ValleNAR': '.models',
+    'EncodecTPU': '.codec',
+    'Trainer': '.train',
+}
+
 __all__ = ['ConfigValle', 'enable_aot_cache', 'enable_compilation_cache',
-           '__version__']
+           '__version__', *sorted(_LAZY)]
+
+
+def __getattr__(name: str):
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
+    import importlib
+    return getattr(importlib.import_module(target, __name__), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))
