@@ -268,10 +268,12 @@ class ConfigValle:
     use_fused_decode: bool | str = field(
         default='auto',
         metadata={'help': "Pallas fused whole-stack decode step: True | False | "
-                          "'auto' (on for TPU serving — requires per-layer KV "
-                          "block to fit VMEM, non-int8 cache, and matmul_precision "
-                          "!= 'highest' so parity-gate runs keep the exact unfused "
-                          'path). Measured +12-16% decode tok/s (BENCHMARKS.md r2)'},
+                          "'auto' (on for TPU serving — requires the per-layer "
+                          "KV block to fit VMEM and matmul_precision != "
+                          "'highest' so parity-gate runs keep the exact unfused "
+                          'path; int8 KV caches are supported, dequantized '
+                          'in-kernel). Measured +12-16% decode tok/s '
+                          '(BENCHMARKS.md r2)'},
     )
 
     def __post_init__(self):

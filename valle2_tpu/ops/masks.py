@@ -48,6 +48,13 @@ def merge_masks(attn_mask: jax.Array | None, padding_mask: jax.Array | None,
 
     Reference modules.py:175-207 expands to (b, n_heads, s, s); heads are identical, so
     we keep a size-1 head axis and let XLA broadcast.
+
+    Reference quirk, faithfully kept: with ``attn_mask=None`` the padding mask
+    is DROPPED too (the reference merges key_padding only inside the
+    attn_mask branch, modules.py:190-204).  The model paths never rely on
+    this — AR builds its combined bias via ``prefix_lm_bias`` and the NAR
+    masks padding explicitly — but callers of this public helper should pass
+    an all-False attn_mask if they want padding-only masking.
     """
     if attn_mask is None:
         return None

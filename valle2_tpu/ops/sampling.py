@@ -43,6 +43,12 @@ def top_k_top_p_filter(logits: jax.Array, top_k: int = 0, top_p: float = 1.0) ->
         sorted_remove = jnp.concatenate(
             [jnp.zeros_like(sorted_remove[..., :1]), sorted_remove[..., :-1]], axis=-1)
         # Smallest kept logit among the sorted order defines the threshold.
+        # Threshold semantics keep EVERY token tied with the boundary logit;
+        # transformers' scatter-by-sorted-index would drop ties past the
+        # cumulative cut in whatever order its (unstable-across-backends)
+        # sort put them — for exact-tie logits at the top-p boundary there is
+        # no backend-independent "reference order", so the symmetric
+        # keep-all-ties rule is deliberate.  Identical otherwise.
         min_kept = jnp.min(jnp.where(sorted_remove, jnp.inf, sorted_logits), axis=-1,
                            keepdims=True)
         logits = jnp.where(logits < min_kept, NEG_INF, logits)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .attention import mha, mha_init, qkv_proj, sdpa, _merge_heads
+from .masks import NEG_INF
 from .nn import adaln, adaln_init, dropout, ffn, ffn_init, layernorm, layernorm_init, linear
 
 Params = dict[str, Any]
@@ -53,10 +54,17 @@ class KVCache(NamedTuple):
 
 
 def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-slot (last-axis) symmetric int8 quantization → (int8 values, scales)."""
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    """Per-slot (last-axis) symmetric int8 quantization → (int8 values, scales).
+
+    The scale/round arithmetic runs in f32 regardless of the activation dtype
+    — the fused kernel's ``quantize_kv_rowmajor`` / in-kernel
+    ``_fake_quant_row`` (kernels/fused_decode.py) quantize with an f32 scale,
+    and prefill-written slots must round the SAME way or they drift ±1 int8
+    step from what the kernel predicts/writes for its own slots."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.bfloat16)
 
 
@@ -198,10 +206,6 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
     early steps touch a fraction of the bytes.  Outputs identical (slots past
     ``index`` are masked either way).
     """
-    from .nn import linear
-    from .attention import qkv_proj, sdpa, _merge_heads
-    from .masks import NEG_INF
-
     num_layers = cache.k.shape[0]
     max_len = cache.k.shape[3]
     q_len = x.shape[1]
@@ -255,21 +259,36 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
             cv = _write(cv, vq, li)
             cks = _write(cks, ks_, li)
             cvs = _write(cvs, vs_, li)
-            k_full = ck[li].astype(x.dtype) * cks[li].astype(x.dtype)
-            v_full = cv[li].astype(x.dtype) * cvs[li].astype(x.dtype)
         else:
             ck = _write(ck, k.astype(ck.dtype), li)
             cv = _write(cv, v.astype(cv.dtype), li)
-            k_full, v_full = ck[li], cv[li]
-        if attn_buckets > 1 and not quant:
+        if attn_buckets > 1:
+            # Dequant (int8 caches) happens INSIDE the bucketed branch so only
+            # the selected prefix is read AND dequantized — int8 KV exists for
+            # exactly the bandwidth-bound long caches where bucketing pays.
+            def _bucket(L):
+                def run(ck_l, cv_l, cks_l, cvs_l, qq, bb):
+                    if quant:
+                        kf = ck_l[:, :, :L].astype(x.dtype) \
+                            * cks_l[:, :, :L].astype(x.dtype)
+                        vf = cv_l[:, :, :L].astype(x.dtype) \
+                            * cvs_l[:, :, :L].astype(x.dtype)
+                    else:
+                        kf, vf = ck_l[:, :, :L], cv_l[:, :, :L]
+                    return sdpa(qq, kf, vf, bb[:, :, :, :L])
+                return run
             attn = jax.lax.switch(
-                bucket_idx,
-                [(lambda L: lambda kf, vf, qq, bb:
-                  sdpa(qq, kf[:, :, :L], vf[:, :, :L], bb[:, :, :, :L]))(L)
-                 for L in lens],
-                k_full, v_full, q, bias)
-        else:
+                bucket_idx, [_bucket(L) for L in lens],
+                ck[li], cv[li],
+                cks[li] if quant else ck[li],    # unused placeholders when
+                cvs[li] if quant else cv[li],    # dense — branches ignore them
+                q, bias)
+        elif quant:
+            k_full = ck[li].astype(x.dtype) * cks[li].astype(x.dtype)
+            v_full = cv[li].astype(x.dtype) * cvs[li].astype(x.dtype)
             attn = sdpa(q, k_full, v_full, bias)
+        else:
+            attn = sdpa(q, ck[li], cv[li], bias)
         x = x + linear(lp['attn']['out'], _merge_heads(attn))
         x = x + ffn(lp['ffn'], _norm(lp['norm2'], x, cond))
     new_cache = KVCache(ck, cv, cks, cvs) if quant else KVCache(ck, cv)
