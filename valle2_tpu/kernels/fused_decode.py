@@ -217,6 +217,45 @@ def _fake_quant_row(x_row, n_heads: int):
 # budget, and cache writes are identical by construction — keep them in ONE
 # place so a fix can never land in only one of the two) ---
 
+def _ring_allreduce(partial, my, base, mp: int, outbox, comm, send_sem,
+                    recv_sem, par: int):
+    """Rank-ordered all-reduce of a per-rank partial over the 'model' axis,
+    entirely in-kernel: ring all-GATHER via async remote copies into
+    per-source-rank VMEM slots, then a rank-ordered sum — every rank computes
+    the IDENTICAL f32 result (deterministic order), which keeps the hidden
+    state bit-equal across model ranks (the tp_shard_map contract).
+
+    ``par`` (static 0/1) picks the comm-slot plane and semaphore pair for this
+    reduce site: with one pair per site, a rank at most ONE reduce ahead
+    (each reduce blocks on receiving the peer parcel) can never alias counts —
+    its next same-parity send is two reduces later, by which time the receiver
+    has consumed this one.  ``my``: this rank along 'model'; ``base``: linear
+    device id of model-rank 0 in this data row (row-major mesh).
+    """
+    outbox[...] = partial
+    src = my
+    right = base + jax.lax.rem(my + 1, mp)
+    for step in range(mp - 1):
+        rdma = pltpu.make_async_remote_copy(
+            src_ref=outbox,
+            dst_ref=comm.at[par, src],
+            send_sem=send_sem,
+            recv_sem=recv_sem,
+            device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL)
+        rdma.start()
+        rdma.wait()
+        src = jax.lax.rem(src - 1 + mp, mp)   # the parcel received came from src
+        if step < mp - 2:
+            outbox[...] = comm[par, src]
+    # Rank-ORDERED sum: slot r's term sits at position r for every rank (own
+    # partial substituted in place), so the f32 association is identical
+    # everywhere — not just the same set of addends.
+    acc = jnp.zeros_like(partial)
+    for r in range(mp):
+        acc = acc + jnp.where(r == my, partial, comm[par, r])
+    return acc
+
 def _project_qkv(y_ref, x_dtype, n1s_ref, n1b_ref, qkv_ref, qkv_scale_ref):
     """Per-layer LN1 + fused QKV over the VMEM-resident hidden state.
     Returns the (rows_like, 3d) f32 projection; qkv_scale_ref is the int8
@@ -231,10 +270,15 @@ def _project_qkv(y_ref, x_dtype, n1s_ref, n1b_ref, qkv_ref, qkv_scale_ref):
 
 
 def _ffn_epilogue(y_ref, x_dtype, attn, outw_ref, outb_ref, n2s_ref, n2b_ref,
-                  f1w_ref, f1b_ref, f2w_ref, f2b_ref, wscales):
+                  f1w_ref, f1b_ref, f2w_ref, f2b_ref, wscales, allreduce=None):
     """Per-layer epilogue after attention: out-proj + residual + LN2 + FFN +
     residual, written back into the resident hidden state.  wscales: None
-    (dense) or (out, f1, f2) int8 per-channel weight scale refs."""
+    (dense) or (out, f1, f2) int8 per-channel weight scale refs.
+
+    ``allreduce``: manual-TP hook ``(partial, parity) -> full`` — out/lin2 are
+    Megatron row-parallel per rank (attn holds LOCAL heads, hmid the LOCAL
+    hidden slice), so their dots are partial sums completed across the 'model'
+    ring BEFORE the (replicated) bias is added once (``_ring_allreduce``)."""
     x = y_ref[...].astype(jnp.float32)
     if wscales is not None:
         outs_ref, f1s_ref, f2s_ref = wscales
@@ -242,6 +286,8 @@ def _ffn_epilogue(y_ref, x_dtype, attn, outw_ref, outb_ref, n2s_ref, n2b_ref,
     else:
         o = jnp.dot(attn.astype(x_dtype), outw_ref[0],
                     preferred_element_type=jnp.float32)
+    if allreduce is not None:
+        o = allreduce(o, 0)
     x = x + (o + outb_ref[0, 0])
     h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
                     n2b_ref[0, 0].astype(jnp.float32))
@@ -257,6 +303,8 @@ def _ffn_epilogue(y_ref, x_dtype, attn, outw_ref, outb_ref, n2s_ref, n2b_ref,
     else:
         f2 = jnp.dot(hmid.astype(x_dtype), f2w_ref[0],
                      preferred_element_type=jnp.float32)
+    if allreduce is not None:
+        f2 = allreduce(f2, 1)
     x = x + (f2 + f2b_ref[0, 0])
     y_ref[...] = x.astype(y_ref.dtype)
 

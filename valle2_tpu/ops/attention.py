@@ -21,7 +21,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from .nn import linear, linear_init
+from .nn import linear, linear_init, linear_row_parallel
 from .masks import NEG_INF
 
 Params = dict[str, Any]
@@ -69,11 +69,16 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
-        return_kv: bool = False, flash: dict | None = None):
+        return_kv: bool = False, flash: dict | None = None,
+        tp_axis: str | None = None):
     """Full-sequence MHA.  Returns out, or (out, k, v) for cache prefill.
 
     ``flash``: optional {'meta': (b, 2) int32, 'tokens_total': int, 'causal': bool} —
     routes through the Pallas flash kernel instead of the materialized-bias sdpa.
+    ``tp_axis``: manual tensor parallelism inside a shard_map — ``n_heads`` is
+    then this shard's LOCAL head count (qkv column-split along heads), and the
+    row-split output projection psums the partial over ``tp_axis``
+    (``nn.linear_row_parallel``).  The returned k/v are the local heads'.
     """
     q, k, v = qkv_proj(p, x, n_heads)
     if flash is not None:
@@ -82,7 +87,10 @@ def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
                                flash.get('causal', True))
     else:
         attn = sdpa(q, k, v, bias)
-    out = linear(p['out'], _merge_heads(attn))
+    if tp_axis is not None:
+        out = linear_row_parallel(p['out'], _merge_heads(attn), tp_axis)
+    else:
+        out = linear(p['out'], _merge_heads(attn))
     if return_kv:
         return out, k, v
     return out

@@ -55,6 +55,34 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
     return y
 
 
+def linear_row_parallel(p: Params, x: jax.Array, tp_axis: str) -> jax.Array:
+    """Row-parallel linear under MANUAL tensor parallelism (inside a
+    jax.shard_map): this shard's weight holds a contiguous slice of the INPUT
+    features (Megatron row split), so ``x @ w`` is a partial sum — ``psum``
+    over ``tp_axis`` completes it before the (replicated) bias is added once.
+
+    int8 leaves stay EXACTLY solo-equal: the dynamic activation scale must be
+    the max over the FULL feature axis (``quantize.int8_matmul``), so the
+    local amax is ``pmax``-ed over ``tp_axis`` before rounding, the s8×s8→s32
+    partials ``psum`` in integers (associative — bit-exact vs the solo dot),
+    and the (replicated) per-output-channel scale rescales once at the end."""
+    if 'q' in p:
+        x32 = x.astype(jnp.float32)
+        ax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        ax = jax.lax.pmax(ax, tp_axis)                     # global per-token amax
+        sx = jnp.maximum(ax, 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(xq, p['q'], (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = jax.lax.psum(y, tp_axis)
+        y = (y.astype(jnp.float32) * sx * p['scale']).astype(x.dtype)
+    else:
+        y = jax.lax.psum(x @ p['w'], tp_axis)
+    if 'b' in p:
+        y = y + p['b']
+    return y
+
+
 def embedding_init(key: jax.Array, vocab_size: int, dim: int, dtype=jnp.float32) -> Params:
     """torch nn.Embedding default init: N(0, 1)."""
     return {'emb': jax.random.normal(key, (vocab_size, dim), dtype)}
@@ -190,12 +218,18 @@ def ffn_init(key: jax.Array, d_model: int, d_ff: int, dtype=jnp.float32) -> Para
 
 
 def ffn(p: Params, x: jax.Array, *, dropout_rate: float = 0.0,
-        rng: jax.Array | None = None) -> jax.Array:
+        rng: jax.Array | None = None, tp_axis: str | None = None) -> jax.Array:
     """Linear → exact (erf) GELU → dropout → Linear (reference FeedForward,
     modules.py:210-221; torch nn.GELU defaults to the erf form, hence
-    ``approximate=False``)."""
+    ``approximate=False``).
+
+    ``tp_axis``: manual tensor parallelism inside a shard_map — lin1 is
+    column-split (local hidden slice, local bias), lin2 row-split with a psum
+    completing the output (``linear_row_parallel``)."""
     h = jax.nn.gelu(linear(p['lin1'], x), approximate=False)
     h = dropout(h, dropout_rate, rng)
+    if tp_axis is not None:
+        return linear_row_parallel(p['lin2'], h, tp_axis)
     return linear(p['lin2'], h)
 
 

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from .attention import mha, mha_init, qkv_proj, sdpa, _merge_heads
 from .masks import NEG_INF
-from .nn import adaln, adaln_init, dropout, ffn, ffn_init, layernorm, layernorm_init, linear
+from .nn import (adaln, adaln_init, dropout, ffn, ffn_init, layernorm,
+                 layernorm_init, linear, linear_row_parallel)
 
 Params = dict[str, Any]
 
@@ -97,16 +98,23 @@ def _norm(p: Params, x: jax.Array, cond: jax.Array | None) -> jax.Array:
 def encoder_layer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None,
                   cond: jax.Array | None, *, dropout_rate: float = 0.0,
                   rng: jax.Array | None = None, return_kv: bool = False,
-                  flash: dict | None = None):
-    """One pre-norm block (reference modules.py:240-280)."""
+                  flash: dict | None = None, tp_axis: str | None = None):
+    """One pre-norm block (reference modules.py:240-280).
+
+    ``tp_axis``: manual tensor parallelism inside a shard_map — ``p`` holds
+    this shard's column/row-split attn/ffn weights, ``n_heads`` is the LOCAL
+    head count, and the row-parallel projections psum over the axis (see
+    ops.attention.mha / ops.nn.ffn)."""
     rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
     h = _norm(p['norm1'], x, cond)
     if return_kv:
-        attn_out, k, v = mha(p['attn'], h, n_heads, bias, return_kv=True, flash=flash)
+        attn_out, k, v = mha(p['attn'], h, n_heads, bias, return_kv=True,
+                             flash=flash, tp_axis=tp_axis)
     else:
-        attn_out = mha(p['attn'], h, n_heads, bias, flash=flash)
+        attn_out = mha(p['attn'], h, n_heads, bias, flash=flash, tp_axis=tp_axis)
     x = x + dropout(attn_out, dropout_rate, rngs[0])
-    h = ffn(p['ffn'], _norm(p['norm2'], x, cond), dropout_rate=dropout_rate, rng=rngs[1])
+    h = ffn(p['ffn'], _norm(p['norm2'], x, cond), dropout_rate=dropout_rate,
+            rng=rngs[1], tp_axis=tp_axis)
     x = x + dropout(h, dropout_rate, rngs[2])
     if return_kv:
         return x, k, v
@@ -140,7 +148,8 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
 def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
                         bias: jax.Array | None = None,
                         cond: jax.Array | None = None,
-                        cache_dtype=None, flash: dict | None = None):
+                        cache_dtype=None, flash: dict | None = None,
+                        tp_axis: str | None = None):
     """Forward pass that also fills a KV cache padded to ``max_len``.
 
     Returns (y, KVCache) where cache slots [0, seq_len) hold the prefix keys/values.
@@ -148,6 +157,8 @@ def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
     ``cache_dtype``: None (activation dtype) | a float dtype | jnp.int8 (quantized).
     ``flash``: optional flash-attention meta (see ops.attention.mha) — avoids
     materializing the (b, 1, s, s) prefill bias.
+    ``tp_axis``: manual TP inside a shard_map — ``n_heads`` is the LOCAL head
+    count and the returned cache holds only this shard's heads.
     """
     seq_len = x.shape[1]
     pad = max_len - seq_len
@@ -155,7 +166,7 @@ def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
 
     def body(carry, layer_p):
         y, k, v = encoder_layer(layer_p, carry, n_heads, bias, cond, return_kv=True,
-                                flash=flash)
+                                flash=flash, tp_axis=tp_axis)
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         if quant:
@@ -176,7 +187,8 @@ def transformer_prefill(p: Params, x: jax.Array, n_heads: int, max_len: int,
 def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCache,
                             index: jax.Array, cond: jax.Array | None = None,
                             attend_mask: jax.Array | None = None,
-                            attn_buckets: int = 1):
+                            attn_buckets: int = 1,
+                            tp_axis: str | None = None):
     """Advance one token (or a q-token block): x is (b, q, d) at absolute
     positions ``index .. index + q - 1``.  The serving decode uses q = 1; the
     speculative verify pass (models/ar.py) feeds a q-token draft block through
@@ -205,6 +217,8 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
     only ~the valid prefix each step — decode attention is cache-bandwidth-bound, so
     early steps touch a fraction of the bytes.  Outputs identical (slots past
     ``index`` are masked either way).
+    ``tp_axis``: manual TP inside a shard_map — ``n_heads`` is the LOCAL head
+    count, the cache holds only local heads, and out/lin2 partials psum.
     """
     num_layers = cache.k.shape[0]
     max_len = cache.k.shape[3]
@@ -289,7 +303,14 @@ def transformer_decode_step(p: Params, x: jax.Array, n_heads: int, cache: KVCach
             attn = sdpa(q, k_full, v_full, bias)
         else:
             attn = sdpa(q, ck[li], cv[li], bias)
-        x = x + linear(lp['attn']['out'], _merge_heads(attn))
-        x = x + ffn(lp['ffn'], _norm(lp['norm2'], x, cond))
+        if tp_axis is not None:
+            # Manual TP (shard_map): out/lin2 are row-split — psum the partial
+            # before adding the replicated bias (nn.linear_row_parallel).
+            x = x + linear_row_parallel(lp['attn']['out'], _merge_heads(attn),
+                                        tp_axis)
+            x = x + ffn(lp['ffn'], _norm(lp['norm2'], x, cond), tp_axis=tp_axis)
+        else:
+            x = x + linear(lp['attn']['out'], _merge_heads(attn))
+            x = x + ffn(lp['ffn'], _norm(lp['norm2'], x, cond))
     new_cache = KVCache(ck, cv, cks, cvs) if quant else KVCache(ck, cv)
     return x, new_cache

@@ -154,6 +154,90 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(device_put_global, batch, batch_sharding(mesh, batch))
 
 
+def tp_permute_qkv(tparams: Params, mp: int) -> Params:
+    """Reorder the fused-QKV output columns (and their int8 twins) so that a
+    contiguous 1/mp slice holds rank r's ``(q_r | k_r | v_r)`` block.
+
+    The fused qkv weight is (L, d, 3d) with columns [q | k | v]; a plain
+    contiguous split over 'model' (what shard_map's P(None, None, 'model')
+    produces) would cut ACROSS the three thirds.  Regrouping columns as
+    [q_0 k_0 v_0 | q_1 k_1 v_1 | ...] (rank-major) makes the contiguous slice
+    exactly the local fused qkv, whose thirds the kernels already slice.
+    Rank r's q/k/v sub-blocks are heads [r·h/mp, (r+1)·h/mp) — head-aligned
+    because d/mp is a multiple of head_dim when n_heads % mp == 0 (enforced
+    by the caller).  Returns a rebuilt tree; non-qkv leaves are shared."""
+    def perm_w(w):                        # (L, d, 3d) → columns regrouped
+        L, d_in, three_d = w.shape
+        d = three_d // 3
+        w4 = w.reshape(L, d_in, 3, mp, d // mp)
+        return w4.transpose(0, 1, 3, 2, 4).reshape(L, d_in, three_d)
+
+    def perm_vec(v):                      # (L, 3d) per-output-channel scale
+        L, three_d = v.shape
+        d = three_d // 3
+        return v.reshape(L, 3, mp, d // mp).transpose(0, 2, 1, 3) \
+                .reshape(L, three_d)
+
+    out = jax.tree.map(lambda x: x, tparams)      # fresh containers, same leaves
+    qkv = out['attn']['qkv']
+    if 'w' in qkv:
+        qkv['w'] = perm_w(qkv['w'])
+    if 'q' in qkv:
+        qkv['q'] = perm_w(qkv['q'])
+        qkv['scale'] = perm_vec(qkv['scale'])
+    return out
+
+
+def tp_decode_specs(params: Params) -> Params:
+    """``jax.shard_map`` in_specs pytree for the AR decode params under MANUAL
+    tensor parallelism: transformer attn/ffn weights split by the Megatron
+    pairing (qkv/lin1 column-, out/lin2 row-parallel), EVERYTHING else —
+    embeddings, norms, biases of row-parallel layers, the LM head — replicated.
+
+    Differs from the GSPMD rules (``_param_sharding``) on the LM head: inside
+    the TP shard_map every computation outside the transformer must be
+    bit-identical across model ranks (they sample in lockstep with a shared
+    rng), so the head is replicated rather than vocab-sharded.  Assumes
+    ``tp_permute_qkv`` has regrouped the fused qkv columns."""
+    def spec_for(path, leaf):
+        keys = [getattr(k, 'key', getattr(k, 'idx', None)) for k in path]
+        joined = '/'.join(str(k) for k in keys if k is not None)
+        ndim = np.ndim(leaf)
+        if joined.endswith(('qkv/w', 'qkv/q', 'lin1/w', 'lin1/q')):
+            return P(*([None] * (ndim - 1)), 'model')      # column parallel
+        if joined.endswith(('qkv/scale', 'lin1/scale', 'lin1/b')):
+            return P(*([None] * (ndim - 1)), 'model')      # follows the columns
+        if joined.endswith(('out/w', 'out/q', 'lin2/w', 'lin2/q')):
+            return P(*([None] * (ndim - 2)), 'model', None)  # row parallel
+        return P()                                          # replicate
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_divisible(n_heads: int, d_ff: int, mp: int) -> bool:
+    """Whether the manual-TP split is well-formed for ``mp`` model shards:
+    heads and the FFN hidden width must split evenly (odd dims fall back to
+    the GSPMD path, which replicates them instead)."""
+    return mp > 0 and n_heads % mp == 0 and d_ff % mp == 0
+
+
+def tp_shard_map(mesh: Mesh, fn, n_args: int, sharded: tuple[int, ...],
+                 n_out: int, param_specs):
+    """Wrap ``fn(params, *args)`` to run per-shard over a mesh WITH a 'model'
+    axis: params split by ``param_specs`` (tp_decode_specs), ``sharded``
+    argnums split their leading axis over 'data' (when the mesh has one),
+    everything else replicated.  Outputs are 'data'-sharded and assumed
+    replicated over 'model' (model ranks compute in lockstep — psums inside
+    the transformer return them identical values; sampling shares one rng).
+    """
+    has_data = 'data' in mesh.axis_names and mesh.shape.get('data', 1) >= 1
+    data_spec = P('data') if has_data else P()
+    in_specs = (param_specs,) + tuple(
+        data_spec if i in sharded else P() for i in range(1, n_args))
+    out_specs = tuple(data_spec for _ in range(n_out))
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
 def data_shard_map(mesh: Mesh, fn, n_args: int, sharded: tuple[int, ...],
                    n_out: int):
     """Wrap ``fn`` to run per-shard over the 'data' axis (jax.shard_map).
