@@ -125,6 +125,281 @@ class TestTPDecodeOps:
         np.testing.assert_allclose(ys_tp, ys_solo, atol=2e-5, rtol=2e-5)
 
 
+class TestTPFusedKernel:
+    """The fused whole-stack decode kernel under manual TP: per-rank local
+    heads/FFN slice with IN-KERNEL ring all-reduces over the 'model' axis
+    (kernels/fused_decode._ring_allreduce), vs the solo XLA decode step.
+
+    Uses the 1-axis ('model',) mesh: jax's interpret-mode remote-DMA discharge
+    only supports a single named axis in the axis env (see
+    parallel.make_model_mesh) — on real TPUs the 2-axis ('data', 'model')
+    layout lowers fine through Mosaic, with base = axis_index('data') * mp."""
+
+    def _setup(self, seed=0):
+        from valle2_tpu.ops.transformer import KVCache
+        L, rows, h, hd, dff, S = 2, 4, 4, 8, 64, 40
+        d = h * hd
+        ttm, pm = 6, 8
+        p = transformer_init(jax.random.key(seed), L, d, h, dff,
+                             adaptive_norm=False)
+        ks = jax.random.split(jax.random.key(seed + 100), 4)
+        cache = KVCache(jax.random.normal(ks[0], (L, rows, h, S, hd)),
+                        jax.random.normal(ks[1], (L, rows, h, S, hd)))
+        x = jax.random.normal(ks[2], (rows, 1, d))
+        tl = jnp.asarray([6, 4, 5, 6], jnp.int32)
+        plen = jnp.asarray([8, 6, 3, 7], jnp.int32)
+        return p, cache, x, tl, plen, (L, rows, h, hd, dff, S, d, ttm, pm)
+
+    def _want(self, p, cache, x, tl, plen, dims, index):
+        from valle2_tpu.ops.transformer import transformer_decode_step
+        from valle2_tpu.kernels.fused_decode import fused_cache_layout
+        L, rows, h, hd, dff, S, d, ttm, pm = dims
+        slots = jnp.arange(S)[None, :]
+        idx_r = index[:, None] if jnp.ndim(index) == 1 else index
+        attend = ((slots < tl[:, None])
+                  | ((slots >= ttm) & (slots < ttm + plen[:, None]))
+                  | ((slots >= ttm + pm) & (slots <= idx_r)))
+        want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
+                                                     attend_mask=attend)
+        return want_y, fused_cache_layout(want_cache)
+
+    @pytest.mark.parametrize('mp', [2, 4])
+    def test_tp_fused_step_matches_solo(self, mp):
+        from jax.sharding import PartitionSpec as P
+        from valle2_tpu.ops.transformer import KVCache
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_decode_step)
+        from valle2_tpu.parallel import make_model_mesh
+        p, cache, x, tl, plen, dims = self._setup()
+        L_, rows, h, hd, dff, S_, d, ttm, pm = dims
+        index = jnp.int32(ttm + pm + 5)
+        want_y, want_cache = self._want(p, cache, x, tl, plen, dims, index)
+
+        mesh = make_model_mesh(mp)
+        pperm = tp_permute_qkv(p, mp)
+
+        def body(p_sh, ck, cv, x_sh, tl_sh, pl_sh):
+            fc = fused_cache_layout(KVCache(ck, cv))
+            my = jax.lax.axis_index('model')
+            y, nc = fused_decode_step(p_sh, x_sh, h // mp, fc, index,
+                                      tl_sh, pl_sh, ttm, pm,
+                                      tp=(my, jnp.int32(0), mp))
+            return y, nc.k, nc.v
+
+        kv_in = P(None, None, 'model', None, None)     # (L, rows, h, S, hd)
+        kv_out = P(None, None, None, 'model')          # fused (L, rows, S, d_att)
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(tp_decode_specs(pperm), kv_in, kv_in,
+                                     P(), P(), P()),
+                           out_specs=(P(), kv_out, kv_out),
+                           check_vma=False)
+        got_y, got_k, got_v = jax.jit(fn)(pperm, cache.k, cache.v, x, tl, plen)
+        np.testing.assert_allclose(got_y, want_y, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got_k, want_cache.k, atol=1e-5)
+        np.testing.assert_allclose(got_v, want_cache.v, atol=1e-5)
+
+    def test_tp_fused_step_per_row_index_int8_cache(self):
+        """Per-row indices (continuous batching) + int8 KV cache compose with
+        the TP kernel: quantization is head-local, so rank slices don't change
+        rounding; the deepest row still drives the chunk-skip clamp."""
+        from jax.sharding import PartitionSpec as P
+        from valle2_tpu.ops.transformer import KVCache, quantize_kv
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_decode_step)
+        from valle2_tpu.parallel import make_model_mesh
+        p, cache, x, tl, plen, dims = self._setup(seed=11)
+        L_, rows, h, hd, dff, S_, d, ttm, pm = dims
+        qk, sk = quantize_kv(cache.k)
+        qv, sv = quantize_kv(cache.v)
+        cache = KVCache(qk, qv, sk, sv)
+        index = jnp.asarray([ttm + pm + 5, ttm + pm + 2, ttm + pm + 7,
+                             ttm + pm + 4], jnp.int32)
+        want_y, want_cache = self._want(p, cache, x, tl, plen, dims, index)
+
+        mp = 2
+        mesh = make_model_mesh(mp)
+        pperm = tp_permute_qkv(p, mp)
+
+        def body(p_sh, ck, cv, cks, cvs, x_sh, tl_sh, pl_sh, idx_sh):
+            fc = fused_cache_layout(KVCache(ck, cv, cks, cvs))
+            my = jax.lax.axis_index('model')
+            y, nc = fused_decode_step(p_sh, x_sh, h // mp, fc, idx_sh,
+                                      tl_sh, pl_sh, ttm, pm,
+                                      tp=(my, jnp.int32(0), mp))
+            return y, nc.k, nc.v, nc.k_scale, nc.v_scale
+
+        kv_in = P(None, None, 'model', None, None)
+        kv_out = P(None, None, None, 'model')
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(tp_decode_specs(pperm), kv_in, kv_in, kv_in, kv_in,
+                      P(), P(), P(), P()),
+            out_specs=(P(), kv_out, kv_out, kv_out, kv_out),
+            check_vma=False)
+        got = jax.jit(fn)(pperm, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                          x, tl, plen, index)
+        got_y, got_k, got_v, got_ks, got_vs = got
+        np.testing.assert_allclose(got_y, want_y, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_cache.k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_cache.v))
+        np.testing.assert_allclose(got_ks, want_cache.k_scale, atol=1e-6)
+        np.testing.assert_allclose(got_vs, want_cache.v_scale, atol=1e-6)
+
+
+class TestTPFusedVerify:
+    """The fused q-block verify kernel (speculative decoding) under manual TP
+    — same ring all-reduce mechanics as the decode kernel, q_blk query rows."""
+
+    def test_tp_verify_matches_xla_block_step(self):
+        from jax.sharding import PartitionSpec as P
+        from valle2_tpu.ops.transformer import KVCache, transformer_decode_step
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_verify_step)
+        from valle2_tpu.parallel import make_model_mesh
+        L, rows, h, hd, dff, S, K = 2, 3, 4, 8, 64, 48, 3
+        d = h * hd
+        ttm, pm = 6, 8
+        p = transformer_init(jax.random.key(20), L, d, h, dff,
+                             adaptive_norm=False)
+        ks = jax.random.split(jax.random.key(21), 3)
+        cache = KVCache(jax.random.normal(ks[0], (L, rows, h, S, hd)),
+                        jax.random.normal(ks[1], (L, rows, h, S, hd)))
+        x = jax.random.normal(ks[2], (rows, K, d))
+        tl = jnp.asarray([6, 4, 5], jnp.int32)
+        plen = jnp.asarray([8, 6, 3], jnp.int32)
+        index = jnp.asarray([ttm + pm + 5, ttm + pm + 2, ttm + pm + 9],
+                            jnp.int32)
+
+        slots = jnp.arange(S)[None, None, :]
+        qi = jnp.arange(K)[None, :, None]
+        attend = ((slots < tl[:, None, None])
+                  | ((slots >= ttm) & (slots < ttm + plen[:, None, None]))
+                  | ((slots >= ttm + pm) & (slots <= index[:, None, None] + qi)))
+        want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
+                                                     attend_mask=attend)
+        want_cache = fused_cache_layout(want_cache)
+
+        mp = 2
+        mesh = make_model_mesh(mp)
+        pperm = tp_permute_qkv(p, mp)
+
+        def body(p_sh, ck, cv, x_sh, tl_sh, pl_sh, idx_sh):
+            fc = fused_cache_layout(KVCache(ck, cv))
+            my = jax.lax.axis_index('model')
+            y, nc = fused_verify_step(p_sh, x_sh, h // mp, fc, idx_sh,
+                                      tl_sh, pl_sh, ttm, pm,
+                                      tp=(my, jnp.int32(0), mp))
+            return y, nc.k, nc.v
+
+        kv_in = P(None, None, 'model', None, None)
+        kv_out = P(None, None, None, 'model')
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(tp_decode_specs(pperm), kv_in, kv_in,
+                                     P(), P(), P(), P()),
+                           out_specs=(P(), kv_out, kv_out),
+                           check_vma=False)
+        got_y, got_k, got_v = jax.jit(fn)(pperm, cache.k, cache.v, x, tl,
+                                          plen, index)
+        np.testing.assert_allclose(got_y, want_y, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got_k, want_cache.k, atol=1e-5)
+        np.testing.assert_allclose(got_v, want_cache.v, atol=1e-5)
+
+
+def _ar_cfg(**kw):
+    from valle2_tpu.config import ConfigValle
+    base = dict(d_model=48, n_heads=2, dim_feedforward=96, num_layers=2,
+                num_audio_tokens=96, vocab_size=24, dropout=0.0,
+                temperature=0.0, num_beams=2, max_audio_len=16,
+                norm='LayerNorm', bucket_sizes=(16, 32),
+                matmul_precision='highest')
+    base.update(kw)
+    return ConfigValle(**base)
+
+
+class TestValleARManualTP:
+    """End-to-end ValleAR decode through the manual-TP shard_map (models/ar.py
+    wires it whenever the mesh has a divisible 'model' axis > 1)."""
+
+    def test_xla_tp_path_matches_solo(self):
+        """2x2 mesh, XLA psum path (the fused gate is off on CPU 'auto'):
+        greedy per-item tokens equal the unmeshed solo decode."""
+        from valle2_tpu.models.ar import ValleAR
+        c = _ar_cfg()
+        mesh = make_mesh(data=2, model=2)
+        solo = ValleAR(c)
+        meshed = ValleAR(c, params=solo.params, mesh=mesh)
+        assert meshed._decode_tp == (('data', 'model'), 2)
+        rs = np.random.RandomState(3)
+        items = [(rs.randint(0, 24, (4 + i,)), rs.randint(0, 96, (3 + i, 8)))
+                 for i in range(3)]
+        batched = meshed.generate_batch([t for t, _ in items],
+                                        [pc for _, pc in items], bucket=False)
+        for (t, pc), got in zip(items, batched):
+            want = solo.generate(jnp.asarray(t), jnp.asarray(pc), bucket=False)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_fused_tp_decode_matches_solo(self):
+        """Model-only mesh, fused kernel FORCED: the whole decode loop runs
+        the TP Pallas kernel (interpret mode) with in-kernel ring all-reduces
+        — tokens equal the solo fused decode."""
+        from valle2_tpu.models.ar import ValleAR
+        from valle2_tpu.parallel import make_model_mesh
+        c = _ar_cfg(use_fused_decode=True, matmul_precision='default',
+                    kv_cache_dtype='float32', dtype='float32')
+        mesh = make_model_mesh(2)
+        solo = ValleAR(c)
+        meshed = ValleAR(c, params=solo.params, mesh=mesh)
+        assert meshed._decode_tp == (('model',), 2)
+        rs = np.random.RandomState(5)
+        items = [(rs.randint(0, 24, (4,)), rs.randint(0, 96, (3, 8))),
+                 (rs.randint(0, 24, (6,)), rs.randint(0, 96, (5, 8)))]
+        batched = meshed.generate_batch([t for t, _ in items],
+                                        [pc for _, pc in items])
+        for (t, pc), got in zip(items, batched):
+            want = solo.generate(jnp.asarray(t), jnp.asarray(pc))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_fused_tp_speculative_matches_solo(self):
+        """Speculative decoding under TP: the fused q-block verify kernel runs
+        per-rank with ring all-reduces; greedy committed tokens stay
+        bit-identical to the solo speculative decode."""
+        from valle2_tpu.models.ar import ValleAR
+        from valle2_tpu.parallel import make_model_mesh
+        c = _ar_cfg(use_fused_decode=True, matmul_precision='default',
+                    kv_cache_dtype='float32', dtype='float32', num_beams=1,
+                    speculative_k=3)
+        mesh = make_model_mesh(2)
+        solo = ValleAR(c)
+        meshed = ValleAR(c, params=solo.params, mesh=mesh)
+        rs = np.random.RandomState(6)
+        items = [(rs.randint(0, 24, (5,)), rs.randint(0, 96, (4, 8)))]
+        got = meshed.generate_batch([items[0][0]], [items[0][1]])[0]
+        want = solo.generate(jnp.asarray(items[0][0]), jnp.asarray(items[0][1]))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_int8_weights_tp_falls_back_to_xla_path(self):
+        """int8 weights + TP: the fused gate declines (global activation
+        scales) but the manual-TP XLA path runs them EXACTLY (integer psum) —
+        tokens equal solo int8."""
+        from valle2_tpu.models.ar import ValleAR, _fused_gate
+        c = _ar_cfg(weight_dtype='int8', use_fused_decode=True)
+        assert not _fused_gate(c, rows=2, total_max=64, tp_mp=2)
+        assert _fused_gate(c, rows=2, total_max=64)    # solo keeps the kernel
+        mesh = make_mesh(data=1, model=2)
+        solo = ValleAR(c, seed=2)
+        # Solo must ALSO take the XLA path for an apples-to-apples token
+        # comparison (the fused int8 kernel rounds differently).
+        import dataclasses
+        solo = ValleAR(dataclasses.replace(c, use_fused_decode=False),
+                       params=solo.params)
+        meshed = ValleAR(c, params=solo.params, mesh=mesh)
+        rs = np.random.RandomState(7)
+        t, pc = rs.randint(0, 24, (5,)), rs.randint(0, 96, (4, 8))
+        got = meshed.generate_batch([t], [pc], bucket=False)[0]
+        want = solo.generate(jnp.asarray(t), jnp.asarray(pc), bucket=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestTPHelpers:
     def test_tp_divisible(self):
         assert tp_divisible(16, 4096, 4)

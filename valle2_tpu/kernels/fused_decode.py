@@ -334,17 +334,22 @@ def _layer_io(p, cache, const_spec, layer_spec, cache_spec, h: int,
     wkey = 'q' if quant_w else 'w'
     qkv_w, out_w = p['attn']['qkv'][wkey], p['attn']['out'][wkey]
     f1_w, f2_w = p['ffn']['lin1'][wkey], p['ffn']['lin2'][wkey]
+    # Widths from the actual weights: under manual TP the attention width
+    # (this rank's head slice = cache width) and the FFN hidden width are the
+    # LOCAL 1/mp slices while the hidden-state width d stays full.
     d = out_w.shape[-1]
+    d_qkv = qkv_w.shape[-1]                           # 3 * d_att
+    d_att = d_qkv // 3
     dff = f1_w.shape[-1]
     in_specs = [
         const_spec,                                   # x
         layer_spec(1, d), layer_spec(1, d),           # norm1 scale/bias
-        layer_spec(d, 3 * d),                         # qkv w
-        layer_spec(d, d), layer_spec(1, d),           # out w, b
+        layer_spec(d, d_qkv),                         # qkv w
+        layer_spec(d_att, d), layer_spec(1, d),       # out w, b
         layer_spec(1, d), layer_spec(1, d),           # norm2 scale/bias
         layer_spec(d, dff), layer_spec(1, dff),       # ffn1 w, b
         layer_spec(dff, d), layer_spec(1, d),         # ffn2 w, b
-        cache_spec(d), cache_spec(d),                 # cache k, v
+        cache_spec(d_att), cache_spec(d_att),         # cache k, v
     ]
     inputs = [p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
               qkv_w,
@@ -354,7 +359,7 @@ def _layer_io(p, cache, const_spec, layer_spec, cache_spec, h: int,
               f2_w, p['ffn']['lin2']['b'][:, None],
               cache.k, cache.v]
     if quant_w:
-        in_specs += [layer_spec(1, 3 * d), layer_spec(1, d),
+        in_specs += [layer_spec(1, d_qkv), layer_spec(1, d),
                      layer_spec(1, dff), layer_spec(1, d)]
         inputs += [p['attn']['qkv']['scale'][:, None],
                    p['attn']['out']['scale'][:, None],
@@ -396,9 +401,9 @@ def _write_rows_per_slot(buf, new, index):
 def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
             n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref, ck_ref, cv_ref,
             *rest, n_heads: int, ttm: int, pm: int, rows: int, seq: int,
-            chunk: int, quant: bool, quant_w: bool, per_row: bool):
+            chunk: int, quant: bool, quant_w: bool, per_row: bool, mp: int = 1):
     wscales, cks_ref, cvs_ref, rest = _unpack_rest(rest, quant, quant_w)
-    y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest
+    y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest[:7]
     l = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = seq // chunk
@@ -407,14 +412,30 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
     idx = meta_ref[0]
     maxc = idx // chunk
 
-    d = x_ref.shape[-1]
-    hd = d // n_heads
+    # Manual TP (mp > 1): the trailing scratch is the ring-all-reduce comm set
+    # and meta carries [model rank, linear id of model-rank 0 in this data row]
+    # after the per-row fields (fused_decode_step appends them).
+    if mp > 1:
+        outbox, comm, s0s, s0r, s1s, s1r = rest[7:]
+        tp_off = 1 + (3 if per_row else 2) * rows
+        my, base = meta_ref[tp_off], meta_ref[tp_off + 1]
+
+        def allreduce(partial, par):
+            send, recv = ((s0s, s0r), (s1s, s1r))[par]
+            return _ring_allreduce(partial, my, base, mp, outbox, comm,
+                                   send, recv, par)
+    else:
+        allreduce = None
+
+    d = x_ref.shape[-1]                  # d_model: hidden state stays FULL width
+    d_att = knew_ref.shape[-1]           # this rank's head slice (== d unless TP)
+    hd = d_att // n_heads
     scale = 1.0 / math.sqrt(hd)
     # head_mask[i, j] = (feature j belongs to head i) — builds the block-diagonal
     # q and extracts the per-head diagonal blocks of the PV cross product.
-    head_of = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 1) // hd
-    head_id = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 0)
-    head_mask = (head_of == head_id).astype(jnp.float32)             # (h, d)
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_att), 1) // hd
+    head_id = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_att), 0)
+    head_mask = (head_of == head_id).astype(jnp.float32)             # (h, d_att)
 
     @pl.when((l == 0) & (c == 0))
     def _seed():
@@ -425,10 +446,10 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
     @pl.when(c == 0)
     def _project():
         qkv = _project_qkv(y_ref, x_ref.dtype, n1s_ref, n1b_ref, qkv_ref,
-                           wscales[0] if quant_w else None)  # (rows, 3d)
-        q_s[...] = qkv[:, :d] * scale
-        knew_ref[0] = qkv[:, d:2 * d].astype(knew_ref.dtype)
-        vnew_ref[0] = qkv[:, 2 * d:].astype(vnew_ref.dtype)
+                           wscales[0] if quant_w else None)  # (rows, 3*d_att)
+        q_s[...] = qkv[:, :d_att] * scale
+        knew_ref[0] = qkv[:, d_att:2 * d_att].astype(knew_ref.dtype)
+        vnew_ref[0] = qkv[:, 2 * d_att:].astype(vnew_ref.dtype)
         acc_s[...] = jnp.zeros_like(acc_s)
         for r in range(rows):
             for hh in range(n_heads):
@@ -510,14 +531,15 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
                  for hh in range(n_heads)], axis=0)          # (h, 1)
             inv_vec = jnp.sum(inv * head_mask, axis=0, keepdims=True)   # (1, d)
             rows_out.append(acc_s[r:r + 1, :] * inv_vec)
-        attn = jnp.concatenate(rows_out, axis=0)             # (rows, d)
+        attn = jnp.concatenate(rows_out, axis=0)             # (rows, d_att)
         _ffn_epilogue(y_ref, x_ref.dtype, attn, outw_ref, outb_ref, n2s_ref,
                       n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
-                      wscales[1:] if quant_w else None)
+                      wscales[1:] if quant_w else None, allreduce=allreduce)
 
 
 def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
-                      ttm: int, pm: int, chunk_override: int | None = None):
+                      ttm: int, pm: int, chunk_override: int | None = None,
+                      tp: tuple | None = None):
     """One token step through the whole stacked-layer transformer as one kernel.
 
     p: stacked layer pytree (L, ...) (see ops.transformer.transformer_init);
@@ -529,17 +551,29 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     row, shallower rows' extra slots are masked by the attend formula);
     tokens_lens/codes_lens: (rows,) per-row true lengths (already repeated per
     beam); ttm/pm: static layout widths.
+    ``tp``: manual tensor parallelism inside a jax.shard_map —
+    ``(my_rank, base_device_id, mp)`` with mp static: ``p``/``cache`` hold this
+    rank's Megatron split (n_heads = LOCAL heads, cache width d_att = d/mp,
+    ffn width dff/mp) while x stays full width; the two row-parallel partials
+    per layer all-reduce over the 'model' ring IN-KERNEL (``_ring_allreduce``).
+    Requires dense (bf16/f32) weights — the int8-weight path's dynamic
+    activation scale would need a second collective per dot (models/ar.py
+    falls back to the XLA TP path for int8 weights).
     Returns (y (rows, 1, d), new_cache) — matches transformer_decode_step under
     the same mask (modulo the layout transform).
     """
     from ..ops.transformer import KVCache
 
-    num_layers, rows, seq, d = cache.k.shape
+    num_layers, rows, seq, d_att = cache.k.shape
+    d = x.shape[-1]
     h = n_heads
     quant = cache.k_scale is not None
     quant_w = 'q' in p['attn']['qkv']      # int8 weights (quantize.py layout)
     per_row = jnp.ndim(index) == 1
-    chunk = chunk_for(seq, rows, d, n_heads, cache.k.dtype,
+    mp = tp[2] if tp is not None else 1
+    assert not (mp > 1 and quant_w), \
+        'TP fused decode requires dense weights (int8 activation scales are global)'
+    chunk = chunk_for(seq, rows, d_att, n_heads, cache.k.dtype,
                       forced=chunk_override)
     if seq % chunk:
         # Falling back to whole-S here would re-create the Mosaic VMEM OOM
@@ -555,11 +589,14 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
                   jnp.asarray(codes_lens, jnp.int32).reshape(rows)]
     if per_row:
         meta_parts.append(index.reshape(rows))
+    if mp > 1:
+        meta_parts.append(jnp.stack([jnp.asarray(tp[0], jnp.int32),
+                                     jnp.asarray(tp[1], jnp.int32)]))
     meta = jnp.concatenate(meta_parts)
 
     kernel = functools.partial(_kernel, n_heads=n_heads, ttm=ttm, pm=pm,
                                rows=rows, seq=seq, chunk=chunk, quant=quant,
-                               quant_w=quant_w, per_row=per_row)
+                               quant_w=quant_w, per_row=per_row, mp=mp)
     interpret = jax.default_backend() != 'tpu'
     layer_spec = lambda *shape: pl.BlockSpec(
         (1, *shape), lambda l, c, meta: (l,) + (0,) * len(shape))
@@ -574,8 +611,29 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
                                           cache_spec, h, quant, quant_w)
     inputs = [meta, x2] + inputs
     new_dtype = x.dtype if quant else cache.k.dtype
-    vmem_limit = _vmem_budget(weights, num_layers, rows, chunk, d, h,
-                              cache.k.dtype, quant, resident_rows=rows)
+    scratch = [
+        pltpu.VMEM((rows, d_att), jnp.float32),           # q (pre-scaled)
+        pltpu.VMEM((rows, d_att), jnp.float32),           # attention accum
+        pltpu.SMEM((rows, h), jnp.float32),               # running max
+        pltpu.SMEM((rows, h), jnp.float32),               # running denom
+    ]
+    comm_bytes = 0
+    if mp > 1:
+        scratch += [
+            pltpu.VMEM((rows, d), jnp.float32),           # all-reduce outbox
+            pltpu.VMEM((2, mp, rows, d), jnp.float32),    # per-source-rank slots
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+        ]
+        comm_bytes = (2 * mp + 1) * rows * d * 4
+    vmem_limit = _vmem_budget(weights, num_layers, rows, chunk, d_att, h,
+                              cache.k.dtype, quant, resident_rows=rows) \
+        + comm_bytes
+    if mp > 1:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit, has_side_effects=True, collective_id=1)
+    else:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
 
     y, k_new, v_new = pl.pallas_call(
         kernel,
@@ -585,22 +643,17 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
             in_specs=in_specs,
             out_specs=(
                 const_spec,                                   # y (VMEM-resident)
-                pl.BlockSpec((1, rows, d), lambda l, c, meta: (l, 0, 0)),  # k_new
-                pl.BlockSpec((1, rows, d), lambda l, c, meta: (l, 0, 0)),  # v_new
+                pl.BlockSpec((1, rows, d_att), lambda l, c, meta: (l, 0, 0)),
+                pl.BlockSpec((1, rows, d_att), lambda l, c, meta: (l, 0, 0)),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((rows, d), jnp.float32),           # q (pre-scaled)
-                pltpu.VMEM((rows, d), jnp.float32),           # attention accum
-                pltpu.SMEM((rows, h), jnp.float32),           # running max
-                pltpu.SMEM((rows, h), jnp.float32),           # running denom
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows, d), x.dtype),
-            jax.ShapeDtypeStruct((num_layers, rows, d), new_dtype),
-            jax.ShapeDtypeStruct((num_layers, rows, d), new_dtype),
+            jax.ShapeDtypeStruct((num_layers, rows, d_att), new_dtype),
+            jax.ShapeDtypeStruct((num_layers, rows, d_att), new_dtype),
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*inputs)
 
@@ -632,7 +685,7 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
                    outb_ref, n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref,
                    f2b_ref, ck_ref, cv_ref, *rest, n_heads: int, ttm: int,
                    pm: int, rows: int, seq: int, chunk: int, q_blk: int,
-                   quant: bool, quant_w: bool):
+                   quant: bool, quant_w: bool, mp: int = 1):
     """The whole L-layer K-token verify block as one kernel.
 
     Differences from ``_kernel`` (the single-token step):
@@ -650,15 +703,30 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
       the new rows, exactly what the next turn reads back.
     """
     wscales, cks_ref, cvs_ref, rest = _unpack_rest(rest, quant, quant_w)
-    y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest
+    y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest[:7]
     l = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = seq // chunk
     idx_max = meta_ref[0]
     maxc = idx_max // chunk          # cache reads stop at the deepest prefix
 
-    d = x_ref.shape[-1]
-    hd = d // n_heads
+    # Manual TP: comm scratch + [rank, base] meta exactly as in ``_kernel``
+    # (the verify meta always carries per-row indices, so tp sits at 1 + 3r).
+    if mp > 1:
+        outbox, comm, s0s, s0r, s1s, s1r = rest[7:]
+        tp_off = 1 + 3 * rows
+        my, base = meta_ref[tp_off], meta_ref[tp_off + 1]
+
+        def allreduce(partial, par):
+            send, recv = ((s0s, s0r), (s1s, s1r))[par]
+            return _ring_allreduce(partial, my, base, mp, outbox, comm,
+                                   send, recv, par)
+    else:
+        allreduce = None
+
+    d = x_ref.shape[-1]                  # d_model: hidden state stays FULL width
+    d_att = knew_ref.shape[-1]           # this rank's head slice (== d unless TP)
+    hd = d_att // n_heads
     kh = q_blk * n_heads
     scale = 1.0 / math.sqrt(hd)
     # Per-score-row (query i, head hh) helper masks; qi = i for row i*h + hh.
@@ -669,12 +737,12 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
            == jax.lax.broadcasted_iota(jnp.int32, (kh, q_blk), 1)) \
         .astype(jnp.float32)
     # mask_K[(i*h + hh), f] = (feature f belongs to head hh).
-    mask_k = (jax.lax.broadcasted_iota(jnp.int32, (kh, d), 0) % n_heads
-              == jax.lax.broadcasted_iota(jnp.int32, (kh, d), 1) // hd) \
+    mask_k = (jax.lax.broadcasted_iota(jnp.int32, (kh, d_att), 0) % n_heads
+              == jax.lax.broadcasted_iota(jnp.int32, (kh, d_att), 1) // hd) \
         .astype(jnp.float32)
     # head_mask[(hh), f] — int8 cache scale broadcast, as in ``_kernel``.
-    head_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 0)
-                 == jax.lax.broadcasted_iota(jnp.int32, (n_heads, d), 1) // hd) \
+    head_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_att), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_att), 1) // hd) \
         .astype(jnp.float32)
 
     @pl.when((l == 0) & (c == 0))
@@ -684,10 +752,10 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
     @pl.when(c == 0)
     def _project():
         qkv = _project_qkv(y_ref, x_ref.dtype, n1s_ref, n1b_ref, qkv_ref,
-                           wscales[0] if quant_w else None)  # (rows*K, 3d)
-        q_s[...] = qkv[:, :d] * scale
-        knew_ref[0] = qkv[:, d:2 * d].astype(knew_ref.dtype)
-        vnew_ref[0] = qkv[:, 2 * d:].astype(vnew_ref.dtype)
+                           wscales[0] if quant_w else None)  # (rows*K, 3*d_att)
+        q_s[...] = qkv[:, :d_att] * scale
+        knew_ref[0] = qkv[:, d_att:2 * d_att].astype(knew_ref.dtype)
+        vnew_ref[0] = qkv[:, 2 * d_att:].astype(vnew_ref.dtype)
         acc_s[...] = jnp.zeros_like(acc_s)
         m_s[...] = jnp.full_like(m_s, NEG_INF)
         l_s[...] = jnp.zeros_like(l_s)
@@ -778,15 +846,16 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
             inv_mat = jax.lax.dot_general(sel, inv * mask_k, contract_rows,
                                           preferred_element_type=jnp.float32)
             rows_out.append(acc_s[r * q_blk:(r + 1) * q_blk, :] * inv_mat)
-        attn = jnp.concatenate(rows_out, axis=0)             # (rows*K, d)
+        attn = jnp.concatenate(rows_out, axis=0)             # (rows*K, d_att)
         _ffn_epilogue(y_ref, x_ref.dtype, attn, outw_ref, outb_ref, n2s_ref,
                       n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
-                      wscales[1:] if quant_w else None)
+                      wscales[1:] if quant_w else None, allreduce=allreduce)
 
 
 def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
                       codes_lens, ttm: int, pm: int,
-                      chunk_override: int | None = None):
+                      chunk_override: int | None = None,
+                      tp: tuple | None = None):
     """One K-token verify block through the whole stacked-layer transformer as
     one kernel — the speculative-decoding twin of ``fused_decode_step``.
 
@@ -807,13 +876,17 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
     """
     from ..ops.transformer import KVCache
 
-    num_layers, rows, seq, d = cache.k.shape
+    num_layers, rows, seq, d_att = cache.k.shape
+    d = x.shape[-1]
     h = n_heads
     _, q_blk, _ = x.shape
     rk = rows * q_blk
     quant = cache.k_scale is not None
     quant_w = 'q' in p['attn']['qkv']
-    chunk = chunk_for(seq, rows, d, n_heads, cache.k.dtype,
+    mp = tp[2] if tp is not None else 1
+    assert not (mp > 1 and quant_w), \
+        'TP fused verify requires dense weights (int8 activation scales are global)'
+    chunk = chunk_for(seq, rows, d_att, n_heads, cache.k.dtype,
                       forced=chunk_override)
     if seq % chunk:
         raise ValueError(
@@ -822,14 +895,18 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
     n_chunks = seq // chunk
     x2 = x.reshape(rk, d)
     index = jnp.broadcast_to(jnp.asarray(index, jnp.int32), (rows,))
-    meta = jnp.concatenate([jnp.max(index).reshape(1),
-                            jnp.asarray(tokens_lens, jnp.int32).reshape(rows),
-                            jnp.asarray(codes_lens, jnp.int32).reshape(rows),
-                            index])
+    meta_parts = [jnp.max(index).reshape(1),
+                  jnp.asarray(tokens_lens, jnp.int32).reshape(rows),
+                  jnp.asarray(codes_lens, jnp.int32).reshape(rows),
+                  index]
+    if mp > 1:
+        meta_parts.append(jnp.stack([jnp.asarray(tp[0], jnp.int32),
+                                     jnp.asarray(tp[1], jnp.int32)]))
+    meta = jnp.concatenate(meta_parts)
 
     kernel = functools.partial(_verify_kernel, n_heads=n_heads, ttm=ttm, pm=pm,
                                rows=rows, seq=seq, chunk=chunk, q_blk=q_blk,
-                               quant=quant, quant_w=quant_w)
+                               quant=quant, quant_w=quant_w, mp=mp)
     interpret = jax.default_backend() != 'tpu'
     layer_spec = lambda *shape: pl.BlockSpec(
         (1, *shape), lambda l, c, meta: (l,) + (0,) * len(shape))
@@ -842,8 +919,29 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
                                           cache_spec, h, quant, quant_w)
     inputs = [meta, x2] + inputs
     new_dtype = x.dtype if quant else cache.k.dtype
-    vmem_limit = _vmem_budget(weights, num_layers, rows, chunk, d, h,
-                              cache.k.dtype, quant, resident_rows=rk)
+    scratch = [
+        pltpu.VMEM((rk, d_att), jnp.float32),             # q (pre-scaled)
+        pltpu.VMEM((rk, d_att), jnp.float32),             # attention accum
+        pltpu.VMEM((rows * q_blk * h, 1), jnp.float32),   # running max
+        pltpu.VMEM((rows * q_blk * h, 1), jnp.float32),   # running denom
+    ]
+    comm_bytes = 0
+    if mp > 1:
+        scratch += [
+            pltpu.VMEM((rk, d), jnp.float32),             # all-reduce outbox
+            pltpu.VMEM((2, mp, rk, d), jnp.float32),      # per-source-rank slots
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+        ]
+        comm_bytes = (2 * mp + 1) * rk * d * 4
+    vmem_limit = _vmem_budget(weights, num_layers, rows, chunk, d_att, h,
+                              cache.k.dtype, quant, resident_rows=rk) \
+        + comm_bytes
+    if mp > 1:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit, has_side_effects=True, collective_id=2)
+    else:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
 
     y, k_new, v_new = pl.pallas_call(
         kernel,
@@ -853,27 +951,22 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
             in_specs=in_specs,
             out_specs=(
                 const_spec,
-                pl.BlockSpec((1, rk, d), lambda l, c, meta: (l, 0, 0)),
-                pl.BlockSpec((1, rk, d), lambda l, c, meta: (l, 0, 0)),
+                pl.BlockSpec((1, rk, d_att), lambda l, c, meta: (l, 0, 0)),
+                pl.BlockSpec((1, rk, d_att), lambda l, c, meta: (l, 0, 0)),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((rk, d), jnp.float32),             # q (pre-scaled)
-                pltpu.VMEM((rk, d), jnp.float32),             # attention accum
-                pltpu.VMEM((rows * q_blk * h, 1), jnp.float32),  # running max
-                pltpu.VMEM((rows * q_blk * h, 1), jnp.float32),  # running denom
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rk, d), x.dtype),
-            jax.ShapeDtypeStruct((num_layers, rk, d), new_dtype),
-            jax.ShapeDtypeStruct((num_layers, rk, d), new_dtype),
+            jax.ShapeDtypeStruct((num_layers, rk, d_att), new_dtype),
+            jax.ShapeDtypeStruct((num_layers, rk, d_att), new_dtype),
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*inputs)
 
-    k_new = k_new.reshape(num_layers, rows, q_blk, d)
-    v_new = v_new.reshape(num_layers, rows, q_blk, d)
+    k_new = k_new.reshape(num_layers, rows, q_blk, d_att)
+    v_new = v_new.reshape(num_layers, rows, q_blk, d_att)
 
     def write(buf, new):
         return _write_rows_per_slot(buf, new, index)

@@ -40,6 +40,21 @@ def make_mesh(data: int | None = None, model: int = 1,
     return Mesh(dev, ('data', 'model'))
 
 
+def make_model_mesh(model: int, devices=None) -> Mesh:
+    """A 1-axis ('model',) mesh for pure tensor-parallel serving.
+
+    Why a separate shape: the TP fused-decode kernel's in-kernel ring RDMA can
+    only be INTERPRET-validated (CPU tests, dryrun) under a shard_map whose
+    axis env has a single named axis — jax's dma_start discharge rule rejects
+    multi-axis envs (jax/_src/pallas/mosaic/primitives.py).  On real TPUs the
+    Mosaic lowering takes 2-axis ('data', 'model') meshes too; the helpers
+    here treat a missing 'data' axis as data=1."""
+    devices = devices if devices is not None else jax.devices()
+    assert model <= len(devices), \
+        f'model mesh size {model} needs {model} devices, have {len(devices)}'
+    return Mesh(np.asarray(devices[:model]), ('model',))
+
+
 def batch_sharding(mesh: Mesh, batch: Any) -> Any:
     """Shard every batch leaf's leading axis over 'data'."""
     def spec(x):
