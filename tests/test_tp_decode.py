@@ -400,6 +400,59 @@ class TestValleARManualTP:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+class TestTTSManualTP:
+    """The fused TTS pipeline (AR while_loop → NAR 7-stage scan → codec
+    decode) as ONE shard_map under manual TP — AR and NAR both Megatron-split
+    per model rank, codec replicated."""
+
+    def _cfg(self, **kw):
+        return _ar_cfg(num_beams=1, max_audio_len=12, num_quantizers=8, **kw)
+
+    def test_fused_pipeline_tp_matches_solo(self):
+        from valle2_tpu.models.ar import ValleAR
+        from valle2_tpu.parallel import make_model_mesh
+        from valle2_tpu.tts import ValleTTS
+        c = self._cfg(use_fused_decode=True, matmul_precision='default',
+                      kv_cache_dtype='float32', dtype='float32')
+        mesh = make_model_mesh(2)
+        plain = ValleTTS(c)
+        meshed = ValleTTS(c, ar=ValleAR(c, params=plain.ar.params),
+                          nar=plain.nar, codec=plain.codec, mesh=mesh)
+        assert meshed._pipe_tp == (('model',), 2)
+        rs = np.random.RandomState(9)
+        reqs = [('hello there.', rs.randint(0, 24, (3,)),
+                 rs.randint(0, 96, (4, 8))) for _ in range(2)]
+        got = meshed.batch_synthesize([r[0] for r in reqs],
+                                      [r[1] for r in reqs],
+                                      [r[2] for r in reqs])
+        for (text, pt, pc), g in zip(reqs, got):
+            want = plain.synthesize_fused(text, pt, pc)
+            np.testing.assert_array_equal(g.codes, want.codes)
+            np.testing.assert_allclose(g.waveform, want.waveform, atol=2e-5)
+
+    def test_xla_pipeline_tp_matches_solo(self):
+        """2x2 (data x model) mesh, XLA psum path (fused gate off on CPU):
+        per-item codes equal the unmeshed fused pipeline."""
+        from valle2_tpu.models.ar import ValleAR
+        from valle2_tpu.tts import ValleTTS
+        c = self._cfg()
+        mesh = make_mesh(data=2, model=2)
+        plain = ValleTTS(c)
+        meshed = ValleTTS(c, ar=ValleAR(c, params=plain.ar.params),
+                          nar=plain.nar, codec=plain.codec, mesh=mesh)
+        assert meshed._pipe_tp == (('data', 'model'), 2)
+        rs = np.random.RandomState(10)
+        reqs = [(f'word {i}.', rs.randint(0, 24, (3,)),
+                 rs.randint(0, 96, (4, 8))) for i in range(3)]
+        got = meshed.batch_synthesize([r[0] for r in reqs],
+                                      [r[1] for r in reqs],
+                                      [r[2] for r in reqs])
+        for (text, pt, pc), g in zip(reqs, got):
+            want = plain.synthesize_fused(text, pt, pc)
+            np.testing.assert_array_equal(g.codes, want.codes)
+            np.testing.assert_allclose(g.waveform, want.waveform, atol=2e-5)
+
+
 class TestTPHelpers:
     def test_tp_divisible(self):
         assert tp_divisible(16, 4096, 4)

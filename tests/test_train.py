@@ -438,6 +438,159 @@ class TestShardedCheckpoint:
         assert mean is not None and np.isfinite(mean)
 
 
+class TestFlashUnderMesh:
+    """Multi-device train/eval with use_flash_attention=True: GSPMD cannot
+    partition a Mosaic kernel, so make_train_step threads the mesh into the
+    loss and mha shard_maps the flash call (ops.attention.flash_shard_mesh).
+    These pin that the shard_mapped kernel computes the single-device math,
+    and that non-divisible shapes fall back to the bias path instead of
+    raising at lowering."""
+
+    @staticmethod
+    def _batch(seed, b):
+        rs = np.random.RandomState(seed)
+        return {
+            'tokens': jnp.asarray(rs.randint(0, 255, (b, 6))),
+            'tokens_lens': jnp.asarray([6, 4] * (b // 2)),
+            'codes': jnp.asarray(rs.randint(0, 1024, (b, 10))),
+            'codes_lens': jnp.asarray([10, 7] * (b // 2)),
+            'target': jnp.asarray(rs.randint(0, 1024, (b, 10))),
+        }
+
+    def test_flash_train_step_on_tp_mesh_matches_single(self):
+        """4x2 (dp x tp) flash train step == single-device flash step — batch
+        rows shard over 'data', heads over 'model', per-shard kernels exact."""
+        from valle2_tpu.parallel import make_mesh, shard_batch, shard_params
+        cfg = tiny_cfg(batch_size=4, use_flash_attention=True)
+        batch = self._batch(11, 4)
+        rng = jax.random.key(7)
+
+        s_single = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_single, m_single = make_train_step(cfg, 'ValleAR')(s_single, batch, rng)
+
+        mesh = make_mesh(data=4, model=2)
+        s_mesh = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_mesh = TrainState(shard_params(mesh, s_mesh.params),
+                            jax.device_put(s_mesh.opt_state), s_mesh.step)
+        s_mesh, m_mesh = make_train_step(cfg, 'ValleAR', mesh)(
+            s_mesh, shard_batch(mesh, batch), rng)
+
+        assert abs(float(m_single['loss']) - float(m_mesh['loss'])) < 2e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            s_single.params, s_mesh.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
+
+    def test_flash_nar_eval_on_mesh_matches_single(self):
+        """NAR eval (bidirectional flash, AdaLN) under a dp mesh == solo."""
+        from valle2_tpu.parallel import make_mesh, shard_batch
+        from valle2_tpu.train import make_eval_step
+        cfg = tiny_cfg(batch_size=4, use_flash_attention=True, norm='AdaptiveLayerNorm')
+        rs = np.random.RandomState(13)
+        batch = {
+            'tokens': jnp.asarray(rs.randint(0, 255, (4, 5))),
+            'tokens_lens': jnp.asarray([5, 3, 5, 4]),
+            'codes': jnp.asarray(rs.randint(0, 1024, (4, 9, 8))),
+            'codes_lens': jnp.asarray([9, 6, 8, 9]),
+        }
+        rng = jax.random.key(3)
+        params = init_state(cfg, 'ValleNAR', jax.random.key(0)).params
+        m_solo = make_eval_step(cfg, 'ValleNAR')(params, batch, rng)
+        mesh = make_mesh(data=4, model=1)
+        m_mesh = make_eval_step(cfg, 'ValleNAR', mesh)(
+            jax.device_put(params), shard_batch(mesh, batch), rng)
+        np.testing.assert_allclose(float(m_solo['loss']), float(m_mesh['loss']),
+                                   atol=2e-5)
+
+    def test_flash_nondivisible_heads_fall_back_to_bias(self):
+        """model axis (4) doesn't divide n_heads (2): flash_shard_mesh declines,
+        the loss takes the bias/sdpa path, and the step still matches solo."""
+        from valle2_tpu.parallel import make_mesh, shard_batch, shard_params
+        cfg = tiny_cfg(batch_size=2, use_flash_attention=True)
+        batch = self._batch(17, 2)
+        rng = jax.random.key(5)
+
+        s_single = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_single, m_single = make_train_step(cfg, 'ValleAR')(s_single, batch, rng)
+
+        mesh = make_mesh(data=2, model=4)
+        s_mesh = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_mesh = TrainState(shard_params(mesh, s_mesh.params),
+                            jax.device_put(s_mesh.opt_state), s_mesh.step)
+        s_mesh, m_mesh = make_train_step(cfg, 'ValleAR', mesh)(
+            s_mesh, shard_batch(mesh, batch), rng)
+        assert abs(float(m_single['loss']) - float(m_mesh['loss'])) < 2e-5
+
+
+class TestSequenceParallel:
+    """config.sequence_parallel: Megatron SP — the residual stream is pinned
+    sequence-sharded over 'model' between blocks (hint-only GSPMD
+    constraints), so the training math must be bit-unchanged while the
+    norm/dropout/residual regions compute on 1/mp of the sequence."""
+
+    def test_sp_train_step_matches_single_device(self):
+        from valle2_tpu.parallel import make_mesh, shard_batch, shard_params
+        cfg = tiny_cfg(batch_size=4, sequence_parallel=True)
+        rs = np.random.RandomState(21)
+        batch = {
+            'tokens': jnp.asarray(rs.randint(0, 255, (4, 6))),
+            'tokens_lens': jnp.asarray([6, 4, 5, 6]),
+            'codes': jnp.asarray(rs.randint(0, 1024, (4, 10))),
+            'codes_lens': jnp.asarray([10, 7, 9, 10]),
+            'target': jnp.asarray(rs.randint(0, 1024, (4, 10))),
+        }
+        rng = jax.random.key(9)
+
+        solo_cfg = tiny_cfg(batch_size=4)        # SP is a no-op without a mesh
+        s_single = init_state(solo_cfg, 'ValleAR', jax.random.key(0))
+        s_single, m_single = make_train_step(solo_cfg, 'ValleAR')(
+            s_single, batch, rng)
+
+        mesh = make_mesh(data=4, model=2)
+        s_mesh = init_state(cfg, 'ValleAR', jax.random.key(0))
+        s_mesh = TrainState(shard_params(mesh, s_mesh.params),
+                            jax.device_put(s_mesh.opt_state), s_mesh.step)
+        s_mesh, m_mesh = make_train_step(cfg, 'ValleAR', mesh)(
+            s_mesh, shard_batch(mesh, batch), rng)
+
+        assert abs(float(m_single['loss']) - float(m_mesh['loss'])) < 2e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            s_single.params, s_mesh.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
+
+    def test_sp_nar_step_and_nondivisible_seq(self):
+        """NAR (AdaLN cond) under SP on a model-only 1x8 mesh, with a sequence
+        length (5 + 9 = 14) that does NOT divide the model axis — GSPMD pads
+        internally; the step must still match solo."""
+        from valle2_tpu.parallel import make_mesh, shard_batch, shard_params
+        cfg = tiny_cfg(batch_size=2, sequence_parallel=True)
+        rs = np.random.RandomState(23)
+        batch = {
+            'tokens': jnp.asarray(rs.randint(0, 255, (2, 5))),
+            'tokens_lens': jnp.asarray([5, 3]),
+            'codes': jnp.asarray(rs.randint(0, 1024, (2, 9, 8))),
+            'codes_lens': jnp.asarray([9, 6]),
+        }
+        rng = jax.random.key(11)
+        solo_cfg = tiny_cfg(batch_size=2)
+        s_single = init_state(solo_cfg, 'ValleNAR', jax.random.key(0))
+        s_single, m_single = make_train_step(solo_cfg, 'ValleNAR')(
+            s_single, batch, rng)
+
+        mesh = make_mesh(data=1, model=8)
+        s_mesh = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        s_mesh = TrainState(shard_params(mesh, s_mesh.params),
+                            jax.device_put(s_mesh.opt_state), s_mesh.step)
+        s_mesh, m_mesh = make_train_step(cfg, 'ValleNAR', mesh)(
+            s_mesh, shard_batch(mesh, batch), rng)
+        assert abs(float(m_single['loss']) - float(m_mesh['loss'])) < 2e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            s_single.params, s_mesh.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-5, diffs
+
+
 class TestDataParallelEquivalence:
     def test_dp8_matches_single_device(self):
         """One sharded step on an 8-way data-parallel mesh == the unsharded step

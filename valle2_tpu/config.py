@@ -245,6 +245,17 @@ class ConfigValle:
                           'all-gathers the updates over ICI. Bit-equivalent '
                           'training (placement only); needs mesh_data > 1'},
     )
+    sequence_parallel: bool = field(
+        default=False,
+        metadata={'help': 'Megatron-style sequence parallelism for training '
+                          '(Korthikanti et al. 2022): constrain the residual '
+                          'stream to be sequence-sharded over the model axis '
+                          'between blocks, so GSPMD turns each TP all-reduce '
+                          'into a reduce-scatter + all-gather pair and the '
+                          'norm/dropout/residual activations cost 1/mesh_model '
+                          'per chip. Bit-equivalent math (sharding hints '
+                          'only); needs mesh_model > 1'},
+    )
     speculative_k: int = field(
         default=0,
         metadata={'help': 'N-gram (prompt-lookup) speculative decoding: verify '

@@ -226,11 +226,17 @@ def _ring_allreduce(partial, my, base, mp: int, outbox, comm, send_sem,
     state bit-equal across model ranks (the tp_shard_map contract).
 
     ``par`` (static 0/1) picks the comm-slot plane and semaphore pair for this
-    reduce site: with one pair per site, a rank at most ONE reduce ahead
-    (each reduce blocks on receiving the peer parcel) can never alias counts —
-    its next same-parity send is two reduces later, by which time the receiver
-    has consumed this one.  ``my``: this rank along 'model'; ``base``: linear
-    device id of model-rank 0 in this data row (row-major mesh).
+    reduce site.  Why two planes suffice for any mp — safety of reuse across
+    same-parity reduces (rank A's layer l+1 par-0 writes landing at its RIGHT
+    neighbor R vs R's layer l par-0 plane): every reduce all-gathers from ALL
+    ranks, and the parcel A receives in its LAST round (mp-2) ORIGINATED at R
+    (it hopped the whole ring).  So A completing layer l par-1 requires R to
+    have sent its par-1 partial, i.e. R COMPLETED layer l par-0 — its par-0
+    plane and semaphore counts are fully consumed before A can begin layer
+    l+1 par-0.  The strict ALTERNATION of exactly two sites is what makes
+    this hold; a third same-parity site between them would break it.
+    ``my``: this rank along 'model'; ``base``: linear device id of model-rank
+    0 in this data row (row-major mesh).
     """
     outbox[...] = partial
     src = my

@@ -82,10 +82,14 @@ def param_count(params: Params) -> int:
 
 def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.Array,
             tokens_lens: jax.Array | None, codes_lens: jax.Array | None,
-            rng: jax.Array | None = None) -> jax.Array:
+            rng: jax.Array | None = None, mesh=None) -> jax.Array:
     """Logits over the audio block: (b, codes_len, num_audio_tokens + 1).
 
     ``tokens``: (b, Tt) source ids; ``codes``: (b, Tc) BOS-prefixed target ids.
+    ``mesh``: the multi-device mesh this step is jitted over, if any — flash
+    attention must then run inside a shard_map (GSPMD cannot partition a
+    Mosaic kernel; ops.attention.flash_shard_mesh), falling back to the
+    bias/sdpa path when the batch/head counts don't divide the mesh.
     """
     pe = sinusoidal_table(MAX_POS, config.d_model)
     drop = config.dropout if rng is not None else 0.0
@@ -110,10 +114,15 @@ def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.A
     bias, flash = None, None
     tv = tokens_lens if tokens_lens is not None else jnp.full((b,), tt)
     ce = (tt + codes_lens) if codes_lens is not None else jnp.full((b,), tt + tc)
-    if config.flash_enabled:
+    use_flash = config.flash_enabled
+    wrap_mesh = None
+    if use_flash:
+        from ..ops.attention import flash_shard_mesh
+        wrap_mesh, use_flash = flash_shard_mesh(mesh, b, config.n_heads)
+    if use_flash:
         # Pallas kernel derives the mask from [tokens_valid, kv_end] per row.
         flash = {'meta': jnp.stack([tv, ce], axis=1).astype(jnp.int32),
-                 'tokens_total': tt, 'causal': True}
+                 'tokens_total': tt, 'causal': True, 'mesh': wrap_mesh}
     else:
         bias = prefix_lm_bias(tt, tc, codes_lens)
         if tokens_lens is not None:
@@ -123,17 +132,24 @@ def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.A
             bias = bias + mask_to_bias(tok_pad)[:, None, None, :]
 
     x = jnp.concatenate([x_tok, x_aud], axis=1).astype(jnp.dtype(config.dtype))
+    from ..parallel import sequence_parallel_spec
     y = transformer(params['transformer'], x, config.n_heads, bias,
                     dropout_rate=drop, rng=rngs[2], remat=config.remat, flash=flash,
-                    unroll=config.train_scan_unroll)
+                    unroll=config.train_scan_unroll,
+                    sp_spec=sequence_parallel_spec(config, mesh))
     return linear(params['proj'], y[:, tt:]).astype(jnp.float32)
 
 
 def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
-            rng: jax.Array | None = None) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Masked cross-entropy over the target stream (reference valle_ar.py:86)."""
+            rng: jax.Array | None = None, mesh=None
+            ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Masked cross-entropy over the target stream (reference valle_ar.py:86).
+
+    ``mesh``: forwarded to ``forward`` — multi-device train/eval steps must
+    shard_map the flash kernel (see forward's docstring)."""
     logits = forward(params, config, batch['tokens'], batch['codes'],
-                     batch.get('tokens_lens'), batch.get('codes_lens'), rng)
+                     batch.get('tokens_lens'), batch.get('codes_lens'), rng,
+                     mesh=mesh)
     target = batch['target']
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logprobs, target[..., None], axis=-1)[..., 0]
@@ -791,9 +807,13 @@ class ValleAR:
                 else:
                     # Heads/FFN width don't split evenly: GSPMD XLA path from
                     # the Megatron annotations (replicates the odd dims).
+                    # Flash prefill must go too — GSPMD cannot partition a
+                    # Mosaic kernel (ops.attention.flash_shard_mesh), and this
+                    # path exists precisely because the shard_map splits don't.
                     import dataclasses
-                    decode_config = dataclasses.replace(config,
-                                                        use_fused_decode=False)
+                    decode_config = dataclasses.replace(
+                        config, use_fused_decode=False,
+                        use_flash_attention=False)
 
         if self._decode_data_sharded:
             from ..parallel import data_shard_map

@@ -100,7 +100,7 @@ def prepare_audio_embedding(params: Params, codes: jax.Array, stage: jax.Array,
 def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
                   codes_emb: jax.Array, stage: jax.Array,
                   bias: jax.Array | None, rng: jax.Array | None = None,
-                  flash: dict | None = None) -> jax.Array:
+                  flash: dict | None = None, mesh=None) -> jax.Array:
     """Transformer pass for one NAR stage → logits (b, T_codes, V) for codebook
     ``stage`` (heads/conditioning gathered by traced stage index)."""
     pe = sinusoidal_table(MAX_POS, config.d_model)
@@ -110,9 +110,11 @@ def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
     x = jnp.concatenate([x_tok, codes_emb], axis=1).astype(jnp.dtype(config.dtype))
     cond = jax.lax.dynamic_index_in_dim(params['stage_embs'], stage - 1, 0,
                                         keepdims=True)              # (1, d)
+    from ..parallel import sequence_parallel_spec
     y = transformer(params['transformer'], x, config.n_heads, bias, cond,
                     dropout_rate=drop, rng=rngs[1], remat=config.remat, flash=flash,
-                    unroll=config.train_scan_unroll)
+                    unroll=config.train_scan_unroll,
+                    sp_spec=sequence_parallel_spec(config, mesh))
     y = y[:, x_tok.shape[1]:]
     head = jax.lax.dynamic_index_in_dim(params['proj_layers'], stage - 1, 0,
                                         keepdims=False)             # (d, V)
@@ -120,12 +122,14 @@ def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
 
 
 def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
-            rng: jax.Array, train: bool = True
+            rng: jax.Array, train: bool = True, mesh=None
             ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Stage-sampled training step (reference valle_nar.py:53-105, Q3 fixed).
 
     ``train=False`` disables dropout while keeping the rng-driven stage draw —
-    the evaluation mode (the rng cannot simply be None like the AR loss)."""
+    the evaluation mode (the rng cannot simply be None like the AR loss).
+    ``mesh``: multi-device train/eval steps must shard_map the flash kernel
+    (GSPMD cannot partition a Mosaic custom call; see ar.forward)."""
     codes, tokens = batch['codes'], batch['tokens']
     codes_lens, tokens_lens = batch.get('codes_lens'), batch.get('tokens_lens')
     b, t_codes, nq = codes.shape
@@ -157,12 +161,17 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
 
     # Padding bias: audio pads + token pads (see ar.forward note on the deviation).
     bias, flash = None, None
-    if config.flash_enabled:
+    use_flash = config.flash_enabled
+    wrap_mesh = None
+    if use_flash:
+        from ..ops.attention import flash_shard_mesh
+        wrap_mesh, use_flash = flash_shard_mesh(mesh, b, config.n_heads)
+    if use_flash:
         tv = tokens_lens if tokens_lens is not None else jnp.full((b,), t_tok)
         ce = (t_tok + codes_lens) if codes_lens is not None \
             else jnp.full((b,), t_tok + t_codes)
         flash = {'meta': jnp.stack([tv, ce], axis=1).astype(jnp.int32),
-                 'tokens_total': t_tok, 'causal': False}
+                 'tokens_total': t_tok, 'causal': False, 'mesh': wrap_mesh}
     elif codes_lens is not None or tokens_lens is not None:
         # Build from whichever lengths exist — the flash path masks both
         # streams from its meta, so this backend must too (same logits).
@@ -177,7 +186,7 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
 
     logits = forward_stage(params, config, x_tok, codes_emb, stage, bias,
                            rngs[1] if train else None,   # rng None => no dropout
-                           flash=flash)                              # (b, T, V)
+                           flash=flash, mesh=mesh)                   # (b, T, V)
     # CE over the suffix positions of codebook ``stage`` — masked (not sliced):
     # prefix_len is traced, so the suffix is selected by weight, keeping shapes
     # static and the loss independent of the bucket width.
@@ -208,7 +217,8 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
 
 def _generate_fn(params: Params, tokens: jax.Array, tokens_len: jax.Array,
                  prompt_codes: jax.Array, p_len: jax.Array, first_layer: jax.Array,
-                 gen_len: jax.Array, rng: jax.Array, config: ConfigValle):
+                 gen_len: jax.Array, rng: jax.Array, config: ConfigValle,
+                 tp: tuple | None = None):
     """All 7 refinement stages on device, batched, padded widths + true lengths.
 
     tokens: (B, Ttm) padded token streams (prompt + target), true lens tokens_len (B,).
@@ -221,10 +231,18 @@ def _generate_fn(params: Params, tokens: jax.Array, tokens_len: jax.Array,
     the fused TTS pipeline run NAR directly over the AR decoder's fixed-size buffer
     with no host round-trip, and batches utterances of different lengths together.
     Mask/position layout mirrors ar._decode_fn.
+
+    ``tp`` = (mesh axis names, mp): manual tensor parallelism inside a
+    jax.shard_map — ``params['transformer']`` holds this rank's Megatron split
+    (local heads, psum-completed row-parallel projections); embeddings, AdaLN
+    conditioning, the per-stage heads, and sampling are replicated, so every
+    model rank draws identical codes in lockstep (shared rng).
     """
     nq = config.num_quantizers
     pe = sinusoidal_table(MAX_POS, config.d_model)
-    n_heads = config.n_heads
+    mp = tp[1] if tp is not None else 1
+    tp_axis = 'model' if tp is not None else None
+    n_heads = config.n_heads // mp        # LOCAL heads under manual TP
     dtype = jnp.dtype(config.dtype)
     tparams = jax.tree.map(lambda a: a.astype(dtype), params['transformer'])
     b, ttm = tokens.shape
@@ -259,7 +277,8 @@ def _generate_fn(params: Params, tokens: jax.Array, tokens_len: jax.Array,
         x = jnp.concatenate([x_tok, codes_emb.astype(dtype)], axis=1)
         cond = jax.lax.dynamic_index_in_dim(params['stage_embs'], n - 1, 0,
                                             keepdims=True).astype(dtype)
-        y = transformer(tparams, x, n_heads, bias, cond, unroll=True)
+        y = transformer(tparams, x, n_heads, bias, cond, unroll=True,
+                        tp_axis=tp_axis)
         y = y[:, ttm + pm:]                                          # target positions
         head = jax.lax.dynamic_index_in_dim(params['proj_layers'], n - 1, 0,
                                             keepdims=False)

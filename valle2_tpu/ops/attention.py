@@ -68,6 +68,49 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def flash_shard_mesh(mesh, batch: int, n_heads: int):
+    """How the training-path flash kernel runs under a GSPMD mesh.
+
+    A Mosaic kernel traced into a multi-device jit CANNOT be partitioned by
+    GSPMD — jax raises 'Mosaic kernels cannot be automatically partitioned.
+    Please wrap the call in a shard_map.' (jax/_src/tpu_custom_call.py) — so
+    a train/eval step built over a mesh must either shard_map the kernel or
+    not use it.  Returns ``(wrap_mesh, flash_ok)``:
+
+    - ``(None, True)``   — no mesh (or one device): call the kernel directly.
+    - ``(mesh, True)``   — embed ``mesh`` in the flash meta; ``mha`` wraps the
+      kernel in a shard_map over ('data' on batch rows x 'model' on heads) —
+      attention is independent across both, so per-shard results are exact.
+    - ``(None, False)``  — batch rows / heads don't divide the mesh axes: the
+      caller must build the bias and take the sdpa path (plain HLO ops that
+      GSPMD partitions freely).
+    """
+    if mesh is None or mesh.size == 1:
+        return None, True
+    dp = mesh.shape.get('data', 1)
+    mp = mesh.shape.get('model', 1)
+    if batch % dp == 0 and n_heads % mp == 0:
+        return mesh, True
+    return None, False
+
+
+def _flash_sharded(q, k, v, meta, tokens_total: int, causal: bool, mesh):
+    """The flash kernel per-shard under ``shard_map``: batch rows over 'data',
+    heads over 'model' (matching the Megatron activation layout, so GSPMD
+    inserts no resharding collectives around the kernel)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..kernels.flash_attention import flash_attention
+    bax = 'data' if mesh.shape.get('data', 1) > 1 else None
+    hax = 'model' if mesh.shape.get('model', 1) > 1 else None
+    spec = P(bax, hax)
+    return jax.shard_map(
+        lambda q_, k_, v_, m_: flash_attention(q_, k_, v_, m_, tokens_total,
+                                               causal),
+        mesh=mesh, in_specs=(spec, spec, spec, P(bax)), out_specs=spec,
+        check_vma=False)(q, k, v, meta)
+
+
 def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
         return_kv: bool = False, flash: dict | None = None,
         tp_axis: str | None = None):
@@ -75,6 +118,9 @@ def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
 
     ``flash``: optional {'meta': (b, 2) int32, 'tokens_total': int, 'causal': bool} —
     routes through the Pallas flash kernel instead of the materialized-bias sdpa.
+    An optional ``'mesh'`` entry (see ``flash_shard_mesh``) shard_maps the
+    kernel for multi-device train/eval steps, where GSPMD cannot partition a
+    Mosaic custom call.
     ``tp_axis``: manual tensor parallelism inside a shard_map — ``n_heads`` is
     then this shard's LOCAL head count (qkv column-split along heads), and the
     row-split output projection psums the partial over ``tp_axis``
@@ -82,9 +128,14 @@ def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
     """
     q, k, v = qkv_proj(p, x, n_heads)
     if flash is not None:
-        from ..kernels.flash_attention import flash_attention
-        attn = flash_attention(q, k, v, flash['meta'], flash['tokens_total'],
-                               flash.get('causal', True))
+        wrap_mesh = flash.get('mesh')
+        if wrap_mesh is not None:
+            attn = _flash_sharded(q, k, v, flash['meta'], flash['tokens_total'],
+                                  flash.get('causal', True), wrap_mesh)
+        else:
+            from ..kernels.flash_attention import flash_attention
+            attn = flash_attention(q, k, v, flash['meta'], flash['tokens_total'],
+                                   flash.get('causal', True))
     else:
         attn = sdpa(q, k, v, bias)
     if tp_axis is not None:

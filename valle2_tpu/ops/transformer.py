@@ -98,24 +98,36 @@ def _norm(p: Params, x: jax.Array, cond: jax.Array | None) -> jax.Array:
 def encoder_layer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None,
                   cond: jax.Array | None, *, dropout_rate: float = 0.0,
                   rng: jax.Array | None = None, return_kv: bool = False,
-                  flash: dict | None = None, tp_axis: str | None = None):
+                  flash: dict | None = None, tp_axis: str | None = None,
+                  sp_spec=None):
     """One pre-norm block (reference modules.py:240-280).
 
     ``tp_axis``: manual tensor parallelism inside a shard_map — ``p`` holds
     this shard's column/row-split attn/ffn weights, ``n_heads`` is the LOCAL
     head count, and the row-parallel projections psum over the axis (see
-    ops.attention.mha / ops.nn.ffn)."""
+    ops.attention.mha / ops.nn.ffn).
+    ``sp_spec``: Megatron sequence parallelism (GSPMD training path only) — a
+    NamedSharding pinning the residual stream (b, s, d) sequence-sharded over
+    the 'model' axis at each residual add, so XLA computes norm/dropout/
+    residual on 1/mp of the sequence per chip and replaces the two row-
+    parallel all-reduces with reduce-scatter + all-gather pairs."""
     rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+
+    def sp(t):
+        return jax.lax.with_sharding_constraint(t, sp_spec) \
+            if sp_spec is not None else t
+
+    x = sp(x)
     h = _norm(p['norm1'], x, cond)
     if return_kv:
         attn_out, k, v = mha(p['attn'], h, n_heads, bias, return_kv=True,
                              flash=flash, tp_axis=tp_axis)
     else:
         attn_out = mha(p['attn'], h, n_heads, bias, flash=flash, tp_axis=tp_axis)
-    x = x + dropout(attn_out, dropout_rate, rngs[0])
+    x = sp(x + dropout(attn_out, dropout_rate, rngs[0]))
     h = ffn(p['ffn'], _norm(p['norm2'], x, cond), dropout_rate=dropout_rate,
             rng=rngs[1], tp_axis=tp_axis)
-    x = x + dropout(h, dropout_rate, rngs[2])
+    x = sp(x + dropout(h, dropout_rate, rngs[2]))
     if return_kv:
         return x, k, v
     return x
@@ -124,19 +136,24 @@ def encoder_layer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None,
 def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
                 cond: jax.Array | None = None, *, dropout_rate: float = 0.0,
                 rng: jax.Array | None = None, remat: bool = False,
-                flash: dict | None = None, unroll: int | bool = 1) -> jax.Array:
+                flash: dict | None = None, unroll: int | bool = 1,
+                tp_axis: str | None = None, sp_spec=None) -> jax.Array:
     """Full-sequence forward over the scanned stack.
 
     ``unroll``: lax.scan unroll factor.  Inference paths pass True (full unroll) —
     loop-turn overhead (~120 us on v5e-via-axon) would otherwise dominate the small
-    per-layer compute; training keeps the rolled scan for compile time + remat."""
+    per-layer compute; training keeps the rolled scan for compile time + remat.
+    ``tp_axis``: manual TP inside a shard_map (see encoder_layer) — ``n_heads``
+    is then the LOCAL head count.
+    ``sp_spec``: sequence-parallel residual sharding (see encoder_layer)."""
     num_layers = jax.tree.leaves(p)[0].shape[0]
 
     def body(carry, scan_in):
         layer_p, idx = scan_in
         layer_rng = jax.random.fold_in(rng, idx) if rng is not None else None
         y = encoder_layer(layer_p, carry, n_heads, bias, cond,
-                          dropout_rate=dropout_rate, rng=layer_rng, flash=flash)
+                          dropout_rate=dropout_rate, rng=layer_rng, flash=flash,
+                          tp_axis=tp_axis, sp_spec=sp_spec)
         return y, None
 
     if remat:

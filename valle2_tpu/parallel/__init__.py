@@ -3,11 +3,13 @@
 from .distributed import init_distributed, is_primary
 from .mesh import (batch_sharding, data_shard_map, device_put_global,
                    make_mesh, make_model_mesh, param_sharding, replicated,
-                   shard_batch, shard_params, tp_decode_specs, tp_divisible,
+                   sequence_parallel_spec, shard_batch, shard_params,
+                   tp_decode_specs, tp_divisible,
                    tp_permute_qkv, tp_shard_map)
 
 __all__ = ['batch_sharding', 'data_shard_map', 'device_put_global',
            'init_distributed', 'is_primary', 'make_mesh', 'make_model_mesh',
-           'param_sharding', 'replicated', 'shard_batch', 'shard_params',
+           'param_sharding', 'replicated', 'sequence_parallel_spec',
+           'shard_batch', 'shard_params',
            'tp_decode_specs', 'tp_divisible', 'tp_permute_qkv',
            'tp_shard_map']

@@ -55,6 +55,27 @@ def make_model_mesh(model: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:model]), ('model',))
 
 
+def sequence_parallel_spec(config, mesh: Mesh | None) -> NamedSharding | None:
+    """Residual-stream sharding for Megatron sequence parallelism, or None.
+
+    When ``config.sequence_parallel`` and the mesh has a model axis > 1,
+    returns a NamedSharding pinning (b, s, d) activations to
+    P('data', 'model', None) — batch over 'data', SEQUENCE over 'model'.
+    ops.transformer.encoder_layer applies it at every residual add, which is
+    hint-only for GSPMD: the math is unchanged, but the norm/dropout/residual
+    regions now compute on 1/mp of the sequence per chip and the two
+    row-parallel all-reduces per block lower to reduce-scatter + all-gather
+    pairs (same bytes moved as one all-reduce; the memory win is the point —
+    Korthikanti et al. 2022, 'Reducing Activation Recomputation').  Training/
+    eval only; decode steps have s == 1 and never ask for it."""
+    if mesh is None or not getattr(config, 'sequence_parallel', False):
+        return None
+    if mesh.shape.get('model', 1) <= 1:
+        return None
+    data = 'data' if mesh.shape.get('data', 1) > 1 else None
+    return NamedSharding(mesh, P(data, 'model', None))
+
+
 def batch_sharding(mesh: Mesh, batch: Any) -> Any:
     """Shard every batch leaf's leading axis over 'data'."""
     def spec(x):

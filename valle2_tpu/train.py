@@ -104,11 +104,18 @@ def make_train_step(config: ConfigValle, model_name: str, mesh=None):
     zero1 = bool(config.zero1) and mesh is not None \
         and mesh.shape.get('data', 1) > 1
 
+    # Multi-device meshes must reach the loss: flash attention then runs
+    # inside a shard_map (GSPMD cannot partition a Mosaic kernel — the step
+    # would raise at lowering on real multi-chip TPU otherwise; see
+    # ops.attention.flash_shard_mesh).
+    loss_mesh = mesh if mesh is not None and mesh.size > 1 else None
+
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
         with jax.default_matmul_precision(config.matmul_precision):
             grads, metrics = jax.grad(
-                lambda p: loss_fn(p, config, batch, step_rng), has_aux=True)(state.params)
+                lambda p: loss_fn(p, config, batch, step_rng, mesh=loss_mesh),
+                has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         if zero1:
             from .parallel import param_sharding
@@ -132,9 +139,10 @@ def make_train_step(config: ConfigValle, model_name: str, mesh=None):
                       extra_key=config_key(config), donate_argnums=(0,))
 
 
-def make_eval_step(config: ConfigValle, model_name: str):
+def make_eval_step(config: ConfigValle, model_name: str, mesh=None):
     loss_fn = LOSS_FNS[model_name]
     is_nar = model_name == 'ValleNAR'
+    loss_mesh = mesh if mesh is not None and mesh.size > 1 else None
 
     @jax.jit
     def eval_fn(params: Params, batch: dict, rng: jax.Array):
@@ -143,12 +151,15 @@ def make_eval_step(config: ConfigValle, model_name: str):
         # explicit train=False (passing the rng alone would turn dropout ON
         # and inflate every validation loss).  Same matmul precision as the
         # train step — otherwise a 'highest'-precision config would silently
-        # validate at the backend default (bf16-class on this TPU).
+        # validate at the backend default (bf16-class on this TPU).  Same
+        # mesh as the train step — flash must shard_map under a mesh.
         with jax.default_matmul_precision(config.matmul_precision):
             if is_nar:
-                _, metrics = loss_fn(params, config, batch, rng, train=False)
+                _, metrics = loss_fn(params, config, batch, rng, train=False,
+                                     mesh=loss_mesh)
             else:
-                _, metrics = loss_fn(params, config, batch, None)
+                _, metrics = loss_fn(params, config, batch, None,
+                                     mesh=loss_mesh)
         return metrics
     return eval_fn
 
@@ -199,7 +210,7 @@ class Trainer:
         self.model_name = model_name
         self.mesh = mesh
         self.train_step = make_train_step(config, model_name, mesh)
-        self.eval_step = make_eval_step(config, model_name)
+        self.eval_step = make_eval_step(config, model_name, mesh)
         self._async_ckptr = None
         self.writer = None
         if use_tensorboard:

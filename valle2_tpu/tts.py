@@ -31,7 +31,8 @@ from .utils import normalize_audio
 
 
 def _fused_tts_fn(ar_params, nar_params, codec_dec_params, tokens, tokens_lens,
-                  prompt_codes, p_lens, rng, config: ConfigValle):
+                  prompt_codes, p_lens, rng, config: ConfigValle,
+                  tp: tuple | None = None):
     """The whole TTS pipeline as one XLA program: AR while_loop decode → NAR 7-stage
     refinement → codec waveform synthesis.  ONE dispatch, ONE host fetch — and
     batched: B utterances (padded, true lengths given) synthesize together.
@@ -44,6 +45,9 @@ def _fused_tts_fn(ar_params, nar_params, codec_dec_params, tokens, tokens_lens,
     tokens: (B, Ttm), true lens tokens_lens (B,); prompt_codes: (B, Pm, nq), true
     lens p_lens (B,).  Returns (waveforms (B, max_new*320), gen_lens (B,),
     codes (B, max_new, nq)); slice wav[i, :gen_lens[i]*320] on host.
+    ``tp``: manual-TP context (models/ar._decode_prefill) — AR and NAR run the
+    Megatron split per model rank; the tiny codec decode replicates (every
+    rank synthesizes the identical waveform in lockstep).
     """
     eos = config.eos_token
     bos = config.bos_token
@@ -55,7 +59,8 @@ def _fused_tts_fn(ar_params, nar_params, codec_dec_params, tokens, tokens_lens,
     codes0 = jnp.concatenate(
         [jnp.full((b, 1), bos, jnp.int32), prompt_codes[:, :, 0]], axis=1)
     codes_buf, _, best = ar_mod._decode_fn(
-        ar_params, tokens, tokens_lens, codes0, p_lens + 1, rng_ar, config)
+        ar_params, tokens, tokens_lens, codes0, p_lens + 1, rng_ar, config,
+        tp=tp)
     rows = jnp.take_along_axis(codes_buf, best[:, None, None].astype(jnp.int32),
                                axis=1)[:, 0]            # (B, Pm+1+max_new)
     gen_region = rows[:, pm + 1:]                       # (B, max_new)
@@ -65,7 +70,8 @@ def _fused_tts_fn(ar_params, nar_params, codec_dec_params, tokens, tokens_lens,
 
     # NAR refinement over the padded buffers (per-length masks keep valid rows exact).
     codes = nar_mod._generate_fn(nar_params, tokens, tokens_lens, prompt_codes,
-                                 p_lens, first_layer, gen_lens, rng_nar, config)
+                                 p_lens, first_layer, gen_lens, rng_nar, config,
+                                 tp=tp)
 
     # Waveform synthesis; codec is causal, so frames past gen_len cannot affect
     # earlier samples — slice on host.
@@ -103,16 +109,34 @@ class ValleTTS:
 
         pipe_config = config
         data_sharded = False
+        self._pipe_tp = None          # (mesh axis names, mp) — manual TP
         if mesh is not None:
-            if mesh.shape.get('model', 1) == 1:
+            mp = mesh.shape.get('model', 1)
+            if mp == 1:
                 # Data-only mesh: shard_map the whole pipeline over utterance
                 # rows — keeps the fused Pallas decode kernel on a mesh
                 # (mirrors ValleAR; a pallas_call cannot partition under GSPMD
                 # but per-shard it sees only local shapes).
                 data_sharded = True
             else:
-                import dataclasses
-                pipe_config = dataclasses.replace(config, use_fused_decode=False)
+                from .parallel import tp_divisible
+                if tp_divisible(config.n_heads, config.dim_feedforward, mp) \
+                        and config.weight_dtype != 'int8':
+                    # Manual TP: AR decode AND NAR refinement run the Megatron
+                    # split per model rank inside ONE shard_map — the fused
+                    # Pallas kernel stays live on TP meshes (mirrors ValleAR).
+                    # int8 weights keep the per-model GSPMD path: the fused
+                    # gate would decline anyway and ValleAR's own manual-TP
+                    # int8 path covers batch decode.
+                    self._pipe_tp = (tuple(mesh.axis_names), mp)
+                else:
+                    # GSPMD fallback (odd splits / int8): the fused kernel AND
+                    # flash prefill must both go — GSPMD cannot partition a
+                    # Mosaic kernel (ops.attention.flash_shard_mesh).
+                    import dataclasses
+                    pipe_config = dataclasses.replace(
+                        config, use_fused_decode=False,
+                        use_flash_attention=False)
 
         if data_sharded:
             from .parallel import data_shard_map
@@ -125,6 +149,30 @@ class ValleTTS:
 
             _fused = data_shard_map(mesh, _pipe_body, n_args=8,
                                     sharded=(3, 4, 5, 6), n_out=3)
+        elif self._pipe_tp is not None:
+            from jax.sharding import PartitionSpec as P
+            from .parallel import tp_decode_specs
+            tp_ctx = self._pipe_tp
+            has_data = 'data' in mesh.axis_names and \
+                mesh.shape.get('data', 1) > 1
+            data_spec = P('data') if 'data' in mesh.axis_names else P()
+
+            def _pipe_body(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
+                if has_data:
+                    rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
+                with jax.default_matmul_precision(prec):
+                    return _fused_tts_fn(ar_p, nar_p, cod_p, tokens, tl, codes,
+                                         pl, rng, pipe_config, tp=tp_ctx)
+
+            # Spec trees are rebind-stable (structure survives load()); the
+            # codec decoder replicates (a single P() broadcasts subtree-wide).
+            _fused = jax.shard_map(
+                _pipe_body, mesh=mesh,
+                in_specs=(tp_decode_specs(self.ar.decode_params),
+                          tp_decode_specs(self.nar.params), P(),
+                          data_spec, data_spec, data_spec, data_spec, P()),
+                out_specs=(data_spec, data_spec, data_spec),
+                check_vma=False)
         else:
             def _fused(ar_p, nar_p, cod_p, tokens, tl, codes, pl, rng):
                 with jax.default_matmul_precision(prec):
@@ -132,7 +180,8 @@ class ValleTTS:
                                          pl, rng, pipe_config)
 
         from .aot import cached_jit, config_key
-        self._cfg_key = config_key(config) + ('|mesh' if mesh is not None else '')
+        self._cfg_key = config_key(config) + ('|mesh' if mesh is not None else '') \
+            + (f'|tp{self._pipe_tp[1]}' if self._pipe_tp else '')
         self._fused_jit = cached_jit(_fused, tag='tts_fused',
                                      extra_key=self._cfg_key)
 
@@ -144,11 +193,30 @@ class ValleTTS:
         if src is None or not all(a is b for a, b in
                                   zip(src, (ar_p, nar_p, cod_p))):
             from .parallel import replicated, shard_params
-            # Transformer params follow the Megatron TP rules (replicated on a
-            # DP-only mesh); the tiny codec decoder replicates.
-            self._mesh_sharded = (shard_params(self.mesh, ar_p),
-                                  shard_params(self.mesh, nar_p),
-                                  jax.device_put(cod_p, replicated(self.mesh)))
+            rep = replicated(self.mesh)
+            if self._pipe_tp is not None:
+                # Manual TP: fused-qkv columns regrouped rank-major, leaves
+                # pre-placed by the shard_map specs (mirrors ValleAR._tp_params).
+                from jax.sharding import NamedSharding
+                from .parallel import tp_decode_specs, tp_permute_qkv
+                mp = self._pipe_tp[1]
+
+                def tp_place(tree):
+                    view = dict(tree)
+                    view['transformer'] = tp_permute_qkv(tree['transformer'], mp)
+                    return jax.tree.map(
+                        lambda a, s: jax.device_put(
+                            a, NamedSharding(self.mesh, s)),
+                        view, tp_decode_specs(view))
+
+                self._mesh_sharded = (tp_place(ar_p), tp_place(nar_p),
+                                      jax.device_put(cod_p, rep))
+            else:
+                # Transformer params follow the Megatron TP rules (replicated
+                # on a DP-only mesh); the tiny codec decoder replicates.
+                self._mesh_sharded = (shard_params(self.mesh, ar_p),
+                                      shard_params(self.mesh, nar_p),
+                                      jax.device_put(cod_p, rep))
             self._mesh_src = (ar_p, nar_p, cod_p)
         return self._mesh_sharded
 
@@ -181,7 +249,7 @@ class ValleTTS:
         if self.mesh is not None:
             # Pad the batch to a multiple of the 'data' axis (repeat row 0; the
             # extra rows' outputs are dropped below).
-            pad_rows = (-bsz) % self.mesh.shape['data']
+            pad_rows = (-bsz) % self.mesh.shape.get('data', 1)
             tokens_list = tokens_list + [tokens_list[0]] * pad_rows
             codes_list = codes_list + [codes_list[0]] * pad_rows
         ttm = max(len(t) for t in tokens_list)
@@ -202,8 +270,12 @@ class ValleTTS:
                   jnp.asarray(codes), jnp.asarray(p_lens))
         if self.mesh is not None:
             ar_p, nar_p, cod_p = self._mesh_params(ar_p, nar_p, cod_p)
-            from .parallel import shard_batch
-            inputs = shard_batch(self.mesh, inputs)
+            from .parallel import device_put_global, replicated, shard_batch
+            if 'data' in self.mesh.axis_names:
+                inputs = shard_batch(self.mesh, inputs)
+            else:                      # pure-TP ('model',) mesh: replicate rows
+                rep = replicated(self.mesh)
+                inputs = tuple(device_put_global(a, rep) for a in inputs)
         wavs, gen_lens, out_codes = self._fused_jit(ar_p, nar_p, cod_p,
                                                     *inputs, rng)
         wavs = np.asarray(wavs)                  # the single host fetch
