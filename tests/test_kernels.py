@@ -356,6 +356,44 @@ class TestFusedDecode:
         np.testing.assert_allclose(np.asarray(got_cache.v),
                                    np.asarray(want_cache.v), atol=1e-5)
 
+    def test_fused_step_int4_weights_matches_unfused(self):
+        """int4 W4A16 mode (in-kernel nibble unpack + group dequant + fp dots)
+        == the XLA int4 path (ops.nn.linear 'q4' dispatch) on the same packed
+        params."""
+        from valle2_tpu.ops.transformer import KVCache, transformer_decode_step, \
+            transformer_init
+        from valle2_tpu.quantize import quantize_transformer
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_decode_step)
+        L, rows, h, hd, dff, S = 2, 3, 2, 16, 64, 40
+        d = h * hd
+        ttm, pm = 6, 8
+        p = quantize_transformer(transformer_init(
+            jax.random.key(0), L, d, h, dff, adaptive_norm=False), bits=4)
+        assert 'q4' in p['attn']['qkv'] and 'scale4' in p['attn']['qkv']
+        cache = KVCache(jax.random.normal(jax.random.key(1), (L, rows, h, S, hd)),
+                        jax.random.normal(jax.random.key(2), (L, rows, h, S, hd)))
+        x = jax.random.normal(jax.random.key(3), (rows, 1, d))
+        tl = jnp.asarray([6, 4, 5])
+        plen = jnp.asarray([8, 6, 3])
+        index = jnp.int32(ttm + pm + 5)
+
+        got_y, got_cache = fused_decode_step(p, x, h, fused_cache_layout(cache),
+                                             index, tl, plen, ttm, pm)
+        slots = jnp.arange(S)[None, :]
+        attend = ((slots < tl[:, None])
+                  | ((slots >= ttm) & (slots < ttm + plen[:, None]))
+                  | ((slots >= ttm + pm) & (slots <= index)))
+        want_y, want_cache = transformer_decode_step(p, x, h, cache, index,
+                                                     attend_mask=attend)
+        want_cache = fused_cache_layout(want_cache)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_cache.k),
+                                   np.asarray(want_cache.k), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_cache.v),
+                                   np.asarray(want_cache.v), atol=1e-5)
+
     def test_fused_step_chunked_matches_unfused(self, monkeypatch):
         """VALLE2_FUSED_CHUNK routes the chunked online-softmax path with the
         clamped chunk index map (prefix skip, opt-in — measured negative on the

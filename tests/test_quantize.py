@@ -95,7 +95,7 @@ class TestQuantizedDecode:
     def test_config_validates_weight_dtype(self):
         import pytest
         with pytest.raises(ValueError):
-            cfg(weight_dtype='int4')
+            cfg(weight_dtype='int2')
 
     def test_fused_gate_honors_forced_int8(self):
         """int8 weights are fusable (s8 in-kernel dots): forcing the kernel on
@@ -190,6 +190,158 @@ class TestQuantizedDecode:
                         max_audio_len=12, num_beams=2, dropout=0.0,
                         temperature=0.0, bucket_sizes=(32, 64),
                         weight_dtype='int8')
+        tts = ValleTTS(c)
+        rs = np.random.RandomState(6)
+        res = tts.synthesize_fused('ok.', rs.randint(0, 70, (4,)),
+                                   rs.randint(0, 1024, (5, 8)))
+        assert res.waveform.ndim == 1 and len(res.waveform) % 320 == 0
+        assert res.codes.shape[1] == 8
+
+
+class TestInt4:
+    """int4 W4A16 (quantize_linear_int4): group-wise scales, half-split nibble
+    packing, fp activations.  Contracts: bounded group quant error, the packed
+    matmul equals the explicit dequant matmul, and the decode/TTS paths run
+    under weight_dtype='int4'."""
+
+    def test_group4_for_alignment(self):
+        from valle2_tpu.quantize import group4_for
+        assert group4_for(1024) == 128          # 204M shapes
+        assert group4_for(256) == 128
+        assert group4_for(48) == 24             # clamps to in/2
+        assert group4_for(6) == 3               # odd half still divides
+
+    def test_roundtrip_error_bounded_per_group(self):
+        """|w - dequant(quant4(w))| <= group_scale/2 element-wise."""
+        from valle2_tpu.quantize import dequantize_linear_int4, quantize_linear_int4
+        w = jax.random.normal(jax.random.key(0), (256, 32), jnp.float32)
+        qp = quantize_linear_int4({'w': w})
+        assert qp['q4'].dtype == jnp.int8 and qp['q4'].shape == (128, 32)
+        assert qp['scale4'].shape == (2, 32)    # group4_for(256) = 128
+        wd = dequantize_linear_int4(qp)['w']
+        err = np.abs(np.asarray(w - wd)).reshape(2, 128, 32)
+        bound = np.asarray(qp['scale4'])[:, None, :] * 0.5 + 1e-6
+        assert (err <= bound).all()
+
+    def test_packing_roundtrip_exact(self):
+        """unpack(pack(q)) recovers every 4-bit value including negatives."""
+        from valle2_tpu.quantize import dequantize_linear_int4, quantize_linear_int4
+        # Integer-valued weights with max|.| = 7 in every (group, column) →
+        # scale = 1 exactly, so dequant must reproduce w bit-for-bit.  The
+        # random body sweeps all 15 nibble values through both planes.
+        rs = np.random.RandomState(5)
+        qi = rs.randint(-7, 8, (16, 16)).astype(np.float32)
+        qi[0, :] = 7
+        qi[8, :] = -7
+        w = jnp.asarray(qi)
+        qp = quantize_linear_int4({'w': w}, group=8)
+        np.testing.assert_array_equal(np.asarray(qp['scale4']),
+                                      np.ones((2, 16), np.float32))
+        wd = dequantize_linear_int4(qp)['w']
+        np.testing.assert_array_equal(np.asarray(wd), np.asarray(w))
+
+    def test_int4_matmul_matches_dequant_matmul(self):
+        """The packed two-plane matmul == x @ dequant(q4) explicitly."""
+        from valle2_tpu.quantize import (dequantize_linear_int4, int4_matmul,
+                                         quantize_linear_int4)
+        kx, kw = jax.random.split(jax.random.key(1))
+        x = jax.random.normal(kx, (5, 48), jnp.float32) * 3.0
+        w = jax.random.normal(kw, (48, 16), jnp.float32)
+        qp = quantize_linear_int4({'w': w})
+        got = np.asarray(int4_matmul(x, qp['q4'], qp['scale4']))
+        want = np.asarray(x @ dequantize_linear_int4(qp)['w'])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_linear_dispatches_on_int4_layout(self):
+        from valle2_tpu.quantize import quantize_linear_int4
+        w = jax.random.normal(jax.random.key(2), (32, 24), jnp.float32)
+        b = jax.random.normal(jax.random.key(3), (24,), jnp.float32)
+        x = jax.random.normal(jax.random.key(4), (3, 32), jnp.float32)
+        from valle2_tpu.quantize import dequantize_linear_int4
+        qp = quantize_linear_int4({'w': w, 'b': b})
+        got = np.asarray(linear(qp, x))
+        # Dispatch correctness: the q4 layout must route through int4_matmul —
+        # exact vs the explicitly dequantized weights (same arithmetic).
+        wd = dequantize_linear_int4(qp)['w']
+        want_exact = np.asarray(linear({'w': wd, 'b': b}, x))
+        np.testing.assert_allclose(got, want_exact, rtol=1e-5, atol=1e-5)
+        # ...and the 4-bit rounding noise keeps the output correlated to dense
+        # (the worst-case envelope is sqrt(in) * scale/2 per element, so no
+        # tight element-wise bound exists for random w; correlation is the
+        # meaningful fidelity gate).
+        want = np.asarray(linear({'w': w, 'b': b}, x))
+        assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
+
+    def test_int4_forward_close_to_dense(self):
+        c = cfg()
+        model = ValleAR(c, seed=0)
+        qparams = quantize_decode_params(model.params, bits=4)
+        assert 'q4' in qparams['transformer']['attn']['qkv']
+        rs = np.random.RandomState(0)
+        tokens = jnp.asarray(rs.randint(0, 24, (2, 7)), jnp.int32)
+        codes = jnp.asarray(rs.randint(0, 96, (2, 9)), jnp.int32)
+        dense = np.asarray(ar_mod.forward(model.params, c, tokens, codes,
+                                          None, None))
+        quant = np.asarray(ar_mod.forward(qparams, c, tokens, codes,
+                                          None, None))
+        corr = np.corrcoef(dense.ravel(), quant.ravel())[0, 1]
+        assert corr > 0.98, f'int4 logits decorrelated: {corr}'
+
+    def test_int4_decode_generates(self):
+        c = cfg(weight_dtype='int4')
+        model = ValleAR(c, seed=1)
+        assert model.decode_params is not model.params
+        assert 'q4' in model.decode_params['transformer']['attn']['qkv']
+        rs = np.random.RandomState(1)
+        out = np.asarray(model.generate(rs.randint(0, 24, (5,)),
+                                        rs.randint(0, 96, (4, 8))))
+        assert out.ndim == 1 and len(out) <= c.max_audio_len
+        assert ((out >= 0) & (out < 96)).all()
+
+    def test_fused_gate_accepts_int4(self):
+        c = cfg(weight_dtype='int4', use_fused_decode=True)
+        assert ar_mod._fused_gate(c, rows=2, total_max=64) is True
+        # ...but not under manual TP (per-rank packing boundaries differ).
+        assert ar_mod._fused_gate(c, rows=2, total_max=64, tp_mp=2) is False
+
+    def test_data_mesh_int4_matches_single_device(self):
+        """int4 decode on a data-only mesh rides the per-shard shard_map path
+        (replicated q4/scale4, independent rows) — greedy outputs bit-equal to
+        the unmeshed int4 decode."""
+        from valle2_tpu.parallel import make_mesh
+        c = cfg(weight_dtype='int4')
+        single = ValleAR(c, seed=8)
+        meshed = ValleAR(c, params=single.params, mesh=make_mesh(data=8))
+        rs = np.random.RandomState(8)
+        items = [(rs.randint(0, 24, (4 + i,)), rs.randint(0, 96, (3 + i, 8)))
+                 for i in range(3)]
+        batched = meshed.generate_batch([t for t, _ in items],
+                                        [pc for _, pc in items], bucket=False)
+        for (t, pc), got in zip(items, batched):
+            want = single.generate(jnp.asarray(t), jnp.asarray(pc), bucket=False)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_tp_mesh_int4_runs_gspmd(self):
+        """int4 + model axis falls back to the GSPMD XLA path (manual-TP is
+        excluded: per-rank nibble packing boundaries differ) — the q4/scale4
+        leaves shard by the Megatron rules and decode still produces valid
+        codes.  fp partial sums psum, so exactness vs solo is not guaranteed;
+        this pins the path compiles + runs sharded."""
+        from valle2_tpu.parallel import make_mesh
+        c = cfg(weight_dtype='int4')
+        model = ValleAR(c, seed=9, mesh=make_mesh(data=4, model=2))
+        assert model._decode_tp is None and not model._decode_data_sharded
+        rs = np.random.RandomState(9)
+        out = np.asarray(model.generate(rs.randint(0, 24, (5,)),
+                                        rs.randint(0, 96, (4, 8))))
+        assert out.ndim == 1 and ((out >= 0) & (out < 96)).all()
+
+    def test_tts_pipeline_with_int4_weights(self):
+        from valle2_tpu.tts import ValleTTS
+        c = ConfigValle(d_model=32, n_heads=2, dim_feedforward=64, num_layers=2,
+                        max_audio_len=12, num_beams=2, dropout=0.0,
+                        temperature=0.0, bucket_sizes=(32, 64),
+                        weight_dtype='int4')
         tts = ValleTTS(c)
         rs = np.random.RandomState(6)
         res = tts.synthesize_fused('ok.', rs.randint(0, 70, (4,)),

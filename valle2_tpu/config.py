@@ -209,10 +209,13 @@ class ConfigValle:
     weight_dtype: str = field(
         default='compute',
         metadata={'help': "Decode/serving weight storage: 'compute' (= dtype) | "
-                          "'int8' (per-channel weight-only quantization with "
-                          'dynamic per-token activation scales; halves the '
-                          'weight HBM stream that bounds large-model decode — '
-                          'lossy, so not for parity-gate runs; quantize.py)'},
+                          "'int8' (W8A8: per-channel weights + dynamic per-token "
+                          'activation scales, s8 MXU dots; halves the weight HBM '
+                          "stream that bounds large-model decode) | 'int4' "
+                          '(W4A16: group-128 scales, packed nibbles, fp '
+                          'activations; quarters the weight bytes — for the '
+                          'largest serving configs).  Both lossy, so not for '
+                          'parity-gate runs; quantize.py'},
     )
     decode_attn_buckets: int = field(
         default=4,
@@ -294,8 +297,8 @@ class ConfigValle:
             raise ValueError('Normalization layer must be AdaptiveLayerNorm or LayerNorm')
         if self.activation not in ('relu', 'gelu'):
             raise ValueError('Activation function must be relu or gelu')
-        if self.weight_dtype not in ('compute', 'int8'):
-            raise ValueError("weight_dtype must be 'compute' or 'int8'")
+        if self.weight_dtype not in ('compute', 'int8', 'int4'):
+            raise ValueError("weight_dtype must be 'compute', 'int8' or 'int4'")
         self.ckpt_path = Path(self.ckpt_path)
         self.log_path = Path(self.log_path)
         self.betas = tuple(self.betas)

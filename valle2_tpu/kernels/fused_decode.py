@@ -188,6 +188,38 @@ def _q8_dot(x32, wq, scale_row):
     return y.astype(jnp.float32) * sx * scale_row
 
 
+def _q4_dot(x32, wq, scale, x_dtype):
+    """``x @ dequant(wq)`` for int4 W4A16 weights — the in-kernel twin of
+    quantize.int4_matmul (same dequant arithmetic: f32 group rescale, dot in
+    the compute dtype), so the fused int4 path matches the XLA int4 path's
+    numerics.  Streams QUARTER the bf16 weight bytes; activations stay fp
+    (no activation quantization — the only lossy step is the 4-bit rounding).
+
+    The half-split packing (quantize.quantize_linear_int4: byte k = input row
+    k low nibble | row k + din/2 high nibble) means unpack is two plane-wise
+    shifts and the matmul two plane dots — no row interleave, no concat, so
+    the VPU work Mosaic sees is elementwise over each (din/2, dout) block.
+    x32: (m, din) f32; wq: (din/2, dout) packed int8;
+    scale: (groups, dout) float (groups even, plane-aligned)."""
+    half, dout = wq.shape
+    groups = scale.shape[0]
+    gh = groups // 2
+    g = half // gh
+    p32 = wq.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)     # sign-extended low
+    hi = jnp.right_shift(p32, 4)                          # arithmetic
+
+    def plane(qp, sp):
+        w = qp.astype(jnp.float32).reshape(gh, g, dout) \
+            * sp.astype(jnp.float32)[:, None, :]
+        return w.reshape(half, dout).astype(x_dtype)
+
+    return jnp.dot(x32[:, :half].astype(x_dtype), plane(lo, scale[:gh]),
+                   preferred_element_type=jnp.float32) \
+        + jnp.dot(x32[:, half:].astype(x_dtype), plane(hi, scale[gh:]),
+                  preferred_element_type=jnp.float32)
+
+
 def _fake_quant_row(x_row, n_heads: int):
     """quantize→dequantize roundtrip of an (m, d) head-major slab, per-(row,
     head) scales — EXACTLY the int8 cache's view of freshly written slots:
@@ -262,33 +294,45 @@ def _ring_allreduce(partial, my, base, mp: int, outbox, comm, send_sem,
         acc = acc + jnp.where(r == my, partial, comm[par, r])
     return acc
 
-def _project_qkv(y_ref, x_dtype, n1s_ref, n1b_ref, qkv_ref, qkv_scale_ref):
+def _project_qkv(y_ref, x_dtype, n1s_ref, n1b_ref, qkv_ref, qkv_scale_ref,
+                 w_bits: int = 8):
     """Per-layer LN1 + fused QKV over the VMEM-resident hidden state.
-    Returns the (rows_like, 3d) f32 projection; qkv_scale_ref is the int8
-    per-channel weight scale ref (None = dense bf16 weights)."""
+    Returns the (rows_like, 3d) f32 projection; qkv_scale_ref is the weight
+    scale ref (None = dense bf16 weights); ``w_bits`` (static 8/4) picks the
+    int8 W8A8 or int4 W4A16 dot when scales are present."""
     x = y_ref[...].astype(jnp.float32)
     h1 = _layernorm(x, n1s_ref[0, 0].astype(jnp.float32),
                     n1b_ref[0, 0].astype(jnp.float32))
     if qkv_scale_ref is not None:
+        if w_bits == 4:
+            return _q4_dot(h1, qkv_ref[0], qkv_scale_ref[0], x_dtype)
         return _q8_dot(h1, qkv_ref[0], qkv_scale_ref[0, 0].astype(jnp.float32))
     return jnp.dot(h1.astype(x_dtype), qkv_ref[0],
                    preferred_element_type=jnp.float32)
 
 
 def _ffn_epilogue(y_ref, x_dtype, attn, outw_ref, outb_ref, n2s_ref, n2b_ref,
-                  f1w_ref, f1b_ref, f2w_ref, f2b_ref, wscales, allreduce=None):
+                  f1w_ref, f1b_ref, f2w_ref, f2b_ref, wscales, allreduce=None,
+                  w_bits: int = 8):
     """Per-layer epilogue after attention: out-proj + residual + LN2 + FFN +
     residual, written back into the resident hidden state.  wscales: None
-    (dense) or (out, f1, f2) int8 per-channel weight scale refs.
+    (dense) or (out, f1, f2) weight scale refs — int8 per-channel or int4
+    per-group per ``w_bits`` (static 8/4).
 
     ``allreduce``: manual-TP hook ``(partial, parity) -> full`` — out/lin2 are
     Megatron row-parallel per rank (attn holds LOCAL heads, hmid the LOCAL
     hidden slice), so their dots are partial sums completed across the 'model'
     ring BEFORE the (replicated) bias is added once (``_ring_allreduce``)."""
     x = y_ref[...].astype(jnp.float32)
+
+    def qdot(v, w_ref, s_ref):
+        if w_bits == 4:
+            return _q4_dot(v, w_ref[0], s_ref[0], x_dtype)
+        return _q8_dot(v, w_ref[0], s_ref[0, 0].astype(jnp.float32))
+
     if wscales is not None:
         outs_ref, f1s_ref, f2s_ref = wscales
-        o = _q8_dot(attn, outw_ref[0], outs_ref[0, 0].astype(jnp.float32))
+        o = qdot(attn, outw_ref, outs_ref)
     else:
         o = jnp.dot(attn.astype(x_dtype), outw_ref[0],
                     preferred_element_type=jnp.float32)
@@ -298,14 +342,13 @@ def _ffn_epilogue(y_ref, x_dtype, attn, outw_ref, outb_ref, n2s_ref, n2b_ref,
     h2 = _layernorm(x, n2s_ref[0, 0].astype(jnp.float32),
                     n2b_ref[0, 0].astype(jnp.float32))
     if wscales is not None:
-        hmid = _q8_dot(h2, f1w_ref[0], f1s_ref[0, 0].astype(jnp.float32)) \
-            + f1b_ref[0, 0]
+        hmid = qdot(h2, f1w_ref, f1s_ref) + f1b_ref[0, 0]
     else:
         hmid = jnp.dot(h2.astype(x_dtype), f1w_ref[0],
                        preferred_element_type=jnp.float32) + f1b_ref[0, 0]
     hmid = _gelu_exact(hmid)
     if wscales is not None:
-        f2 = _q8_dot(hmid, f2w_ref[0], f2s_ref[0, 0].astype(jnp.float32))
+        f2 = qdot(hmid, f2w_ref, f2s_ref)
     else:
         f2 = jnp.dot(hmid.astype(x_dtype), f2w_ref[0],
                      preferred_element_type=jnp.float32)
@@ -316,12 +359,13 @@ def _ffn_epilogue(y_ref, x_dtype, attn, outw_ref, outb_ref, n2s_ref, n2b_ref,
 
 
 def _unpack_rest(rest, quant: bool, quant_w: bool):
-    """Split the trailing kernel refs: optional int8-weight scales, optional
-    int8-cache scales, then (y, k_new, v_new, q, acc, m, l)."""
+    """Split the trailing kernel refs: optional weight scales (int8 channel or
+    int4 group), optional int8-cache scales, then (y, k_new, v_new, q, acc, m,
+    l).  ``quant_w`` is truthy when weight scales are present (bits 8 or 4)."""
     rest = list(rest)
     wscales = None
     if quant_w:
-        wscales = tuple(rest[:4])          # qkv, out, f1, f2 channel scales
+        wscales = tuple(rest[:4])          # qkv, out, f1, f2 weight scales
         del rest[:4]
     if quant:
         cks_ref, cvs_ref = rest[:2]
@@ -332,17 +376,19 @@ def _unpack_rest(rest, quant: bool, quant_w: bool):
 
 
 def _layer_io(p, cache, const_spec, layer_spec, cache_spec, h: int,
-              quant: bool, quant_w: bool):
+              quant: bool, w_bits: int):
     """Host-side in_specs + inputs shared by both kernels: x (const), the
-    per-layer weight/norm refs, the cache blocks, then optional int8 weight
-    scales and int8 cache scales.  Callers prepend the scalar-prefetch meta
-    and the token-block x to ``inputs``."""
-    wkey = 'q' if quant_w else 'w'
+    per-layer weight/norm refs, the cache blocks, then optional weight scales
+    (int8 per-channel / int4 per-group) and int8 cache scales.  Callers
+    prepend the scalar-prefetch meta and the token-block x to ``inputs``.
+    ``w_bits``: 0 dense, 8 int8 W8A8, 4 int4 W4A16 (packed (L, in/2, out))."""
+    wkey = {0: 'w', 8: 'q', 4: 'q4'}[w_bits]
     qkv_w, out_w = p['attn']['qkv'][wkey], p['attn']['out'][wkey]
     f1_w, f2_w = p['ffn']['lin1'][wkey], p['ffn']['lin2'][wkey]
     # Widths from the actual weights: under manual TP the attention width
     # (this rank's head slice = cache width) and the FFN hidden width are the
-    # LOCAL 1/mp slices while the hidden-state width d stays full.
+    # LOCAL 1/mp slices while the hidden-state width d stays full.  Input dims
+    # come from the arrays too — int4 packs two input rows per byte.
     d = out_w.shape[-1]
     d_qkv = qkv_w.shape[-1]                           # 3 * d_att
     d_att = d_qkv // 3
@@ -350,11 +396,11 @@ def _layer_io(p, cache, const_spec, layer_spec, cache_spec, h: int,
     in_specs = [
         const_spec,                                   # x
         layer_spec(1, d), layer_spec(1, d),           # norm1 scale/bias
-        layer_spec(d, d_qkv),                         # qkv w
-        layer_spec(d_att, d), layer_spec(1, d),       # out w, b
+        layer_spec(qkv_w.shape[1], d_qkv),            # qkv w
+        layer_spec(out_w.shape[1], d), layer_spec(1, d),  # out w, b
         layer_spec(1, d), layer_spec(1, d),           # norm2 scale/bias
-        layer_spec(d, dff), layer_spec(1, dff),       # ffn1 w, b
-        layer_spec(dff, d), layer_spec(1, d),         # ffn2 w, b
+        layer_spec(f1_w.shape[1], dff), layer_spec(1, dff),  # ffn1 w, b
+        layer_spec(f2_w.shape[1], d), layer_spec(1, d),      # ffn2 w, b
         cache_spec(d_att), cache_spec(d_att),         # cache k, v
     ]
     inputs = [p['norm1']['scale'][:, None], p['norm1']['bias'][:, None],
@@ -364,13 +410,18 @@ def _layer_io(p, cache, const_spec, layer_spec, cache_spec, h: int,
               f1_w, p['ffn']['lin1']['b'][:, None],
               f2_w, p['ffn']['lin2']['b'][:, None],
               cache.k, cache.v]
-    if quant_w:
+    if w_bits == 8:
         in_specs += [layer_spec(1, d_qkv), layer_spec(1, d),
                      layer_spec(1, dff), layer_spec(1, d)]
         inputs += [p['attn']['qkv']['scale'][:, None],
                    p['attn']['out']['scale'][:, None],
                    p['ffn']['lin1']['scale'][:, None],
                    p['ffn']['lin2']['scale'][:, None]]
+    elif w_bits == 4:
+        scales = [p['attn']['qkv']['scale4'], p['attn']['out']['scale4'],
+                  p['ffn']['lin1']['scale4'], p['ffn']['lin2']['scale4']]
+        in_specs += [layer_spec(s.shape[1], s.shape[2]) for s in scales]
+        inputs += scales
     if quant:
         in_specs += [cache_spec(h), cache_spec(h)]
         inputs += [cache.k_scale, cache.v_scale]
@@ -407,8 +458,8 @@ def _write_rows_per_slot(buf, new, index):
 def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
             n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref, ck_ref, cv_ref,
             *rest, n_heads: int, ttm: int, pm: int, rows: int, seq: int,
-            chunk: int, quant: bool, quant_w: bool, per_row: bool, mp: int = 1):
-    wscales, cks_ref, cvs_ref, rest = _unpack_rest(rest, quant, quant_w)
+            chunk: int, quant: bool, w_bits: int, per_row: bool, mp: int = 1):
+    wscales, cks_ref, cvs_ref, rest = _unpack_rest(rest, quant, w_bits)
     y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest[:7]
     l = pl.program_id(0)
     c = pl.program_id(1)
@@ -452,7 +503,8 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
     @pl.when(c == 0)
     def _project():
         qkv = _project_qkv(y_ref, x_ref.dtype, n1s_ref, n1b_ref, qkv_ref,
-                           wscales[0] if quant_w else None)  # (rows, 3*d_att)
+                           wscales[0] if w_bits else None,
+                           w_bits=w_bits)                    # (rows, 3*d_att)
         q_s[...] = qkv[:, :d_att] * scale
         knew_ref[0] = qkv[:, d_att:2 * d_att].astype(knew_ref.dtype)
         vnew_ref[0] = qkv[:, 2 * d_att:].astype(vnew_ref.dtype)
@@ -540,7 +592,8 @@ def _kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref, outb_ref,
         attn = jnp.concatenate(rows_out, axis=0)             # (rows, d_att)
         _ffn_epilogue(y_ref, x_ref.dtype, attn, outw_ref, outb_ref, n2s_ref,
                       n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
-                      wscales[1:] if quant_w else None, allreduce=allreduce)
+                      wscales[1:] if w_bits else None, allreduce=allreduce,
+                      w_bits=w_bits)
 
 
 def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
@@ -574,11 +627,12 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
     d = x.shape[-1]
     h = n_heads
     quant = cache.k_scale is not None
-    quant_w = 'q' in p['attn']['qkv']      # int8 weights (quantize.py layout)
+    w_bits = 8 if 'q' in p['attn']['qkv'] \
+        else (4 if 'q4' in p['attn']['qkv'] else 0)   # quantize.py layouts
     per_row = jnp.ndim(index) == 1
     mp = tp[2] if tp is not None else 1
-    assert not (mp > 1 and quant_w), \
-        'TP fused decode requires dense weights (int8 activation scales are global)'
+    assert not (mp > 1 and w_bits), \
+        'TP fused decode requires dense weights (models/ar.py falls back)'
     chunk = chunk_for(seq, rows, d_att, n_heads, cache.k.dtype,
                       forced=chunk_override)
     if seq % chunk:
@@ -602,7 +656,7 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
 
     kernel = functools.partial(_kernel, n_heads=n_heads, ttm=ttm, pm=pm,
                                rows=rows, seq=seq, chunk=chunk, quant=quant,
-                               quant_w=quant_w, per_row=per_row, mp=mp)
+                               w_bits=w_bits, per_row=per_row, mp=mp)
     interpret = jax.default_backend() != 'tpu'
     layer_spec = lambda *shape: pl.BlockSpec(
         (1, *shape), lambda l, c, meta: (l,) + (0,) * len(shape))
@@ -614,7 +668,7 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
         lambda l, c, meta: (l, 0, jnp.minimum(c, meta[0] // chunk), 0))
 
     in_specs, inputs, weights = _layer_io(p, cache, const_spec, layer_spec,
-                                          cache_spec, h, quant, quant_w)
+                                          cache_spec, h, quant, w_bits)
     inputs = [meta, x2] + inputs
     new_dtype = x.dtype if quant else cache.k.dtype
     scratch = [
@@ -691,7 +745,7 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
                    outb_ref, n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref,
                    f2b_ref, ck_ref, cv_ref, *rest, n_heads: int, ttm: int,
                    pm: int, rows: int, seq: int, chunk: int, q_blk: int,
-                   quant: bool, quant_w: bool, mp: int = 1):
+                   quant: bool, w_bits: int, mp: int = 1):
     """The whole L-layer K-token verify block as one kernel.
 
     Differences from ``_kernel`` (the single-token step):
@@ -708,7 +762,7 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
       f32 reordering).  int8 caches see the quantize→dequantize roundtrip of
       the new rows, exactly what the next turn reads back.
     """
-    wscales, cks_ref, cvs_ref, rest = _unpack_rest(rest, quant, quant_w)
+    wscales, cks_ref, cvs_ref, rest = _unpack_rest(rest, quant, w_bits)
     y_ref, knew_ref, vnew_ref, q_s, acc_s, m_s, l_s = rest[:7]
     l = pl.program_id(0)
     c = pl.program_id(1)
@@ -758,7 +812,8 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
     @pl.when(c == 0)
     def _project():
         qkv = _project_qkv(y_ref, x_ref.dtype, n1s_ref, n1b_ref, qkv_ref,
-                           wscales[0] if quant_w else None)  # (rows*K, 3*d_att)
+                           wscales[0] if w_bits else None,
+                           w_bits=w_bits)                  # (rows*K, 3*d_att)
         q_s[...] = qkv[:, :d_att] * scale
         knew_ref[0] = qkv[:, d_att:2 * d_att].astype(knew_ref.dtype)
         vnew_ref[0] = qkv[:, 2 * d_att:].astype(vnew_ref.dtype)
@@ -855,7 +910,8 @@ def _verify_kernel(meta_ref, x_ref, n1s_ref, n1b_ref, qkv_ref, outw_ref,
         attn = jnp.concatenate(rows_out, axis=0)             # (rows*K, d_att)
         _ffn_epilogue(y_ref, x_ref.dtype, attn, outw_ref, outb_ref, n2s_ref,
                       n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
-                      wscales[1:] if quant_w else None, allreduce=allreduce)
+                      wscales[1:] if w_bits else None, allreduce=allreduce,
+                      w_bits=w_bits)
 
 
 def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
@@ -888,9 +944,10 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
     _, q_blk, _ = x.shape
     rk = rows * q_blk
     quant = cache.k_scale is not None
-    quant_w = 'q' in p['attn']['qkv']
+    w_bits = 8 if 'q' in p['attn']['qkv'] \
+        else (4 if 'q4' in p['attn']['qkv'] else 0)
     mp = tp[2] if tp is not None else 1
-    assert not (mp > 1 and quant_w), \
+    assert not (mp > 1 and w_bits), \
         'TP fused verify requires dense weights (int8 activation scales are global)'
     chunk = chunk_for(seq, rows, d_att, n_heads, cache.k.dtype,
                       forced=chunk_override)
@@ -912,7 +969,7 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
 
     kernel = functools.partial(_verify_kernel, n_heads=n_heads, ttm=ttm, pm=pm,
                                rows=rows, seq=seq, chunk=chunk, q_blk=q_blk,
-                               quant=quant, quant_w=quant_w, mp=mp)
+                               quant=quant, w_bits=w_bits, mp=mp)
     interpret = jax.default_backend() != 'tpu'
     layer_spec = lambda *shape: pl.BlockSpec(
         (1, *shape), lambda l, c, meta: (l,) + (0,) * len(shape))
@@ -922,7 +979,7 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
         lambda l, c, meta: (l, 0, jnp.minimum(c, meta[0] // chunk), 0))
 
     in_specs, inputs, weights = _layer_io(p, cache, const_spec, layer_spec,
-                                          cache_spec, h, quant, quant_w)
+                                          cache_spec, h, quant, w_bits)
     inputs = [meta, x2] + inputs
     new_dtype = x.dtype if quant else cache.k.dtype
     scratch = [

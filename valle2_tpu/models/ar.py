@@ -211,7 +211,7 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int,
     without an extra collective per dot (linear_row_parallel pmax-es it).
     """
     from ..kernels.fused_decode import chunk_for
-    if tp_mp > 1 and config.weight_dtype == 'int8':
+    if tp_mp > 1 and config.weight_dtype in ('int8', 'int4'):
         return False
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
     quant = cache_dtype == jnp.int8
@@ -234,9 +234,10 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int,
     # Weights stream at the decode COMPUTE dtype (_to_compute casts them), so
     # f32 configs budget 4 bytes — not a hardcoded bf16 2 (a 2x VMEM
     # undercount that would pass configs the kernel cannot compile).
-    w_item = 1 if config.weight_dtype == 'int8' \
-        else jnp.dtype(config.dtype).itemsize
-    weight_bytes = (4 * d * d + 2 * d * config.dim_feedforward) * w_item \
+    # int8 halves the streamed bytes, int4 quarters them (packed nibbles).
+    w_item = {'int8': 1, 'int4': 0.5}.get(
+        config.weight_dtype, jnp.dtype(config.dtype).itemsize)
+    weight_bytes = int((4 * d * d + 2 * d * config.dim_feedforward) * w_item) \
         // tp_mp
     # cache_block_bytes already counts k+v; double-buffer everything streamed.
     vmem_need = 2 * (weight_bytes + cache_block_bytes) + 16 * 1024 * 1024
@@ -796,7 +797,8 @@ class ValleAR:
                 self._decode_data_sharded = True
             else:
                 from ..parallel import tp_divisible
-                if tp_divisible(config.n_heads, config.dim_feedforward, mp):
+                if tp_divisible(config.n_heads, config.dim_feedforward, mp) \
+                        and config.weight_dtype != 'int4':
                     # TP mesh, MANUAL parallelism under shard_map: each model
                     # rank holds the Megatron column/row split and runs its
                     # LOCAL heads; row-parallel projections psum (XLA path) or
@@ -897,13 +899,14 @@ class ValleAR:
         is not detectable; rebind the dict instead.  Works on a mesh too:
         parallel/mesh.py shards the 'q'/'scale' leaves by the same Megatron
         rules as the dense weights they mirror."""
-        if self.config.weight_dtype != 'int8':
+        if self.config.weight_dtype not in ('int8', 'int4'):
             return self.params
         src = self._qdecode_src
         if not (src is not None and src[0] is self.params
                 and src[1] is self.params['transformer']):
             from ..quantize import quantize_decode_params
-            self._qdecode = quantize_decode_params(self.params)
+            bits = 8 if self.config.weight_dtype == 'int8' else 4
+            self._qdecode = quantize_decode_params(self.params, bits=bits)
             # Strong refs (not ids): identity stays valid for the cache's life.
             self._qdecode_src = (self.params, self.params['transformer'])
         return self._qdecode

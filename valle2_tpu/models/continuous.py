@@ -432,8 +432,8 @@ class ContinuousDecoder:
                                       use_fused_decode=False,
                                       speculative_k=0)
         self._ar = ValleAR(cfg, params=model.params)
-        # Share any int8 decode view instead of re-quantizing a duplicate.
-        if config.weight_dtype == 'int8':
+        # Share any quantized decode view instead of re-quantizing a duplicate.
+        if config.weight_dtype in ('int8', 'int4'):
             self._ar._qdecode = model.decode_params
             self._ar._qdecode_src = (self._ar.params,
                                      self._ar.params['transformer'])

@@ -48,6 +48,11 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
         # serving path (ConfigValle.weight_dtype='int8'); see quantize.py.
         from ..quantize import int8_matmul
         y = int8_matmul(x, p['q'], p['scale'])
+    elif 'q4' in p:
+        # int4 W4A16 layout from quantize.quantize_linear_int4
+        # (ConfigValle.weight_dtype='int4').
+        from ..quantize import int4_matmul
+        y = int4_matmul(x, p['q4'], p['scale4'])
     else:
         y = x @ p['w']
     if 'b' in p:

@@ -108,10 +108,15 @@ def _param_spec(path: tuple, leaf, model_size: int) -> P:
     # column-parallel scale follows its sharded output features.  Row-parallel
     # scales replicate (they apply per FULL output channel, after the psum —
     # scale * psum(partial) == psum(scale * partial), so placement is free).
+    # int4 ('q4' + group-wise 'scale4') leaves follow the same pairing; the
+    # row-parallel q4 shards its PACKED input rows (in/2 — still the input
+    # axis) and scale4 replicates like every row-parallel scale.
     if joined.endswith(('qkv/w', 'lin1/w', 'lin1/b',
-                        'qkv/q', 'lin1/q', 'qkv/scale', 'lin1/scale')):
+                        'qkv/q', 'lin1/q', 'qkv/scale', 'lin1/scale',
+                        'qkv/q4', 'lin1/q4', 'qkv/scale4', 'lin1/scale4')):
         return dim_spec(1)                   # column parallel (output features)
-    if joined.endswith(('out/w', 'lin2/w', 'out/q', 'lin2/q')):
+    if joined.endswith(('out/w', 'lin2/w', 'out/q', 'lin2/q',
+                        'out/q4', 'lin2/q4')):
         return dim_spec(2)                   # row parallel (input features)
     if 'proj_layers' in joined or joined == 'proj/w':
         return dim_spec(1)                   # vocab-sharded output head

@@ -82,20 +82,123 @@ def int8_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     return (y.astype(jnp.float32) * sx * scale).astype(x.dtype)
 
 
-def quantize_transformer(tp: Params) -> Params:
-    """Quantize the four big linears of a (stacked) transformer layer pytree;
-    norms pass through unchanged."""
-    out = jax.tree.map(lambda a: a, tp)      # shallow-ish copy of the dict tree
-    out['attn'] = {'qkv': quantize_linear(tp['attn']['qkv']),
-                   'out': quantize_linear(tp['attn']['out'])}
-    out['ffn'] = {'lin1': quantize_linear(tp['ffn']['lin1']),
-                  'lin2': quantize_linear(tp['ffn']['lin2'])}
+GROUP4 = 128   # int4 scale-group size along the input axis (AWQ/GPTQ-standard)
+
+
+def group4_for(in_dim: int, group: int = GROUP4) -> int:
+    """Largest usable int4 group ≤ ``group``: must divide in_dim/2 so scale
+    groups never straddle the two nibble planes (see ``quantize_linear_int4``),
+    which keeps the kernel's per-plane dequant a plain reshape."""
+    g = min(group, max(in_dim // 2, 1))
+    while g > 1 and (in_dim // 2) % g:
+        g //= 2
+    return g
+
+
+def quantize_linear_int4(p: Params, group: int = GROUP4) -> Params:
+    """{'w': (..., in, out), 'b'?} → {'q4': int8 (..., in/2, out),
+    'scale4': f32 (..., in/group, out), 'b'?} — weight-only 4-bit (W4A16).
+
+    - **Group-wise symmetric**: ``scale[g, o] = max|w[gG:(g+1)G, o]| / 7`` over
+      input groups of G = ``group`` rows (clamped by ``group4_for``); values in
+      [-7, 7].  Per-channel int4 is too coarse for transformer weights; G=128
+      is the AWQ/GPTQ standard operating point.
+    - **Half-split nibble packing**: byte k holds input row k in its LOW
+      nibble and input row k + in/2 in its HIGH nibble.  Unpacking is then two
+      plane-wise shifts + two dots — no row interleave — which is what the
+      fused kernel's Mosaic lowering wants (kernels/fused_decode._q4_dot).
+    - **No activation quantization** (unlike the int8 W8A8 path): the bytes
+      saved are the point — decode is weight-streaming-bound — and fp
+      activations keep the only lossy step the 4-bit weight rounding.
+
+    Requires in % 2 == 0 (every transformer linear here is even-width).
+    """
+    w = jnp.asarray(p['w'], jnp.float32)
+    in_dim = w.shape[-2]
+    assert in_dim % 2 == 0, f'int4 packing needs an even input dim, got {in_dim}'
+    g = group4_for(in_dim, group)
+    groups = in_dim // g
+    gshape = (*w.shape[:-2], groups, g, w.shape[-1])
+    amax = jnp.max(jnp.abs(w.reshape(gshape)), axis=-2)        # (..., groups, out)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    qi = jnp.clip(jnp.round(w.reshape(gshape) / scale[..., None, :]), -7, 7)
+    qi = qi.astype(jnp.int32).reshape(w.shape)                 # (..., in, out)
+    half = in_dim // 2
+    lo = jnp.take(qi, jnp.arange(half), axis=-2)
+    hi = jnp.take(qi, jnp.arange(half, in_dim), axis=-2)
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    out: Params = {'q4': packed, 'scale4': scale}
+    if 'b' in p:
+        out['b'] = p['b']
     return out
 
 
-def quantize_decode_params(params: Params) -> Params:
-    """AR/NAR model params → decode params with an int8 transformer stack.
-    Embeddings and the logit projection stay full precision."""
+def unpack_int4(q4: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Packed (..., in/2, out) int8 → (lo, hi) int32 nibble planes, each
+    (..., in/2, out) in [-8, 7]: lo = input rows [0, in/2), hi = [in/2, in)."""
+    p32 = q4.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)          # sign-extend low
+    hi = jnp.right_shift(p32, 4)                               # arithmetic
+    return lo, hi
+
+
+def dequantize_linear_int4(p: Params, dtype=jnp.float32) -> Params:
+    """Inverse of ``quantize_linear_int4`` (fake-quant floats, for tests)."""
+    lo, hi = unpack_int4(p['q4'])
+    qi = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    in_dim = qi.shape[-2]
+    scale = p['scale4']
+    g = in_dim // scale.shape[-2]
+    w = qi.reshape(*qi.shape[:-2], in_dim // g, g, qi.shape[-1]) \
+        * scale[..., None, :]
+    out: Params = {'w': w.reshape(qi.shape).astype(dtype)}
+    if 'b' in p:
+        out['b'] = p['b']
+    return out
+
+
+def int4_matmul(x: jax.Array, q4: jax.Array, scale: jax.Array) -> jax.Array:
+    """``x @ dequant(q4)`` — W4A16: fp activations, on-the-fly group-dequant.
+
+    x: (..., in) float; q4: (in/2, out) packed int8; scale: (groups, out) f32.
+    Two plane dots (no interleave): y = x_lo @ W_lo + x_hi @ W_hi, each plane
+    dequantized (reshape → * group scale) in f32 and cast to x.dtype so the
+    MXU runs its native bf16 dots under bf16 configs.
+    """
+    lo, hi = unpack_int4(q4)
+    half = q4.shape[-2]
+    groups = scale.shape[-2]
+    gh = groups // 2                     # group4_for guarantees plane alignment
+    g = half // gh
+
+    def plane(q_plane, s_plane):
+        w = q_plane.astype(jnp.float32).reshape(gh, g, q4.shape[-1]) \
+            * s_plane[:, None, :]
+        return w.reshape(half, q4.shape[-1]).astype(x.dtype)
+
+    y = x[..., :half] @ plane(lo, scale[:gh]) \
+        + x[..., half:] @ plane(hi, scale[gh:])
+    return y.astype(x.dtype)
+
+
+def quantize_transformer(tp: Params, bits: int = 8) -> Params:
+    """Quantize the four big linears of a (stacked) transformer layer pytree;
+    norms pass through unchanged.  ``bits``: 8 (W8A8, per-channel) or 4
+    (W4A16, group-wise)."""
+    quant = quantize_linear if bits == 8 else quantize_linear_int4
+    out = jax.tree.map(lambda a: a, tp)      # shallow-ish copy of the dict tree
+    out['attn'] = {'qkv': quant(tp['attn']['qkv']),
+                   'out': quant(tp['attn']['out'])}
+    out['ffn'] = {'lin1': quant(tp['ffn']['lin1']),
+                  'lin2': quant(tp['ffn']['lin2'])}
+    return out
+
+
+def quantize_decode_params(params: Params, bits: int = 8) -> Params:
+    """AR/NAR model params → decode params with a quantized transformer stack
+    (int8 W8A8 or int4 W4A16).  Embeddings and the logit projection stay full
+    precision."""
     out = dict(params)
-    out['transformer'] = quantize_transformer(params['transformer'])
+    out['transformer'] = quantize_transformer(params['transformer'], bits=bits)
     return out

@@ -121,7 +121,7 @@ class ValleTTS:
             else:
                 from .parallel import tp_divisible
                 if tp_divisible(config.n_heads, config.dim_feedforward, mp) \
-                        and config.weight_dtype != 'int8':
+                        and config.weight_dtype not in ('int8', 'int4'):
                     # Manual TP: AR decode AND NAR refinement run the Megatron
                     # split per model rank inside ONE shard_map — the fused
                     # Pallas kernel stays live on TP meshes (mirrors ValleAR).
@@ -485,7 +485,7 @@ class ValleTTS:
             # tts.ar.load() (or any params rebind) must reach streaming too —
             # a stale _stream_ar would silently synthesize with old weights.
             self._stream_ar.params = self.ar.params
-        if self.config.weight_dtype == 'int8':
+        if self.config.weight_dtype in ('int8', 'int4'):
             # Share the main model's quantized view — a second
             # quantize_decode_params would hold a duplicate int8 param tree
             # on device (~100 MB at 204M) for the process lifetime.  Re-synced
