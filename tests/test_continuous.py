@@ -256,6 +256,26 @@ class TestContinuousDecoder:
         got = drain(cb, [s])
         np.testing.assert_array_equal(got[s], want)
 
+    def test_int4_weights_equal_solo(self):
+        """int4 W4A16 decode weights through the batcher (the shared quantized
+        view, models/continuous.py) — greedy tokens bit-identical to the solo
+        int4 decode, staggered joins included."""
+        model = ValleAR(tiny_cfg(weight_dtype='int4'), seed=5)
+        assert 'q4' in model.decode_params['transformer']['attn']['qkv']
+        (ta, ca), (tb, cbc) = self._prompts(2, seed=11)
+        want_a, want_b = solo(model, ta, ca), solo(model, tb, cbc)
+        cb = ContinuousDecoder(model, n_slots=2)
+        sa = cb.join(ta, ca)
+        got_a = list(cb.advance(3).get(sa, []))
+        sb = cb.join(tb, cbc)
+        got_b = []
+        while not (cb.finished(sa) and cb.finished(sb)):
+            out = cb.advance(4)
+            got_a.extend(out.get(sa, []))
+            got_b.extend(out.get(sb, []))
+        np.testing.assert_array_equal(np.asarray(got_a, np.int32), want_a)
+        np.testing.assert_array_equal(np.asarray(got_b, np.int32), want_b)
+
 
 class TestSpecContinuous:
     """Speculative continuous batching (``ContinuousDecoder(speculative=

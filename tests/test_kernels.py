@@ -615,6 +615,26 @@ class TestFusedVerify:
         np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_int4_weights_match_xla(self):
+        """int4 W4A16 in the verify kernel: in-kernel _q4_dot group dequant
+        == the XLA int4 dispatch on the same packed params."""
+        from valle2_tpu.ops.transformer import transformer_decode_step
+        from valle2_tpu.quantize import quantize_transformer
+        from valle2_tpu.kernels.fused_decode import (fused_cache_layout,
+                                                     fused_verify_step)
+        p, cache, x, tl, plen, (h, ttm, pm, S, K) = self._setup(seed=30)
+        p = quantize_transformer(p, bits=4)
+        assert 'q4' in p['attn']['qkv']
+        index = jnp.asarray([ttm + pm + 5, ttm + pm + 2, ttm + pm + 9],
+                            jnp.int32)
+        got_y, _ = fused_verify_step(p, x, h, fused_cache_layout(cache),
+                                     index, tl, plen, ttm, pm)
+        want_y, _ = transformer_decode_step(
+            p, x, h, cache, index,
+            attend_mask=self._attend(tl, plen, index, ttm, pm, S, K))
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_chunked_block_straddles_boundary(self, monkeypatch):
         """Forced chunk 16 on S=48: row 0's block [14, 17) straddles the
         chunk-0/1 boundary — the in-register block contribution (applied at

@@ -301,8 +301,59 @@ class TestInt4:
     def test_fused_gate_accepts_int4(self):
         c = cfg(weight_dtype='int4', use_fused_decode=True)
         assert ar_mod._fused_gate(c, rows=2, total_max=64) is True
-        # ...but not under manual TP (per-rank packing boundaries differ).
-        assert ar_mod._fused_gate(c, rows=2, total_max=64, tp_mp=2) is False
+        # int4 ALSO rides manual TP (ranked per-rank packing, fp psums)...
+        assert ar_mod._fused_gate(c, rows=2, total_max=64, tp_mp=2) is True
+        # ...while int8 W8A8 stays excluded there (global activation scale).
+        c8 = cfg(weight_dtype='int8', use_fused_decode=True)
+        assert ar_mod._fused_gate(c8, rows=2, total_max=64, tp_mp=2) is False
+
+    def test_ranked_packing_roundtrip_and_alignment(self):
+        """Ranked per-rank int4: the dequant error obeys the same per-group
+        bound as the global packing, and when the rank slice is a multiple of
+        the group size the quantized VALUES equal the global quantization's
+        (group boundaries align)."""
+        from valle2_tpu.quantize import (dequantize_linear_int4,
+                                         dequantize_linear_int4_ranked,
+                                         quantize_linear_int4,
+                                         quantize_linear_int4_ranked)
+        w = jax.random.normal(jax.random.key(11), (64, 16), jnp.float32)
+        mp = 2
+        qr = quantize_linear_int4_ranked({'w': w}, mp, group=16)
+        # Aligned case: 64/2 = 32 rows per rank, group 16 divides 32 → each
+        # rank's groups are exactly the global groups over its rows.
+        qg = quantize_linear_int4({'w': w}, group=16)
+        wd_r = np.asarray(dequantize_linear_int4_ranked(qr, mp)['w'])
+        wd_g = np.asarray(dequantize_linear_int4(qg)['w'])
+        np.testing.assert_array_equal(wd_r, wd_g)
+        # Layout: per-rank halves are self-contained — slicing rank r's packed
+        # rows + scales yields a valid standalone layout over its row slice.
+        half_r = qr['q4'].shape[0] // mp
+        groups_r = qr['scale4'].shape[0] // mp
+        for r in range(mp):
+            part = dequantize_linear_int4(
+                {'q4': qr['q4'][r * half_r:(r + 1) * half_r],
+                 'scale4': qr['scale4'][r * groups_r:(r + 1) * groups_r]})['w']
+            np.testing.assert_array_equal(np.asarray(part),
+                                          wd_r[r * 32:(r + 1) * 32])
+
+    def test_ranked_transformer_layout(self):
+        """quantize_transformer(tp_mp=mp): row-parallel linears (out, lin2)
+        pack per rank; column-parallel (qkv, lin1) keep the global packing."""
+        from valle2_tpu.ops.transformer import transformer_init
+        from valle2_tpu.quantize import (quantize_linear_int4,
+                                         quantize_transformer)
+        tp = transformer_init(jax.random.key(12), 2, 32, 4, 64,
+                              adaptive_norm=False)
+        q = quantize_transformer(tp, bits=4, tp_mp=2)
+        qg = quantize_transformer(tp, bits=4)
+        np.testing.assert_array_equal(np.asarray(q['attn']['qkv']['q4']),
+                                      np.asarray(qg['attn']['qkv']['q4']))
+        # lin2 (in=64, mp=2): per-rank 32-row slices quantized independently.
+        want = np.concatenate([
+            np.asarray(quantize_linear_int4(
+                {'w': tp['ffn']['lin2']['w'][:, r * 32:(r + 1) * 32]})['q4'])
+            for r in range(2)], axis=1)
+        np.testing.assert_array_equal(np.asarray(q['ffn']['lin2']['q4']), want)
 
     def test_data_mesh_int4_matches_single_device(self):
         """int4 decode on a data-only mesh rides the per-shard shard_map path
@@ -321,20 +372,22 @@ class TestInt4:
             want = single.generate(jnp.asarray(t), jnp.asarray(pc), bucket=False)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
-    def test_tp_mesh_int4_runs_gspmd(self):
-        """int4 + model axis falls back to the GSPMD XLA path (manual-TP is
-        excluded: per-rank nibble packing boundaries differ) — the q4/scale4
-        leaves shard by the Megatron rules and decode still produces valid
-        codes.  fp partial sums psum, so exactness vs solo is not guaranteed;
-        this pins the path compiles + runs sharded."""
+    def test_tp_mesh_int4_gspmd_on_odd_split(self):
+        """int4 + a model axis the ranked packing cannot split evenly (odd
+        per-rank input width) falls back to the GSPMD XLA path: the GLOBAL
+        q4/scale4 leaves shard by the Megatron placement hints and decode
+        still produces valid codes.  (Divisible splits take manual TP with
+        ranked packing — tests/test_tp_decode.py.)"""
         from valle2_tpu.parallel import make_mesh
-        c = cfg(weight_dtype='int4')
+        c = cfg(weight_dtype='int4', d_model=38, dim_feedforward=76,
+                num_audio_tokens=36)
+        assert (c.d_model // 2) % 2 == 1      # odd per-rank rows → no ranked
         model = ValleAR(c, seed=9, mesh=make_mesh(data=4, model=2))
         assert model._decode_tp is None and not model._decode_data_sharded
         rs = np.random.RandomState(9)
         out = np.asarray(model.generate(rs.randint(0, 24, (5,)),
-                                        rs.randint(0, 96, (4, 8))))
-        assert out.ndim == 1 and ((out >= 0) & (out < 96)).all()
+                                        rs.randint(0, 36, (4, 8))))
+        assert out.ndim == 1 and ((out >= 0) & (out < 36)).all()
 
     def test_tts_pipeline_with_int4_weights(self):
         from valle2_tpu.tts import ValleTTS

@@ -114,6 +114,30 @@ class TestTPDecodeOps:
         np.testing.assert_allclose(y0_tp, y0_solo, atol=5e-6, rtol=5e-4)
         np.testing.assert_allclose(ys_tp, ys_solo, atol=5e-6, rtol=5e-4)
 
+    def test_int4_weights(self, data, model):
+        """int4 W4A16 under manual TP: column-parallel q4 slices are valid
+        standalone layouts of the GLOBAL packing, row-parallel linears use the
+        RANKED per-rank packing (quantize_linear_int4_ranked) and complete
+        with a plain fp psum.  Reference: the solo dense run on the exact
+        dequantized weights the TP ranks multiply by."""
+        from valle2_tpu.quantize import (dequantize_linear_int4,
+                                         dequantize_linear_int4_ranked,
+                                         quantize_transformer)
+        dense, (x, steps) = _params(key=8), _inputs(key=9)
+        qtp = quantize_transformer(dense, bits=4, tp_mp=model)
+        ref = jax.tree.map(lambda a: a, dense)
+        ref['attn'] = {'qkv': dequantize_linear_int4(qtp['attn']['qkv']),
+                       'out': dequantize_linear_int4_ranked(
+                           qtp['attn']['out'], model)}
+        ref['ffn'] = {'lin1': dequantize_linear_int4(qtp['ffn']['lin1']),
+                      'lin2': dequantize_linear_int4_ranked(
+                          qtp['ffn']['lin2'], model)}
+        y0_solo, ys_solo = _run(ref, x, steps, H)
+        mesh = make_mesh(data=data, model=model)
+        y0_tp, ys_tp = _run_tp(mesh, qtp, x, steps)
+        np.testing.assert_allclose(y0_tp, y0_solo, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(ys_tp, ys_solo, atol=2e-5, rtol=2e-5)
+
     def test_int8_kv_cache(self, data, model):
         """The quantized cache holds only local heads per rank; per-slot f32
         scale arithmetic is head-local so TP slices don't change rounding."""
@@ -377,6 +401,36 @@ class TestValleARManualTP:
         want = solo.generate(jnp.asarray(items[0][0]), jnp.asarray(items[0][1]))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_int4_fused_tp_matches_xla_tp(self):
+        """int4 weights KEEP the fused kernel under manual TP (ranked per-rank
+        packing + fp ring all-reduce): the in-kernel _q4_dot dequant must
+        match the XLA path's int4_matmul bit-for-bit in interpret mode, so
+        greedy tokens agree between the two TP programs on the same ranked
+        view."""
+        import dataclasses
+        from valle2_tpu.models.ar import ValleAR, _fused_gate
+        from valle2_tpu.parallel import make_model_mesh
+        c = _ar_cfg(weight_dtype='int4', use_fused_decode=True,
+                    matmul_precision='default', kv_cache_dtype='float32',
+                    dtype='float32')
+        assert _fused_gate(c, rows=2, total_max=64, tp_mp=2)
+        mesh = make_model_mesh(2)
+        seedm = ValleAR(c)
+        fused = ValleAR(c, params=seedm.params, mesh=mesh)
+        xla = ValleAR(dataclasses.replace(c, use_fused_decode=False),
+                      params=seedm.params, mesh=mesh)
+        assert fused._decode_tp == (('model',), 2)
+        assert 'q4' in fused._tp_params()['transformer']['attn']['qkv']
+        rs = np.random.RandomState(11)
+        items = [(rs.randint(0, 24, (4,)), rs.randint(0, 96, (3, 8))),
+                 (rs.randint(0, 24, (6,)), rs.randint(0, 96, (5, 8)))]
+        got = fused.generate_batch([t for t, _ in items],
+                                   [pc for _, pc in items])
+        want = xla.generate_batch([t for t, _ in items],
+                                  [pc for _, pc in items])
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
     def test_int8_weights_tp_falls_back_to_xla_path(self):
         """int8 weights + TP: the fused gate declines (global activation
         scales) but the manual-TP XLA path runs them EXACTLY (integer psum) —
@@ -429,6 +483,40 @@ class TestTTSManualTP:
             want = plain.synthesize_fused(text, pt, pc)
             np.testing.assert_array_equal(g.codes, want.codes)
             np.testing.assert_allclose(g.waveform, want.waveform, atol=2e-5)
+
+    def test_int4_pipeline_tp_fused_matches_xla(self):
+        """The fused TTS pipeline under manual TP with int4 AR weights: the
+        Pallas decode kernel (ranked q4, in-kernel dequant + ring all-reduce)
+        against the same TP pipeline on the XLA step — codes and waveforms
+        agree (identical ranked quantization, identical fp arithmetic in
+        interpret mode)."""
+        import dataclasses
+        from valle2_tpu.models.ar import ValleAR
+        from valle2_tpu.parallel import make_model_mesh
+        from valle2_tpu.tts import ValleTTS
+        c = self._cfg(weight_dtype='int4', use_fused_decode=True,
+                      matmul_precision='default', kv_cache_dtype='float32',
+                      dtype='float32')
+        mesh = make_model_mesh(2)
+        seedm = ValleAR(c)
+        fused = ValleTTS(c, ar=ValleAR(c, params=seedm.params, mesh=mesh),
+                         mesh=mesh)
+        cx = dataclasses.replace(c, use_fused_decode=False)
+        xla = ValleTTS(cx, ar=ValleAR(cx, params=seedm.params, mesh=mesh),
+                       nar=fused.nar, codec=fused.codec, mesh=mesh)
+        assert fused._pipe_tp == (('model',), 2)
+        rs = np.random.RandomState(12)
+        reqs = [('go on.', rs.randint(0, 24, (3,)),
+                 rs.randint(0, 96, (4, 8))) for _ in range(2)]
+        got = fused.batch_synthesize([r[0] for r in reqs],
+                                     [r[1] for r in reqs],
+                                     [r[2] for r in reqs])
+        want = xla.batch_synthesize([r[0] for r in reqs],
+                                    [r[1] for r in reqs],
+                                    [r[2] for r in reqs])
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g.codes, w.codes)
+            np.testing.assert_allclose(g.waveform, w.waveform, atol=2e-5)
 
     def test_xla_pipeline_tp_matches_solo(self):
         """2x2 (data x model) mesh, XLA psum path (fused gate off on CPU):

@@ -631,8 +631,12 @@ def fused_decode_step(p, x, n_heads: int, cache, index, tokens_lens, codes_lens,
         else (4 if 'q4' in p['attn']['qkv'] else 0)   # quantize.py layouts
     per_row = jnp.ndim(index) == 1
     mp = tp[2] if tp is not None else 1
-    assert not (mp > 1 and w_bits), \
-        'TP fused decode requires dense weights (models/ar.py falls back)'
+    # int8 W8A8 needs a GLOBAL per-token activation scale (one extra
+    # collective per dot) — excluded from TP; int4 W4A16 has fp activations,
+    # so each rank dequants its ranked-packed slice locally and the existing
+    # ring all-reduce completes the fp partials.
+    assert not (mp > 1 and w_bits == 8), \
+        'TP fused decode cannot run int8 weights (models/ar.py falls back)'
     chunk = chunk_for(seq, rows, d_att, n_heads, cache.k.dtype,
                       forced=chunk_override)
     if seq % chunk:
@@ -947,8 +951,8 @@ def fused_verify_step(p, x, n_heads: int, cache, index, tokens_lens,
     w_bits = 8 if 'q' in p['attn']['qkv'] \
         else (4 if 'q4' in p['attn']['qkv'] else 0)
     mp = tp[2] if tp is not None else 1
-    assert not (mp > 1 and w_bits), \
-        'TP fused verify requires dense weights (int8 activation scales are global)'
+    assert not (mp > 1 and w_bits == 8), \
+        'TP fused verify cannot run int8 weights (activation scales are global)'
     chunk = chunk_for(seq, rows, d_att, n_heads, cache.k.dtype,
                       forced=chunk_override)
     if seq % chunk:

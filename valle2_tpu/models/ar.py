@@ -209,9 +209,12 @@ def _fused_gate(config: ConfigValle, rows: int, total_max: int,
     shrink 1/mp, but int8 WEIGHTS force the XLA TP path — their dynamic
     activation scale is a global max the in-kernel row-parallel dot cannot see
     without an extra collective per dot (linear_row_parallel pmax-es it).
+    int4 W4A16 stays fused: activations are fp, so each rank dequants its own
+    ranked-packed slice locally and the ring all-reduce completes the fp
+    partial sums (quantize.quantize_linear_int4_ranked).
     """
     from ..kernels.fused_decode import chunk_for
-    if tp_mp > 1 and config.weight_dtype in ('int8', 'int4'):
+    if tp_mp > 1 and config.weight_dtype == 'int8':
         return False
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
     quant = cache_dtype == jnp.int8
@@ -797,8 +800,14 @@ class ValleAR:
                 self._decode_data_sharded = True
             else:
                 from ..parallel import tp_divisible
+                # int4 additionally needs even per-rank input widths for the
+                # ranked nibble packing (quantize.quantize_linear_int4_ranked:
+                # out-proj splits d_model rows, lin2 splits dim_feedforward).
+                int4_ok = config.weight_dtype != 'int4' or (
+                    (config.d_model // mp) % 2 == 0
+                    and (config.dim_feedforward // mp) % 2 == 0)
                 if tp_divisible(config.n_heads, config.dim_feedforward, mp) \
-                        and config.weight_dtype != 'int4':
+                        and int4_ok:
                     # TP mesh, MANUAL parallelism under shard_map: each model
                     # rank holds the Megatron column/row split and runs its
                     # LOCAL heads; row-parallel projections psum (XLA path) or
@@ -915,8 +924,15 @@ class ValleAR:
         """``decode_params`` ready for the manual-TP shard_map: fused-qkv
         columns regrouped rank-major (parallel.tp_permute_qkv) and every leaf
         pre-placed by the TP specs so the shard_map never reshards per call.
-        Cached per params rebind, exactly like the int8 view."""
-        base = self.decode_params
+        Cached per params rebind, exactly like the int8 view.
+
+        int4 quantizes HERE (from the dense params, per-rank ranked packing)
+        rather than reusing ``decode_params``' global view: the global
+        half-split packing interleaves input rows across the row-parallel
+        split, so each rank must pack its own slice
+        (quantize.quantize_linear_int4_ranked)."""
+        int4 = self.config.weight_dtype == 'int4'
+        base = self.params if int4 else self.decode_params
         cached = self._tp_cache
         if cached is not None and cached[0] is base:
             return cached[1]
@@ -924,7 +940,11 @@ class ValleAR:
         from ..parallel import tp_decode_specs, tp_permute_qkv
         mp = self._decode_tp[1]
         view = dict(base)
-        view['transformer'] = tp_permute_qkv(base['transformer'], mp)
+        t = base['transformer']
+        if int4:
+            from ..quantize import quantize_transformer
+            t = quantize_transformer(t, bits=4, tp_mp=mp)
+        view['transformer'] = tp_permute_qkv(t, mp)
         specs = tp_decode_specs(view)
         view = jax.tree.map(
             lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),

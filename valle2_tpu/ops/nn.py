@@ -81,6 +81,14 @@ def linear_row_parallel(p: Params, x: jax.Array, tp_axis: str) -> jax.Array:
                                 preferred_element_type=jnp.int32)
         y = jax.lax.psum(y, tp_axis)
         y = (y.astype(jnp.float32) * sx * p['scale']).astype(x.dtype)
+    elif 'q4' in p:
+        # int4 W4A16 (quantize.quantize_linear_int4_ranked): this rank's slice
+        # is a self-contained packed layout over its LOCAL input features, and
+        # activations stay fp — so the local dot dequants in place and the
+        # partial sums complete with a plain fp psum (no global scale needed,
+        # unlike the int8 W8A8 branch above).
+        from ..quantize import int4_matmul
+        y = jax.lax.psum(int4_matmul(x, p['q4'], p['scale4']), tp_axis)
     else:
         y = jax.lax.psum(x @ p['w'], tp_axis)
     if 'b' in p:

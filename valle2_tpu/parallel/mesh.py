@@ -226,6 +226,13 @@ def tp_permute_qkv(tparams: Params, mp: int) -> Params:
     if 'q' in qkv:
         qkv['q'] = perm_w(qkv['q'])
         qkv['scale'] = perm_vec(qkv['scale'])
+    if 'q4' in qkv:
+        # int4 packs input ROWS two-per-byte; the output columns being
+        # regrouped here are untouched by the packing, so perm_w applies to
+        # the packed tensor — and to the (L, groups, 3d) group scales, whose
+        # last axis follows the same column order.
+        qkv['q4'] = perm_w(qkv['q4'])
+        qkv['scale4'] = perm_w(qkv['scale4'])
     return out
 
 
@@ -244,11 +251,19 @@ def tp_decode_specs(params: Params) -> Params:
         keys = [getattr(k, 'key', getattr(k, 'idx', None)) for k in path]
         joined = '/'.join(str(k) for k in keys if k is not None)
         ndim = np.ndim(leaf)
-        if joined.endswith(('qkv/w', 'qkv/q', 'lin1/w', 'lin1/q')):
+        if joined.endswith(('qkv/w', 'qkv/q', 'lin1/w', 'lin1/q',
+                            'qkv/q4', 'lin1/q4')):
             return P(*([None] * (ndim - 1)), 'model')      # column parallel
-        if joined.endswith(('qkv/scale', 'lin1/scale', 'lin1/b')):
+        if joined.endswith(('qkv/scale', 'lin1/scale', 'lin1/b',
+                            'qkv/scale4', 'lin1/scale4')):
             return P(*([None] * (ndim - 1)), 'model')      # follows the columns
-        if joined.endswith(('out/w', 'out/q', 'lin2/w', 'lin2/q')):
+        if joined.endswith(('out/w', 'out/q', 'lin2/w', 'lin2/q',
+                            'out/q4', 'lin2/q4',
+                            # int4 ranked packing: each rank's packed rows AND
+                            # group scales are that rank's self-contained slice
+                            # (quantize.quantize_linear_int4_ranked) — both
+                            # split axis -2, unlike int8's replicated scales.
+                            'out/scale4', 'lin2/scale4')):
             return P(*([None] * (ndim - 2)), 'model', None)  # row parallel
         return P()                                          # replicate
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -182,16 +182,81 @@ def int4_matmul(x: jax.Array, q4: jax.Array, scale: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def quantize_transformer(tp: Params, bits: int = 8) -> Params:
+def quantize_linear_int4_ranked(p: Params, mp: int, group: int = GROUP4
+                                ) -> Params:
+    """``quantize_linear_int4`` with the input rows pre-split into ``mp``
+    manual-TP rank slices, each quantized INDEPENDENTLY and re-stacked
+    rank-major: q4 (..., mp·(in/mp/2), out), scale4 (..., mp·groups_r, out).
+
+    Why: the global half-split packing interleaves input rows [0, in/2) with
+    [in/2, in) inside each byte, so a contiguous row slice of a globally
+    packed q4 does NOT correspond to a contiguous input-feature slice — a
+    Megatron row-parallel split (out/lin2: rank r owns input features
+    [r·in/mp, (r+1)·in/mp)) would hand each rank a meaningless byte block.
+    Packing per rank makes the contiguous slice a complete, self-contained
+    int4 layout for exactly that rank's features; a shard_map row split over
+    axis -2 (``parallel.tp_decode_specs``) then needs no repacking.  When
+    in/mp is a multiple of the group size the quantized VALUES equal the
+    global quantization's (group boundaries align); otherwise groups restart
+    per rank — a different but equally valid quantization.  Activations stay
+    fp, so the row-parallel partial sums complete with a plain ``psum`` / ring
+    all-reduce (no global activation scale — the reason int4 can ride manual
+    TP where int8 W8A8 cannot keep the fused kernel).
+    """
+    w = jnp.asarray(p['w'], jnp.float32)
+    in_dim = w.shape[-2]
+    assert in_dim % mp == 0 and (in_dim // mp) % 2 == 0, \
+        f'int4 ranked packing needs in % mp == 0 and even in/mp, got ' \
+        f'{in_dim}/{mp}'
+    in_r = in_dim // mp
+    parts = [quantize_linear_int4(
+        {'w': jax.lax.slice_in_dim(w, r * in_r, (r + 1) * in_r, axis=-2)},
+        group) for r in range(mp)]
+    out: Params = {
+        'q4': jnp.concatenate([pt['q4'] for pt in parts], axis=-2),
+        'scale4': jnp.concatenate([pt['scale4'] for pt in parts], axis=-2)}
+    if 'b' in p:
+        out['b'] = p['b']
+    return out
+
+
+def dequantize_linear_int4_ranked(p: Params, mp: int, dtype=jnp.float32
+                                  ) -> Params:
+    """Inverse of ``quantize_linear_int4_ranked`` (tests / solo references:
+    the fp weights a manual-TP int4 decode effectively multiplies by)."""
+    q4, s4 = p['q4'], p['scale4']
+    half_r = q4.shape[-2] // mp
+    groups_r = s4.shape[-2] // mp
+    ws = [dequantize_linear_int4(
+        {'q4': jax.lax.slice_in_dim(q4, r * half_r, (r + 1) * half_r, axis=-2),
+         'scale4': jax.lax.slice_in_dim(s4, r * groups_r, (r + 1) * groups_r,
+                                        axis=-2)})['w']
+          for r in range(mp)]
+    out: Params = {'w': jnp.concatenate(ws, axis=-2).astype(dtype)}
+    if 'b' in p:
+        out['b'] = p['b']
+    return out
+
+
+def quantize_transformer(tp: Params, bits: int = 8, tp_mp: int = 1) -> Params:
     """Quantize the four big linears of a (stacked) transformer layer pytree;
     norms pass through unchanged.  ``bits``: 8 (W8A8, per-channel) or 4
-    (W4A16, group-wise)."""
+    (W4A16, group-wise).  ``tp_mp`` > 1 (int4 only): pack the row-parallel
+    linears (attn.out, ffn.lin2) per manual-TP rank slice
+    (``quantize_linear_int4_ranked``) so a shard_map row split hands every
+    rank a self-contained int4 layout; column-parallel linears (qkv, lin1)
+    keep the global packing — their input rows stay whole per rank."""
     quant = quantize_linear if bits == 8 else quantize_linear_int4
+    if tp_mp > 1:
+        assert bits == 4, 'ranked packing is an int4 (W4A16) layout'
+        rquant = lambda p: quantize_linear_int4_ranked(p, tp_mp)
+    else:
+        rquant = quant
     out = jax.tree.map(lambda a: a, tp)      # shallow-ish copy of the dict tree
     out['attn'] = {'qkv': quant(tp['attn']['qkv']),
-                   'out': quant(tp['attn']['out'])}
+                   'out': rquant(tp['attn']['out'])}
     out['ffn'] = {'lin1': quant(tp['ffn']['lin1']),
-                  'lin2': quant(tp['ffn']['lin2'])}
+                  'lin2': rquant(tp['ffn']['lin2'])}
     return out
 
 

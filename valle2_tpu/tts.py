@@ -120,11 +120,15 @@ class ValleTTS:
                 data_sharded = True
             else:
                 from .parallel import tp_divisible
+                int4_ok = config.weight_dtype != 'int4' or (
+                    (config.d_model // mp) % 2 == 0
+                    and (config.dim_feedforward // mp) % 2 == 0)
                 if tp_divisible(config.n_heads, config.dim_feedforward, mp) \
-                        and config.weight_dtype not in ('int8', 'int4'):
+                        and config.weight_dtype != 'int8' and int4_ok:
                     # Manual TP: AR decode AND NAR refinement run the Megatron
                     # split per model rank inside ONE shard_map — the fused
                     # Pallas kernel stays live on TP meshes (mirrors ValleAR).
+                    # int4 rides it too (ranked per-rank packing, fp psums);
                     # int8 weights keep the per-model GSPMD path: the fused
                     # gate would decline anyway and ValleAR's own manual-TP
                     # int8 path covers batch decode.
@@ -209,7 +213,14 @@ class ValleTTS:
                             a, NamedSharding(self.mesh, s)),
                         view, tp_decode_specs(view))
 
-                self._mesh_sharded = (tp_place(ar_p), tp_place(nar_p),
+                # int4 AR weights need the RANKED per-rank packing, which
+                # ValleAR._tp_params builds (and caches) from the dense
+                # params; dense/other trees permute+place here.  NAR stays
+                # unquantized (parallel refinement is compute-, not
+                # weight-streaming-bound).
+                ar_tp = self.ar._tp_params() \
+                    if self.config.weight_dtype == 'int4' else tp_place(ar_p)
+                self._mesh_sharded = (ar_tp, tp_place(nar_p),
                                       jax.device_put(cod_p, rep))
             else:
                 # Transformer params follow the Megatron TP rules (replicated
