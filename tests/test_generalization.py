@@ -53,14 +53,14 @@ def trained():
               'ValleASR': asr_curves}
     metrics = evaluate_closed_loop(*models, held_s, spec, tok,
                                    prompt_text=train_s[0])
-    return curves, metrics
+    return curves, metrics, models, (train_s, held_s, spec, tok)
 
 
 class TestGeneralization:
     def test_validation_tracks_training(self, trained):
         """Held-out loss must track the training loss down — the curves that
         distinguish learning from memorizing noise."""
-        curves, _ = trained
+        curves, *_ = trained
         for name, c in curves.items():
             tl, vl = c['train_loss'], c['valid_loss']
             assert vl[-1] < 0.25 * vl[0], f'{name}: held-out loss barely moved'
@@ -70,18 +70,37 @@ class TestGeneralization:
     def test_tts_correct_on_heldout(self, trained):
         """Greedy AR decode reproduces the ground-truth first-codebook codes of
         sentences never seen in training."""
-        _, m = trained
+        _, m, _, _ = trained
         assert m['tts_token_acc'] >= 0.90, m
         assert m['tts_exact'] >= 0.70, m
 
     def test_nar_correct_on_synthesized_codes(self, trained):
-        _, m = trained
+        _, m, _, _ = trained
         assert m['nar_token_acc'] >= 0.90, m
 
     def test_asr_closed_loop_recovers_text(self, trained):
         """The synthesized (not ground-truth!) codes transcribe back to the
         original held-out text — the full TTS→ASR loop."""
-        _, m = trained
+        _, m, _, _ = trained
         assert m['asr_token_acc'] >= 0.90, m
         assert m['asr_exact'] >= 0.75, m
         assert m['text_exact'] >= 0.75, m
+
+    def test_int4_quantized_models_stay_correct(self, trained):
+        """int4 W4A16 on the TRAINED models (weight_dtype='int4', shared
+        params → quantized decode view): the same held-out closed loop keeps
+        task accuracy — evidence the 4-bit rounding preserves FUNCTION, not
+        just numerics, even at d_model=64 (far coarser groups than the
+        production scales int4 targets)."""
+        import dataclasses
+        _, dense_m, (ar, nar, asr), (train_s, held_s, spec, tok) = trained
+        ar4 = ValleAR(dataclasses.replace(ar.config, weight_dtype='int4'),
+                      params=ar.params)
+        asr4 = ValleAR(dataclasses.replace(asr.config, weight_dtype='int4'),
+                       params=asr.params)
+        assert 'q4' in ar4.decode_params['transformer']['attn']['qkv']
+        m = evaluate_closed_loop(ar4, nar, asr4, held_s, spec, tok,
+                                 prompt_text=train_s[0])
+        assert m['tts_token_acc'] >= 0.85, (m, dense_m)
+        assert m['asr_token_acc'] >= 0.85, (m, dense_m)
+        assert m['text_exact'] >= 0.60, (m, dense_m)

@@ -438,6 +438,23 @@ class TestSpecPipeline:
                                   [c for _, c in items], bucket=False)
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
 
+    def test_int4_weights_with_spec_matches_plain_int4(self):
+        """speculative decode over the int4 W4A16 view: greedy tokens equal
+        the plain int4 decode — the q-block verify runs the same q4 linears
+        (int4_matmul / fused _q4_dot)."""
+        base = cfg(ignore_eos=True, weight_dtype='int4')
+        plain = ValleAR(base)
+        spec = ValleAR(dataclasses.replace(base, speculative_k=4),
+                       params=plain.params)
+        assert 'q4' in spec.decode_params['transformer']['attn']['qkv']
+        rs = np.random.RandomState(14)
+        items = [(rs.randint(0, 24, (4,)), rs.randint(0, 96, (3, 8)))]
+        want = plain.generate_batch([t for t, _ in items],
+                                    [c for _, c in items], bucket=False)
+        got = spec.generate_batch([t for t, _ in items],
+                                  [c for _, c in items], bucket=False)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+
 
 class TestSpecOnMesh:
     def test_sharded_spec_decode_matches_unmeshed_plain(self):
