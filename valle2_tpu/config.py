@@ -279,6 +279,33 @@ class ConfigValle:
                           'last N generated tokens. Only draft quality '
                           '(acceptance rate) depends on this, never outputs'},
     )
+    lora_rank: int = field(
+        default=0,
+        metadata={'help': 'LoRA fine-tuning (voice/domain adaptation): adapter '
+                          'rank r; 0 = ordinary full training.  With r > 0 the '
+                          'trainer optimizes ONLY the adapters (base weights '
+                          'frozen bit-for-bit), merging w + (alpha/r)·A@B '
+                          'inside the jitted step; models/serving load the '
+                          'fine-tune checkpoint and get merged dense weights '
+                          '(lora.py)'},
+    )
+    lora_alpha: float = field(
+        default=16.0,
+        metadata={'help': 'LoRA scaling numerator: merged delta = (alpha/rank)'
+                          '·A@B'},
+    )
+    lora_targets: tuple = field(
+        default=('qkv', 'out', 'lin1', 'lin2'),
+        metadata={'help': 'Param-dict keys LoRA adapters attach to (transformer '
+                          "linears by default; add 'proj' for output heads + "
+                          'AdaLN conditioning projections)'},
+    )
+    lora_base: str = field(
+        default='',
+        metadata={'help': 'Base checkpoint to fine-tune from (a model params '
+                          'dir or a Trainer step dir); empty = fresh init '
+                          '(adapters over random weights — tests only)'},
+    )
     use_fused_decode: bool | str = field(
         default='auto',
         metadata={'help': "Pallas fused whole-stack decode step: True | False | "
@@ -303,6 +330,7 @@ class ConfigValle:
         self.log_path = Path(self.log_path)
         self.betas = tuple(self.betas)
         self.bucket_sizes = tuple(self.bucket_sizes)
+        self.lora_targets = tuple(self.lora_targets)
 
     def ensure_dirs(self) -> None:
         """Create checkpoint/log dirs.

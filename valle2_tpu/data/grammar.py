@@ -238,11 +238,15 @@ def default_config(spec: GrammarSpec, tokenizer: PhonemeTokenizer, **kw):
 def train_grammar_model(model_name: str, config, train_ds: GrammarDataset,
                         valid_ds: GrammarDataset | None = None,
                         max_epochs: int = 60, loss_target: float = 5e-3,
-                        seed: int = 0):
+                        seed: int = 0, base_params=None):
     """Train one model on the grammar through the production data path
     (get_collate → DataLoader → jitted train step).  Returns
     (params, curves) where curves = {'train_loss': [...per epoch],
-    'valid_loss': [...]} — the val-tracks-train evidence."""
+    'valid_loss': [...]} — the val-tracks-train evidence.
+
+    ``base_params``: start from these weights (with ``config.lora_rank > 0``
+    this is a LoRA fine-tune — returned params are the ``{'base', 'lora'}``
+    state; merge via ``lora.merged`` to serve)."""
     import jax
     import jax.numpy as jnp
 
@@ -258,7 +262,8 @@ def train_grammar_model(model_name: str, config, train_ds: GrammarDataset,
         vloader = DataLoader(valid_ds, min(len(valid_ds), 64), collate,
                              shuffle=False, drop_last=False)
         valid_batch = jax.tree.map(jnp.asarray, next(iter(vloader)))
-    state = init_state(config, model_name, jax.random.key(seed))
+    state = init_state(config, model_name, jax.random.key(seed),
+                       base_params=base_params)
     step_fn = make_train_step(config, model_name)
     eval_fn = make_eval_step(config, model_name)
     rng = jax.random.key(seed + 1)

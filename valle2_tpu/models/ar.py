@@ -970,8 +970,10 @@ class ValleAR:
         save_params(path, self.params)
 
     def load(self, path) -> None:
+        """Load params from a bare params checkpoint OR a Trainer step dir
+        (LoRA fine-tune states merge via this model's lora_* config)."""
         from .checkpoint import load_params
-        self.params = load_params(path, self.params)
+        self.params = load_params(path, self.params, config=self.config)
 
     def _bucket(self, n: int) -> int:
         from ..config import bucket_len

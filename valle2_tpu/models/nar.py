@@ -334,8 +334,10 @@ class ValleNAR:
         save_params(path, self.params)
 
     def load(self, path) -> None:
+        """Load params from a bare params checkpoint OR a Trainer step dir
+        (LoRA fine-tune states merge via this model's lora_* config)."""
         from .checkpoint import load_params
-        self.params = load_params(path, self.params)
+        self.params = load_params(path, self.params, config=self.config)
 
     def generate(self, prompt_tokens, prompt_codes, target_tokens,
                  target_codes_first_layer, rng: jax.Array | None = None,

@@ -85,9 +85,24 @@ def make_optimizer(config: ConfigValle) -> optax.GradientTransformation:
     return tx
 
 
-def init_state(config: ConfigValle, model_name: str, rng: jax.Array) -> TrainState:
-    params = INIT_FNS[model_name](rng, config)
+def init_state(config: ConfigValle, model_name: str, rng: jax.Array,
+               base_params: Params | None = None) -> TrainState:
+    """Fresh training state.  ``base_params``: start from these weights instead
+    of a random init (an in-memory alternative to ``config.lora_base`` /
+    checkpoint restore — e.g. fine-tuning a model object already loaded)."""
+    params = base_params if base_params is not None \
+        else INIT_FNS[model_name](rng, config)
     tx = make_optimizer(config)
+    if config.lora_rank > 0:
+        # LoRA fine-tuning: params become {'base', 'lora'} and the optimizer
+        # sees ONLY the adapters (base frozen; lora.py).  lora_base loads the
+        # weights being adapted (a model params dir or a Trainer step dir).
+        from . import lora as lora_mod
+        if config.lora_base and base_params is None:
+            from .models.checkpoint import load_params
+            params = load_params(config.lora_base, params)
+        params = lora_mod.attach(params, config, jax.random.fold_in(rng, 1))
+        return TrainState(params, tx.init(params['lora']), jnp.int32(0))
     return TrainState(params, tx.init(params), jnp.int32(0))
 
 
@@ -110,19 +125,34 @@ def make_train_step(config: ConfigValle, model_name: str, mesh=None):
     # ops.attention.flash_shard_mesh).
     loss_mesh = mesh if mesh is not None and mesh.size > 1 else None
 
+    lora_mode = config.lora_rank > 0
+    if lora_mode:
+        from .lora import lora_scale, merge_lora
+        scale = lora_scale(config)
+
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
+        if lora_mode:
+            # Fine-tune: differentiate w.r.t. the ADAPTERS only; the base is a
+            # frozen closure constant (stays bit-identical), merged into dense
+            # weights in-trace (a rank-r matmul per target — lora.py).
+            base, trainable = state.params['base'], state.params['lora']
+            fwd = lambda l: loss_fn(merge_lora(base, l, scale), config, batch,
+                                    step_rng, mesh=loss_mesh)
+        else:
+            trainable = state.params
+            fwd = lambda p: loss_fn(p, config, batch, step_rng, mesh=loss_mesh)
         with jax.default_matmul_precision(config.matmul_precision):
-            grads, metrics = jax.grad(
-                lambda p: loss_fn(p, config, batch, step_rng, mesh=loss_mesh),
-                has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            grads, metrics = jax.grad(fwd, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
         if zero1:
             from .parallel import param_sharding
             opt_state = jax.tree.map(
                 jax.lax.with_sharding_constraint, opt_state,
                 param_sharding(mesh, opt_state, zero1=True))
-        params = optax.apply_updates(state.params, updates)
+        params = optax.apply_updates(trainable, updates)
+        if lora_mode:
+            params = {'base': base, 'lora': params}
         metrics = dict(metrics)
         # NOTE: per-MICRO-batch gradient norm; under grad_accum > 1 the
         # accumulated gradient that clip_by_global_norm sees is smoother.
@@ -146,6 +176,10 @@ def make_eval_step(config: ConfigValle, model_name: str, mesh=None):
 
     @jax.jit
     def eval_fn(params: Params, batch: dict, rng: jax.Array):
+        if config.lora_rank > 0:
+            # Fine-tune states ({'base','lora'}) evaluate the merged weights.
+            from .lora import merged
+            params = merged(params, config)
         # Deterministic evaluation: the AR loss disables dropout via rng=None;
         # the NAR loss still needs the rng for its stage draw, so it takes an
         # explicit train=False (passing the rng alone would turn dropout ON
