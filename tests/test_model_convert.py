@@ -8,7 +8,12 @@ import numpy as np
 from valle2_tpu.config import ConfigValle
 from valle2_tpu.models import ar as ar_mod
 from valle2_tpu.models import nar as nar_mod
-from valle2_tpu.models.convert import convert_ar_state_dict, convert_nar_state_dict
+from valle2_tpu.models.convert import (convert_ar_state_dict,
+                                       convert_nar_state_dict,
+                                       export_ar_state_dict,
+                                       export_nar_state_dict,
+                                       load_torch_checkpoint,
+                                       save_torch_checkpoint)
 
 
 def cfg(**kw):
@@ -19,35 +24,10 @@ def cfg(**kw):
     return ConfigValle(**base)
 
 
-def ar_params_to_reference_sd(params, num_layers):
-    """Emit the reference's state-dict naming from our pytree (torch layouts)."""
-    p = jax.tree.map(np.asarray, params)
-    sd = {
-        'tokens_emb.word_embeddings.weight': p['tokens_emb']['emb'],
-        'audio_emb.word_embeddings.weight': p['audio_emb']['emb'],
-        'proj.weight': p['proj']['w'].T.copy(),
-    }
-    tr = p['transformer']
-    for i in range(num_layers):
-        pre = f'transformer.layers.{i}'
-        sd[f'{pre}.self_attn.qkv.weight'] = tr['attn']['qkv']['w'][i].T.copy()
-        sd[f'{pre}.self_attn.out.weight'] = tr['attn']['out']['w'][i].T.copy()
-        sd[f'{pre}.self_attn.out.bias'] = tr['attn']['out']['b'][i]
-        sd[f'{pre}.ffn.linear_1.weight'] = tr['ffn']['lin1']['w'][i].T.copy()
-        sd[f'{pre}.ffn.linear_1.bias'] = tr['ffn']['lin1']['b'][i]
-        sd[f'{pre}.ffn.linear_2.weight'] = tr['ffn']['lin2']['w'][i].T.copy()
-        sd[f'{pre}.ffn.linear_2.bias'] = tr['ffn']['lin2']['b'][i]
-        sd[f'{pre}.norm1.weight'] = tr['norm1']['scale'][i]
-        sd[f'{pre}.norm1.bias'] = tr['norm1']['bias'][i]
-        sd[f'{pre}.norm2.weight'] = tr['norm2']['scale'][i]
-        sd[f'{pre}.norm2.bias'] = tr['norm2']['bias'][i]
-    return sd
-
-
 def test_ar_roundtrip_identical_decode():
     c = cfg()
     original = ar_mod.init_params(jax.random.key(0), c)
-    sd = ar_params_to_reference_sd(original, c.num_layers)
+    sd = export_ar_state_dict(original)
     restored = jax.tree.map(jnp.asarray, convert_ar_state_dict(sd, c.num_layers))
 
     same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
@@ -95,32 +75,46 @@ def test_convert_from_real_torch_modules():
 def test_nar_roundtrip_structure():
     c = cfg(norm='AdaptiveLayerNorm')
     original = nar_mod.init_params(jax.random.key(1), c)
-    p = jax.tree.map(np.asarray, original)
-    sd = {
-        'tokens_emb.word_embeddings.weight': p['tokens_emb']['emb'],
-    }
-    for q in range(8):
-        sd[f'codes_embs.{q}.word_embeddings.weight'] = p['codes_embs'][q]
-    for q in range(7):
-        sd[f'stage_embs.{q}.word_embeddings.weight'] = p['stage_embs'][q][None]
-        sd[f'proj_layers.{q}.weight'] = p['proj_layers'][q].T.copy()
-    tr = p['transformer']
-    for i in range(c.num_layers):
-        pre = f'transformer.layers.{i}'
-        sd[f'{pre}.self_attn.qkv.weight'] = tr['attn']['qkv']['w'][i].T.copy()
-        sd[f'{pre}.self_attn.out.weight'] = tr['attn']['out']['w'][i].T.copy()
-        sd[f'{pre}.self_attn.out.bias'] = tr['attn']['out']['b'][i]
-        sd[f'{pre}.ffn.linear_1.weight'] = tr['ffn']['lin1']['w'][i].T.copy()
-        sd[f'{pre}.ffn.linear_1.bias'] = tr['ffn']['lin1']['b'][i]
-        sd[f'{pre}.ffn.linear_2.weight'] = tr['ffn']['lin2']['w'][i].T.copy()
-        sd[f'{pre}.ffn.linear_2.bias'] = tr['ffn']['lin2']['b'][i]
-        for n in ('norm1', 'norm2'):
-            sd[f'{pre}.{n}.project_layer.weight'] = tr[n]['proj']['w'][i].T.copy()
-            sd[f'{pre}.{n}.project_layer.bias'] = tr[n]['proj']['b'][i]
-            sd[f'{pre}.{n}.norm.weight'] = tr[n]['ln']['scale'][i]
-            sd[f'{pre}.{n}.norm.bias'] = tr[n]['ln']['bias'][i]
-
+    sd = export_nar_state_dict(original)
     restored = convert_nar_state_dict(sd, c.num_layers)
     same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
                         original, jax.tree.map(jnp.asarray, restored))
+    assert all(jax.tree.leaves(same))
+
+
+def test_export_matches_real_torch_module_naming():
+    """export_* must emit EXACTLY the key set (and torch shapes) a real torch
+    module with the reference's structure produces — the other direction of
+    test_convert_from_real_torch_modules."""
+    from torch_reference_modules import ReferenceShapedValleAR
+    c = cfg()
+    ref_sd = ReferenceShapedValleAR(c).state_dict()
+    got = export_ar_state_dict(ar_mod.init_params(jax.random.key(3), c))
+    # Positional-encoding buffers (non-trainable) are the only acceptable gap.
+    ref_keys = {k for k in ref_sd if '.pe' not in k and 'pos_enc' not in k}
+    assert set(got) == ref_keys, set(got) ^ ref_keys
+    for k in ref_keys:
+        assert got[k].shape == tuple(ref_sd[k].shape), \
+            (k, got[k].shape, tuple(ref_sd[k].shape))
+
+
+def test_torch_file_roundtrip(tmp_path):
+    """save_torch_checkpoint → load_torch_checkpoint is the identity (both
+    models), through a real torch file."""
+    c = cfg()
+    ar = ar_mod.init_params(jax.random.key(4), c)
+    save_torch_checkpoint(tmp_path / 'ar.ckpt', ar, 'ValleAR')
+    back = load_torch_checkpoint(tmp_path / 'ar.ckpt', 'ValleAR',
+                                 num_layers=c.num_layers)
+    same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                        ar, jax.tree.map(jnp.asarray, back))
+    assert all(jax.tree.leaves(same))
+
+    cn = cfg(norm='AdaptiveLayerNorm')
+    nar = nar_mod.init_params(jax.random.key(5), cn)
+    save_torch_checkpoint(tmp_path / 'nar.ckpt', nar, 'ValleNAR')
+    back = load_torch_checkpoint(tmp_path / 'nar.ckpt', 'ValleNAR',
+                                 num_layers=cn.num_layers)
+    same = jax.tree.map(lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+                        nar, jax.tree.map(jnp.asarray, back))
     assert all(jax.tree.leaves(same))

@@ -97,3 +97,82 @@ def load_torch_checkpoint(path: str, model: str, num_layers: int = 8,
     if model == 'ValleNAR':
         return convert_nar_state_dict(sd, num_layers, num_quantizers)
     return convert_ar_state_dict(sd, num_layers)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: valle2_tpu pytree → reference torch state dict
+# (exact inverses of the converters above; round-trip gated in
+# tests/test_model_convert.py, and the forward direction is independently
+# validated against real torch nn.Modules — so export inherits correctness)
+# ---------------------------------------------------------------------------
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+def _export_layers(tr: Params, prefix: str, adaptive: bool) -> dict[str, np.ndarray]:
+    num_layers = int(np.shape(tr['attn']['qkv']['w'])[0])
+    sd: dict[str, np.ndarray] = {}
+    for i in range(num_layers):
+        pre = f'{prefix}.layers.{i}'
+        sd[f'{pre}.self_attn.qkv.weight'] = _np(tr['attn']['qkv']['w'][i]).T.copy()
+        sd[f'{pre}.self_attn.out.weight'] = _np(tr['attn']['out']['w'][i]).T.copy()
+        sd[f'{pre}.self_attn.out.bias'] = _np(tr['attn']['out']['b'][i])
+        sd[f'{pre}.ffn.linear_1.weight'] = _np(tr['ffn']['lin1']['w'][i]).T.copy()
+        sd[f'{pre}.ffn.linear_1.bias'] = _np(tr['ffn']['lin1']['b'][i])
+        sd[f'{pre}.ffn.linear_2.weight'] = _np(tr['ffn']['lin2']['w'][i]).T.copy()
+        sd[f'{pre}.ffn.linear_2.bias'] = _np(tr['ffn']['lin2']['b'][i])
+        for n in ('norm1', 'norm2'):
+            if adaptive:
+                sd[f'{pre}.{n}.project_layer.weight'] = \
+                    _np(tr[n]['proj']['w'][i]).T.copy()
+                sd[f'{pre}.{n}.project_layer.bias'] = _np(tr[n]['proj']['b'][i])
+                sd[f'{pre}.{n}.norm.weight'] = _np(tr[n]['ln']['scale'][i])
+                sd[f'{pre}.{n}.norm.bias'] = _np(tr[n]['ln']['bias'][i])
+            else:
+                sd[f'{pre}.{n}.weight'] = _np(tr[n]['scale'][i])
+                sd[f'{pre}.{n}.bias'] = _np(tr[n]['bias'][i])
+    return sd
+
+
+def export_ar_state_dict(params: Params) -> dict[str, np.ndarray]:
+    """AR pytree → reference ValleAR state-dict naming (torch layouts).
+
+    Weights trained here load into the reference implementation (or any torch
+    mirror with its module structure) — checkpoint interop is bidirectional.
+    LoRA fine-tune states must be merged first (``lora.merged``).
+    """
+    adaptive = 'proj' in params['transformer']['norm1']
+    return {
+        'tokens_emb.word_embeddings.weight': _np(params['tokens_emb']['emb']),
+        'audio_emb.word_embeddings.weight': _np(params['audio_emb']['emb']),
+        'proj.weight': _np(params['proj']['w']).T.copy(),
+        **_export_layers(params['transformer'], 'transformer', adaptive),
+    }
+
+
+def export_nar_state_dict(params: Params) -> dict[str, np.ndarray]:
+    """NAR pytree → reference ValleNAR state-dict naming (torch layouts)."""
+    adaptive = 'proj' in params['transformer']['norm1']
+    sd = {'tokens_emb.word_embeddings.weight': _np(params['tokens_emb']['emb'])}
+    for q in range(np.shape(params['codes_embs'])[0]):
+        sd[f'codes_embs.{q}.word_embeddings.weight'] = _np(params['codes_embs'][q])
+    for q in range(np.shape(params['stage_embs'])[0]):
+        sd[f'stage_embs.{q}.word_embeddings.weight'] = \
+            _np(params['stage_embs'][q])[None]
+        sd[f'proj_layers.{q}.weight'] = _np(params['proj_layers'][q]).T.copy()
+    sd.update(_export_layers(params['transformer'], 'transformer', adaptive))
+    return sd
+
+
+def save_torch_checkpoint(path: str, params: Params, model: str) -> None:
+    """Write a torch checkpoint file the reference stack (and
+    ``load_torch_checkpoint``) reads: ``{'state_dict': {name: tensor}}``.
+
+    model: 'ValleAR' | 'ValleASR' (AR naming) | 'ValleNAR'.
+    """
+    import torch
+    sd = export_nar_state_dict(params) if model == 'ValleNAR' \
+        else export_ar_state_dict(params)
+    torch.save({'state_dict': {k: torch.from_numpy(v) for k, v in sd.items()}},
+               path)
