@@ -134,21 +134,37 @@ def adapter_count(lora: Params) -> int:
 # base checkpoint, orbax dirs, or pickle)
 # ---------------------------------------------------------------------------
 
-def save_adapters(path, lora: Params) -> None:
+_SCALE_KEY = '__scale__'   # reserved npz entry: the merge scale (alpha/rank)
+
+
+def save_adapters(path, lora: Params, scale: float | None = None) -> None:
+    """``scale`` (= alpha/rank at training time) makes the file self-contained
+    — consumers (e.g. serve.TTSServer.load_voice) merge without needing the
+    training config."""
     flat = {'/'.join(str(getattr(k, 'key', k)) for k in p): np.asarray(leaf)
             for p, leaf in jax.tree_util.tree_flatten_with_path(lora)[0]}
+    if scale is not None:
+        flat[_SCALE_KEY] = np.float64(scale)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **flat)
 
 
 def load_adapters(path) -> Params:
+    return load_adapters_with_scale(path)[0]
+
+
+def load_adapters_with_scale(path) -> tuple[Params, float | None]:
     tree: Params = {}
+    scale = None
     with np.load(Path(path)) as z:
         for joined in z.files:
+            if joined == _SCALE_KEY:
+                scale = float(z[joined])
+                continue
             node = tree
             *parents, leaf = joined.split('/')
             for name in parents:
                 node = node.setdefault(name, {})
             node[leaf] = jnp.asarray(z[joined])
-    return tree
+    return tree, scale

@@ -140,6 +140,7 @@ _PROM_HELP = {
                            'sessions, refusing new ones (503)',
     'longform_prefetched': 'Long-form sentences decoded concurrently with an '
                            'earlier one still streaming (hub pipelining)',
+    'voices': 'Registered per-voice weight overrides (multi-voice serving)',
 }
 
 
@@ -164,6 +165,7 @@ class _Request:
     prompt_codes: np.ndarray
     future: Future
     t_submit: float
+    voice: str | None = None           # registered voice name (None = default)
 
 
 class TTSServer:
@@ -237,8 +239,63 @@ class TTSServer:
             # content repetitiveness; see docs/serving.md).
             self._hub = StreamHub(tts, n_slots=int(cb_streams), ttm=ttm,
                                   pm=pm, speculative=bool(cb_speculative))
+        # Multi-voice serving: name → (ar_params_view | None, nar_params |
+        # None, keepalive) weight overrides.  Params are jit ARGUMENTS to the
+        # fused pipeline, so serving a voice costs no recompile; requests are
+        # grouped by voice inside each collected batch (register_voice /
+        # load_voice).
+        self._voices: dict[str, tuple] = {}
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+
+    # -- voices ----------------------------------------------------------
+    def register_voice(self, name: str, ar_params=None, nar_params=None
+                       ) -> None:
+        """Register merged DENSE weight trees as a named voice.
+
+        ``ar_params``/``nar_params``: full params for the respective model
+        (``None`` keeps the default model's for that stage).  Under
+        ``weight_dtype='int8'/'int4'`` the AR tree is quantized once here into
+        the same view the default pipeline serves, so the compiled program is
+        shared across voices.
+        """
+        if ar_params is None and nar_params is None:
+            raise ValueError('register_voice needs ar_params and/or nar_params')
+        ar_view = keep = None
+        if ar_params is not None:
+            from .models import ValleAR
+            keep = ValleAR(self.tts.config, params=ar_params)
+            ar_view = keep.decode_params       # quantized view when configured
+        self._voices[str(name)] = (ar_view, nar_params, keep)
+        log_info('Registered voice %r (ar=%s, nar=%s)', name,
+                 ar_params is not None, nar_params is not None)
+
+    def load_voice(self, name: str, path) -> None:
+        """Register a voice from a LoRA adapter file (``lora.save_adapters``).
+
+        The file may hold one AR adapter tree, or ``{'ar': ..., 'nar': ...}``
+        (either key optional).  Merge scale comes from the file's embedded
+        ``scale`` (save with ``scale=lora_scale(config)``), falling back to
+        this server's config lora_alpha/lora_rank."""
+        from . import lora
+        tree, scale = lora.load_adapters_with_scale(path)
+        if set(tree) <= {'ar', 'nar'} and tree:
+            ar_ad, nar_ad = tree.get('ar'), tree.get('nar')
+        else:
+            ar_ad, nar_ad = tree, None
+        if scale is None:
+            cfg = self.tts.config
+            if cfg.lora_rank <= 0:
+                raise ValueError(
+                    f'{path} embeds no merge scale and the config sets no '
+                    'lora_rank/lora_alpha — re-save with '
+                    'lora.save_adapters(path, adapters, scale=alpha/rank)')
+            scale = lora.lora_scale(cfg)
+        self.register_voice(
+            name,
+            lora.merge_lora(self.tts.ar.params, ar_ad, scale) if ar_ad else None,
+            lora.merge_lora(self.tts.nar.params, nar_ad, scale) if nar_ad
+            else None)
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> 'TTSServer':
@@ -275,14 +332,19 @@ class TTSServer:
         self.stop()
 
     # -- client API ----------------------------------------------------------
-    def submit(self, text: str, prompt_tokens, prompt_codes) -> Future:
+    def submit(self, text: str, prompt_tokens, prompt_codes,
+               voice: str | None = None) -> Future:
         """Enqueue one synthesis request; returns a Future[TTSResult].
 
         Requests may be queued before ``start()`` — they are served as soon as
-        the worker comes up (useful for warm-up batches)."""
+        the worker comes up (useful for warm-up batches).  ``voice``: serve
+        with a registered voice's weights (register_voice / load_voice)."""
+        if voice is not None and voice not in self._voices:
+            raise ValueError(f'unknown voice {voice!r} '
+                             f'(registered: {sorted(self._voices)})')
         req = _Request(text, np.asarray(prompt_tokens, np.int32),
                        np.asarray(prompt_codes, np.int32), Future(),
-                       time.perf_counter())
+                       time.perf_counter(), voice=voice)
         with self._submit_lock:
             if self._stop.is_set():
                 raise ServerStopped('server is stopped')
@@ -298,9 +360,11 @@ class TTSServer:
         return req.future
 
     def synthesize(self, text: str, prompt_tokens, prompt_codes,
-                   timeout: float | None = None) -> TTSResult:
+                   timeout: float | None = None,
+                   voice: str | None = None) -> TTSResult:
         """Blocking convenience wrapper around ``submit``."""
-        return self.submit(text, prompt_tokens, prompt_codes).result(timeout)
+        return self.submit(text, prompt_tokens, prompt_codes,
+                           voice=voice).result(timeout)
 
     def stream(self, text: str, prompt_tokens, prompt_codes,
                chunk_frames: int = 75, lookahead_frames: int = 38,
@@ -473,6 +537,7 @@ class TTSServer:
         out['queue_depth'] = len(pending)
         out['queue_oldest_age_s'] = (now - min(pending)) if pending else 0.0
         out['max_queue'] = self.max_queue
+        out['voices'] = len(self._voices)  # registered weight overrides
         # AOT executable-cache health (aot.py): all zero when disabled.
         # disk_loads > 0 on a restarted server means cold start skipped
         # compilation; fallbacks > 0 means stale/incompatible entries were
@@ -568,17 +633,38 @@ class TTSServer:
         return batch
 
     def _serve_batch(self, batch: list[_Request], batch_idx: int):
+        """Serve one collected batch — grouped by voice: every group is one
+        fused dispatch with that voice's weights (params are jit args, so the
+        compiled program is shared; a voice-less batch behaves exactly as
+        before grouping existed)."""
+        groups: dict[str | None, list[_Request]] = {}
+        for r in batch:
+            groups.setdefault(r.voice, []).append(r)
+        for gi, (voice, group) in enumerate(groups.items()):
+            self._serve_group(group, batch_idx, gi, voice)
+
+    def _serve_group(self, batch: list[_Request], batch_idx: int,
+                     group_idx: int, voice: str | None):
         n = len(batch)
         bucket_n = next(b for b in self.batch_buckets if b >= n)
         # Pad with copies of request 0; padded rows' outputs are dropped.
         padded = batch + [batch[0]] * (bucket_n - n)
         rng = jax.random.fold_in(self._base_rng, batch_idx)
+        if group_idx:
+            # Extra fold ONLY for 2nd+ voice groups: single-voice batches keep
+            # the historical rng stream bit-for-bit.
+            rng = jax.random.fold_in(rng, group_idx)
+        override = None
+        if voice is not None:
+            ar_view, nar_p, _keep = self._voices[voice]
+            override = (ar_view, nar_p)
         t0 = time.perf_counter()
         try:
             results = self.tts.batch_synthesize(
                 [r.text for r in padded],
                 [r.prompt_tokens for r in padded],
-                [r.prompt_codes for r in padded], rng=rng)
+                [r.prompt_codes for r in padded], rng=rng,
+                override_params=override)
         except Exception as exc:          # noqa: BLE001 — fail the whole batch
             with self._stats_lock:
                 self._stats.errors += n
@@ -816,11 +902,21 @@ def serve_http(server: TTSServer, host: str = '127.0.0.1', port: int = 8089,
                 self._send(400, str(exc).encode(), 'text/plain')
                 return
             if self.path == '/stream':
+                if payload.get('voice') is not None:
+                    # Streaming runs through the shared DecodeStream/hub
+                    # models, which hold the DEFAULT weights.
+                    self._send(400, b'voice is not supported on /stream',
+                               'text/plain')
+                    return
                 self._do_stream(text, pt, pc, payload)
                 return
             try:
                 result = server.synthesize(text, pt, pc,
-                                           timeout=request_timeout_s)
+                                           timeout=request_timeout_s,
+                                           voice=payload.get('voice'))
+            except ValueError as exc:      # unknown voice / bad request
+                self._send(400, str(exc).encode(), 'text/plain')
+                return
             except ServerOverloaded as exc:  # queue full: shed load
                 self._send(429, str(exc).encode(), 'text/plain')
                 return
@@ -953,6 +1049,12 @@ def main(argv=None):
                              'config.speculative_k >= 2; waveforms unchanged, '
                              'throughput rises with content repetitiveness — '
                              'docs/serving.md)')
+    parser.add_argument('--voice', action='append', default=[],
+                        metavar='NAME=ADAPTERS.npz',
+                        help='Register a named voice from a LoRA adapter file '
+                             '(lora.save_adapters; repeatable).  Requests '
+                             'select it with "voice": NAME; the base weights '
+                             'stay the default voice')
     parser.add_argument('--compile-cache', type=Path, default=None,
                         help='Persistent XLA compilation cache dir: restarted '
                              'servers deserialize compiled executables instead '
@@ -993,6 +1095,11 @@ def main(argv=None):
                        cb_geometry=tuple(args.cb_geometry)
                        if args.cb_geometry else None,
                        cb_speculative=args.cb_spec)
+    for spec in args.voice:
+        name, _, path = spec.partition('=')
+        if not path:
+            parser.error(f'--voice expects NAME=ADAPTERS.npz, got {spec!r}')
+        server.load_voice(name, path)
     if args.warmup or args.warmup_all_lengths or args.warmup_streams:
         # Compile before the port opens: the first real request must never pay
         # the ~3 min first-compile cost (BENCH_r02: 180 s at 204M).

@@ -192,44 +192,50 @@ class ValleTTS:
     def _mesh_params(self, ar_p, nar_p, cod_p):
         """Mesh-sharded views of the three param trees, cached by source
         identity — re-sharding per request would re-transfer the whole model
-        (hundreds of MB at 204M) on the serving hot path."""
-        src = getattr(self, '_mesh_src', None)
-        if src is None or not all(a is b for a, b in
-                                  zip(src, (ar_p, nar_p, cod_p))):
-            from .parallel import replicated, shard_params
-            rep = replicated(self.mesh)
-            if self._pipe_tp is not None:
-                # Manual TP: fused-qkv columns regrouped rank-major, leaves
-                # pre-placed by the shard_map specs (mirrors ValleAR._tp_params).
-                from jax.sharding import NamedSharding
-                from .parallel import tp_decode_specs, tp_permute_qkv
-                mp = self._pipe_tp[1]
+        (hundreds of MB at 204M) on the serving hot path.  The cache is a
+        small identity-keyed dict (holding the sources, so ids stay live):
+        multi-voice serving alternates a handful of param trees per process
+        and each must re-place only once."""
+        cache = getattr(self, '_mesh_cache', None)
+        if cache is None:
+            cache = self._mesh_cache = {}
+        key = (id(ar_p), id(nar_p), id(cod_p))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit[1]
+        from .parallel import replicated, shard_params
+        rep = replicated(self.mesh)
+        if self._pipe_tp is not None:
+            # Manual TP: fused-qkv columns regrouped rank-major, leaves
+            # pre-placed by the shard_map specs (mirrors ValleAR._tp_params).
+            from jax.sharding import NamedSharding
+            from .parallel import tp_decode_specs, tp_permute_qkv
+            mp = self._pipe_tp[1]
 
-                def tp_place(tree):
-                    view = dict(tree)
-                    view['transformer'] = tp_permute_qkv(tree['transformer'], mp)
-                    return jax.tree.map(
-                        lambda a, s: jax.device_put(
-                            a, NamedSharding(self.mesh, s)),
-                        view, tp_decode_specs(view))
+            def tp_place(tree):
+                view = dict(tree)
+                view['transformer'] = tp_permute_qkv(tree['transformer'], mp)
+                return jax.tree.map(
+                    lambda a, s: jax.device_put(
+                        a, NamedSharding(self.mesh, s)),
+                    view, tp_decode_specs(view))
 
-                # int4 AR weights need the RANKED per-rank packing, which
-                # ValleAR._tp_params builds (and caches) from the dense
-                # params; dense/other trees permute+place here.  NAR stays
-                # unquantized (parallel refinement is compute-, not
-                # weight-streaming-bound).
-                ar_tp = self.ar._tp_params() \
-                    if self.config.weight_dtype == 'int4' else tp_place(ar_p)
-                self._mesh_sharded = (ar_tp, tp_place(nar_p),
-                                      jax.device_put(cod_p, rep))
-            else:
-                # Transformer params follow the Megatron TP rules (replicated
-                # on a DP-only mesh); the tiny codec decoder replicates.
-                self._mesh_sharded = (shard_params(self.mesh, ar_p),
-                                      shard_params(self.mesh, nar_p),
-                                      jax.device_put(cod_p, rep))
-            self._mesh_src = (ar_p, nar_p, cod_p)
-        return self._mesh_sharded
+            # int4 AR weights need the RANKED per-rank packing, which
+            # ValleAR._tp_params builds (and caches) from the dense
+            # params; dense/other trees permute+place here.  NAR stays
+            # unquantized (parallel refinement is compute-, not
+            # weight-streaming-bound).
+            ar_tp = self.ar._tp_params() \
+                if self.config.weight_dtype == 'int4' else tp_place(ar_p)
+            sharded = (ar_tp, tp_place(nar_p), jax.device_put(cod_p, rep))
+        else:
+            # Transformer params follow the Megatron TP rules (replicated
+            # on a DP-only mesh); the tiny codec decoder replicates.
+            sharded = (shard_params(self.mesh, ar_p),
+                       shard_params(self.mesh, nar_p),
+                       jax.device_put(cod_p, rep))
+        cache[key] = ((ar_p, nar_p, cod_p), sharded)
+        return sharded
 
     def prepare_prompt(self, prompt_audio, prompt_sr: int, prompt_text: str
                        ) -> tuple[np.ndarray, np.ndarray]:
@@ -242,12 +248,27 @@ class ValleTTS:
 
     def batch_synthesize(self, texts: list, prompt_tokens_list: list,
                          prompt_codes_list: list, rng: jax.Array | None = None,
-                         bucket: bool = True) -> list[TTSResult]:
+                         bucket: bool = True,
+                         override_params: tuple | None = None) -> list[TTSResult]:
         """Batched fused pipeline: B utterances synthesize in one XLA dispatch with
         one host fetch (the serving-throughput path; per-item outputs equal the
-        single-utterance greedy results thanks to per-length masking throughout)."""
+        single-utterance greedy results thanks to per-length masking throughout).
+
+        ``override_params``: optional ``(ar_params, nar_params)`` to run this
+        batch with different weights (multi-voice serving — LoRA fine-tunes
+        merged per voice); ``None`` entries keep the default model's.  Params
+        are jit ARGUMENTS, so a voice switch costs no recompile as long as the
+        tree structure matches (use a per-voice ``ValleAR(...).decode_params``
+        view under ``weight_dtype='int8'/'int4'``)."""
         if not texts:
             return []
+        if override_params is not None and self._pipe_tp is not None \
+                and self.config.weight_dtype == 'int4':
+            # _mesh_params would silently substitute the DEFAULT model's
+            # ranked int4 packing for the override (ValleAR._tp_params).
+            raise NotImplementedError(
+                'override_params with int4 weights under manual TP is not '
+                'supported — register the voice on its own ValleTTS/mesh')
         if rng is None:
             rng = jax.random.key(self.config.seed)
         t0 = time.perf_counter()
@@ -277,6 +298,10 @@ class ValleTTS:
         # (mesh-compatible: q/scale leaves shard by the Megatron rules).
         ar_p, nar_p, cod_p = (self.ar.decode_params, self.nar.params,
                               self.codec.dec_params)
+        if override_params is not None:
+            o_ar, o_nar = override_params
+            ar_p = o_ar if o_ar is not None else ar_p
+            nar_p = o_nar if o_nar is not None else nar_p
         inputs = (jnp.asarray(tokens), jnp.asarray(tokens_lens),
                   jnp.asarray(codes), jnp.asarray(p_lens))
         if self.mesh is not None:
