@@ -112,6 +112,20 @@ class ConfigValle:
     )
     mesh_data: int = field(default=1, metadata={'help': 'Data-parallel mesh axis size'})
     mesh_model: int = field(default=1, metadata={'help': 'Tensor-parallel mesh axis size'})
+    mesh_pipe: int = field(
+        default=1,
+        metadata={'help': 'Pipeline-parallel mesh axis size: the layer stack '
+                          'splits into mesh_pipe contiguous stages and '
+                          'microbatches stream through them (GPipe schedule, '
+                          'parallel/pipeline.py). Composes with mesh_data; '
+                          'exclusive with mesh_model/zero1/lora in v1'},
+    )
+    pp_microbatches: int = field(
+        default=1,
+        metadata={'help': 'GPipe microbatches per step under mesh_pipe > 1; '
+                          'bubble fraction is (P-1)/(M+P-1), so use >= 4x the '
+                          'stage count. Must divide the per-data-shard batch'},
+    )
     bucket_sizes: tuple = field(
         default=(128, 256, 384, 512, 768, 1024),
         metadata={'help': 'Static sequence-length buckets for the collate path'},

@@ -82,7 +82,8 @@ def param_count(params: Params) -> int:
 
 def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.Array,
             tokens_lens: jax.Array | None, codes_lens: jax.Array | None,
-            rng: jax.Array | None = None, mesh=None) -> jax.Array:
+            rng: jax.Array | None = None, mesh=None,
+            pp: tuple | None = None) -> jax.Array:
     """Logits over the audio block: (b, codes_len, num_audio_tokens + 1).
 
     ``tokens``: (b, Tt) source ids; ``codes``: (b, Tc) BOS-prefixed target ids.
@@ -114,7 +115,7 @@ def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.A
     bias, flash = None, None
     tv = tokens_lens if tokens_lens is not None else jnp.full((b,), tt)
     ce = (tt + codes_lens) if codes_lens is not None else jnp.full((b,), tt + tc)
-    use_flash = config.flash_enabled
+    use_flash = config.flash_enabled and pp is None  # pp: bias path per stage
     wrap_mesh = None
     if use_flash:
         from ..ops.attention import flash_shard_mesh
@@ -136,20 +137,24 @@ def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.A
     y = transformer(params['transformer'], x, config.n_heads, bias,
                     dropout_rate=drop, rng=rngs[2], remat=config.remat, flash=flash,
                     unroll=config.train_scan_unroll,
-                    sp_spec=sequence_parallel_spec(config, mesh))
+                    sp_spec=sequence_parallel_spec(config, mesh) if pp is None
+                    else None,
+                    pp=pp)
     return linear(params['proj'], y[:, tt:]).astype(jnp.float32)
 
 
 def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
-            rng: jax.Array | None = None, mesh=None
+            rng: jax.Array | None = None, mesh=None, pp: tuple | None = None
             ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Masked cross-entropy over the target stream (reference valle_ar.py:86).
 
     ``mesh``: forwarded to ``forward`` — multi-device train/eval steps must
-    shard_map the flash kernel (see forward's docstring)."""
+    shard_map the flash kernel (see forward's docstring).
+    ``pp``: pipeline parallelism — (axis, num_stages, microbatches); the call
+    then runs device-local inside parallel.pipeline's shard_map."""
     logits = forward(params, config, batch['tokens'], batch['codes'],
                      batch.get('tokens_lens'), batch.get('codes_lens'), rng,
-                     mesh=mesh)
+                     mesh=mesh, pp=pp)
     target = batch['target']
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logprobs, target[..., None], axis=-1)[..., 0]

@@ -100,7 +100,8 @@ def prepare_audio_embedding(params: Params, codes: jax.Array, stage: jax.Array,
 def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
                   codes_emb: jax.Array, stage: jax.Array,
                   bias: jax.Array | None, rng: jax.Array | None = None,
-                  flash: dict | None = None, mesh=None) -> jax.Array:
+                  flash: dict | None = None, mesh=None,
+                  pp: tuple | None = None) -> jax.Array:
     """Transformer pass for one NAR stage → logits (b, T_codes, V) for codebook
     ``stage`` (heads/conditioning gathered by traced stage index)."""
     pe = sinusoidal_table(MAX_POS, config.d_model)
@@ -114,7 +115,9 @@ def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
     y = transformer(params['transformer'], x, config.n_heads, bias, cond,
                     dropout_rate=drop, rng=rngs[1], remat=config.remat, flash=flash,
                     unroll=config.train_scan_unroll,
-                    sp_spec=sequence_parallel_spec(config, mesh))
+                    sp_spec=sequence_parallel_spec(config, mesh) if pp is None
+                    else None,
+                    pp=pp)
     y = y[:, x_tok.shape[1]:]
     head = jax.lax.dynamic_index_in_dim(params['proj_layers'], stage - 1, 0,
                                         keepdims=False)             # (d, V)
@@ -122,7 +125,8 @@ def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
 
 
 def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
-            rng: jax.Array, train: bool = True, mesh=None
+            rng: jax.Array, train: bool = True, mesh=None,
+            pp: tuple | None = None
             ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Stage-sampled training step (reference valle_nar.py:53-105, Q3 fixed).
 
@@ -161,7 +165,7 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
 
     # Padding bias: audio pads + token pads (see ar.forward note on the deviation).
     bias, flash = None, None
-    use_flash = config.flash_enabled
+    use_flash = config.flash_enabled and pp is None  # pp: bias path per stage
     wrap_mesh = None
     if use_flash:
         from ..ops.attention import flash_shard_mesh
@@ -186,7 +190,7 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
 
     logits = forward_stage(params, config, x_tok, codes_emb, stage, bias,
                            rngs[1] if train else None,   # rng None => no dropout
-                           flash=flash, mesh=mesh)                   # (b, T, V)
+                           flash=flash, mesh=mesh, pp=pp)            # (b, T, V)
     # CE over the suffix positions of codebook ``stage`` — masked (not sliced):
     # prefix_len is traced, so the suffix is selected by weight, keeping shapes
     # static and the loss independent of the bucket width.

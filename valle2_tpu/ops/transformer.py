@@ -137,7 +137,8 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
                 cond: jax.Array | None = None, *, dropout_rate: float = 0.0,
                 rng: jax.Array | None = None, remat: bool = False,
                 flash: dict | None = None, unroll: int | bool = 1,
-                tp_axis: str | None = None, sp_spec=None) -> jax.Array:
+                tp_axis: str | None = None, sp_spec=None,
+                pp: tuple | None = None) -> jax.Array:
     """Full-sequence forward over the scanned stack.
 
     ``unroll``: lax.scan unroll factor.  Inference paths pass True (full unroll) —
@@ -145,7 +146,17 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
     per-layer compute; training keeps the rolled scan for compile time + remat.
     ``tp_axis``: manual TP inside a shard_map (see encoder_layer) — ``n_heads``
     is then the LOCAL head count.
-    ``sp_spec``: sequence-parallel residual sharding (see encoder_layer)."""
+    ``sp_spec``: sequence-parallel residual sharding (see encoder_layer).
+    ``pp``: pipeline parallelism — ``(axis_name, num_stages, microbatches)``;
+    the call must then run inside a shard_map over that axis with ``p`` holding
+    this stage's layer slice (parallel.pipeline.pipeline_transformer)."""
+    if pp is not None:
+        from ..parallel.pipeline import pipeline_transformer
+        pp_axis, n_stages, microbatches = pp
+        return pipeline_transformer(
+            p, x, n_heads, bias, cond, axis=pp_axis, num_stages=n_stages,
+            microbatches=microbatches, dropout_rate=dropout_rate, rng=rng,
+            remat=remat)
     num_layers = jax.tree.leaves(p)[0].shape[0]
 
     def body(carry, scan_in):

@@ -6,10 +6,14 @@ from .mesh import (batch_sharding, data_shard_map, device_put_global,
                    sequence_parallel_spec, shard_batch, shard_params,
                    tp_decode_specs, tp_divisible,
                    tp_permute_qkv, tp_shard_map)
+from .pipeline import (make_pp_eval_step, make_pp_mesh, make_pp_train_step,
+                       pipeline_transformer, pp_param_specs, pp_shard_params)
 
 __all__ = ['batch_sharding', 'data_shard_map', 'device_put_global',
            'init_distributed', 'is_primary', 'make_mesh', 'make_model_mesh',
-           'param_sharding', 'replicated', 'sequence_parallel_spec',
+           'make_pp_eval_step', 'make_pp_mesh', 'make_pp_train_step',
+           'param_sharding', 'pipeline_transformer', 'pp_param_specs',
+           'pp_shard_params', 'replicated', 'sequence_parallel_spec',
            'shard_batch', 'shard_params',
            'tp_decode_specs', 'tp_divisible', 'tp_permute_qkv',
            'tp_shard_map']

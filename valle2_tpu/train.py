@@ -243,8 +243,25 @@ class Trainer:
         self.config = config
         self.model_name = model_name
         self.mesh = mesh
-        self.train_step = make_train_step(config, model_name, mesh)
-        self.eval_step = make_eval_step(config, model_name, mesh)
+        # Pipeline-parallel meshes take the manual shard_map step (GSPMD has no
+        # pipelining concept); everything else rides the declarative GSPMD step.
+        self._pp = mesh is not None and 'pipe' in mesh.axis_names
+        if self._pp:
+            if config.zero1 or config.lora_rank > 0 or config.mesh_model > 1:
+                raise ValueError(
+                    'mesh_pipe composes with mesh_data only (v1): disable '
+                    'zero1 / lora_rank / mesh_model')
+            n_pipe = mesh.shape['pipe']
+            if config.num_layers % n_pipe != 0:
+                raise ValueError(
+                    f'num_layers={config.num_layers} must divide into '
+                    f'mesh_pipe={n_pipe} equal stages')
+            from .parallel import make_pp_eval_step, make_pp_train_step
+            self.train_step = make_pp_train_step(config, model_name, mesh)
+            self.eval_step = make_pp_eval_step(config, model_name, mesh)
+        else:
+            self.train_step = make_train_step(config, model_name, mesh)
+            self.eval_step = make_eval_step(config, model_name, mesh)
         self._async_ckptr = None
         self.writer = None
         if use_tensorboard:
@@ -336,7 +353,11 @@ class Trainer:
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(Path(path).resolve(), item=host_item)
         params, opt_state = restored['params'], restored['opt_state']
-        if self.mesh is not None:
+        if self._pp:
+            from .parallel import pp_shard_params
+            params = pp_shard_params(self.mesh, params)
+            opt_state = pp_shard_params(self.mesh, opt_state)
+        elif self.mesh is not None:
             params = shard_params(self.mesh, params)
             opt_state = shard_params(self.mesh, opt_state,
                                      zero1=self.config.zero1)
@@ -364,7 +385,12 @@ class Trainer:
             if latest is not None:
                 state = self.restore_checkpoint(state, latest)
                 log_info('Resumed from %s (step %d)', latest, int(state.step))
-        if self.mesh is not None:
+        if self._pp:
+            from .parallel import pp_shard_params
+            state = TrainState(pp_shard_params(self.mesh, state.params),
+                               pp_shard_params(self.mesh, state.opt_state),
+                               state.step)
+        elif self.mesh is not None:
             # Optimizer-state leaves mirror the param tree (adam mu/nu), so the same
             # path-suffix sharding rules apply; unmatched leaves replicate —
             # or, with config.zero1, shard over 'data' (ZeRO stage 1).
@@ -509,7 +535,12 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
     enable_compilation_cache(fallback=config.compile_cache_dir)
     from .aot import enable_aot_cache
     enable_aot_cache(fallback=config.aot_cache_dir)
-    if mesh is None and config.mesh_data * config.mesh_model > 1:
+    if mesh is None and config.mesh_pipe > 1:
+        from .parallel import make_pp_mesh
+        mesh = make_pp_mesh(config.mesh_data, config.mesh_pipe)
+        log_info('Mesh from config: %dx%d (data x pipe)',
+                 config.mesh_data, config.mesh_pipe)
+    elif mesh is None and config.mesh_data * config.mesh_model > 1:
         # The config's mesh request (mesh_data x mesh_model) builds the device
         # mesh here so `-c cfg.json` alone scales a run across chips.
         from .parallel import make_mesh
