@@ -243,6 +243,62 @@ class TestPPTrainStep:
                                    rtol=1e-6)
 
 
+class TestPPCompositions:
+    def test_grad_accum_matches_solo(self):
+        # grad_accum=2: MultiSteps accumulates inside the pp step exactly as
+        # in the solo step — 4 micro-batches (2 optimizer updates) match.
+        cfg = _cfg(grad_accum=2)
+        batches = [_ar_batch(), _ar_batch(tt=10, tc=16)]
+        solo = init_state(cfg, 'ValleAR', jax.random.key(0))
+        solo_step = make_train_step(cfg, 'ValleAR', mesh=None)
+        mesh = make_pp_mesh(2, 4)
+        pp_state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        pp_state = TrainState(pp_shard_params(mesh, pp_state.params),
+                              pp_shard_params(mesh, pp_state.opt_state),
+                              pp_state.step)
+        pp_step = make_pp_train_step(cfg, 'ValleAR', mesh)
+        rng = jax.random.key(7)
+        for i in range(4):
+            solo, _ = solo_step(solo, batches[i % 2], rng)
+            pp_state, _ = pp_step(pp_state, batches[i % 2], rng)
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo.params, jax.device_get(pp_state.params))))
+        assert diff < 1e-5, diff
+
+    def test_checkpoint_roundtrip_pp_to_solo_and_back(self, tmp_path):
+        # A checkpoint written under the pp mesh restores on no mesh (and
+        # back onto the pp mesh) — mesh-agnostic restore extends to 'pipe'.
+        cfg = _cfg(ckpt_path=str(tmp_path / 'ckpt'),
+                   log_path=str(tmp_path / 'logs'), async_checkpoint=False)
+        mesh = make_pp_mesh(2, 4)
+        tr_pp = Trainer(cfg, 'ValleAR', mesh=mesh, use_tensorboard=False)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state = TrainState(pp_shard_params(mesh, state.params),
+                           pp_shard_params(mesh, state.opt_state), state.step)
+        state, _ = tr_pp.train_step(state, _ar_batch(), jax.random.key(1))
+        tr_pp.save_checkpoint(state)
+        path = tr_pp.latest_checkpoint()
+        assert path is not None
+
+        tr_solo = Trainer(cfg, 'ValleAR', mesh=None, use_tensorboard=False)
+        solo_restored = tr_solo.restore_checkpoint(
+            init_state(cfg, 'ValleAR', jax.random.key(9)), path)
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(np.asarray(a)
+                                                - np.asarray(b_)))),
+            jax.device_get(state.params), solo_restored.params)))
+        assert diff == 0.0
+        # and back onto the pipe mesh: placement matches pp specs
+        pp_restored = tr_pp.restore_checkpoint(
+            init_state(cfg, 'ValleAR', jax.random.key(9)), path)
+        leaf = jax.tree.leaves(pp_restored.params['transformer'])[0]
+        assert 'pipe' in str(leaf.sharding.spec)
+        state2, m2 = tr_pp.train_step(pp_restored, _ar_batch(),
+                                      jax.random.key(2))
+        assert np.isfinite(float(m2['loss']))
+
+
 class TestTrainerWiring:
     def test_trainer_rejects_bad_compositions(self):
         mesh = make_pp_mesh(2, 4)
