@@ -266,6 +266,34 @@ class TestPPCompositions:
             solo.params, jax.device_get(pp_state.params))))
         assert diff < 1e-5, diff
 
+    def test_zero1_is_placement_only(self):
+        # ZeRO-1 under the pipe mesh: the optimizer moments shard over 'data'
+        # but the training math is unchanged — params match the non-zero1 pp
+        # arm bit-for-bit-ish after 3 steps, and the moment leaves really are
+        # 'data'-sharded.
+        mesh = make_pp_mesh(2, 4)
+        batch = _ar_batch()
+        states = {}
+        for z in (False, True):
+            cfg = _cfg(zero1=z)
+            st = init_state(cfg, 'ValleAR', jax.random.key(0))
+            st = TrainState(pp_shard_params(mesh, st.params),
+                            pp_shard_params(mesh, st.opt_state, zero1=z),
+                            st.step)
+            step = make_pp_train_step(cfg, 'ValleAR', mesh)
+            for _ in range(3):
+                st, _ = step(st, batch, jax.random.key(7))
+            states[z] = st
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(np.asarray(a)
+                                                - np.asarray(b_)))),
+            jax.device_get(states[False].params),
+            jax.device_get(states[True].params))))
+        assert diff < 2e-5, diff
+        mu_leaves = [l for l in jax.tree.leaves(states[True].opt_state)
+                     if hasattr(l, 'sharding') and l.ndim >= 2]
+        assert any('data' in str(l.sharding.spec) for l in mu_leaves)
+
     def test_checkpoint_roundtrip_pp_to_solo_and_back(self, tmp_path):
         # A checkpoint written under the pp mesh restores on no mesh (and
         # back onto the pp mesh) — mesh-agnostic restore extends to 'pipe'.
@@ -303,7 +331,7 @@ class TestTrainerWiring:
     def test_trainer_rejects_bad_compositions(self):
         mesh = make_pp_mesh(2, 4)
         with pytest.raises(ValueError, match='mesh_pipe'):
-            Trainer(_cfg(zero1=True), 'ValleAR', mesh=mesh,
+            Trainer(_cfg(lora_rank=4), 'ValleAR', mesh=mesh,
                     use_tensorboard=False)
         with pytest.raises(ValueError, match='num_layers'):
             Trainer(_cfg(num_layers=6), 'ValleAR', mesh=mesh,

@@ -118,7 +118,8 @@ class ConfigValle:
                           'splits into mesh_pipe contiguous stages and '
                           'microbatches stream through them (GPipe schedule, '
                           'parallel/pipeline.py). Composes with mesh_data; '
-                          'exclusive with mesh_model/zero1/lora in v1'},
+                          'composes with mesh_data/zero1/grad_accum; '
+                          'exclusive with mesh_model/lora in v1'},
     )
     pp_microbatches: int = field(
         default=1,

@@ -162,23 +162,32 @@ def pp_param_specs(params: Params) -> Params:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def pp_shard_params(mesh: Mesh, params: Params) -> Params:
+def pp_shard_params(mesh: Mesh, params: Params, zero1: bool = False) -> Params:
     """Place params (or structurally-matching opt state) on a pp mesh."""
     from .mesh import device_put_global
-    specs = pp_opt_specs(mesh, params)
+    specs = pp_opt_specs(mesh, params, zero1=zero1)
     return jax.tree.map(
         lambda leaf, s: device_put_global(leaf, s), params, specs)
 
 
-def pp_opt_specs(mesh: Mesh, tree: Any) -> Any:
+def pp_opt_specs(mesh: Mesh, tree: Any, zero1: bool = False) -> Any:
     """NamedSharding tree for any pytree that embeds param-shaped subtrees
     (optimizer states included): leaves under a 'transformer' path key shard
-    over 'pipe'; scalar/step leaves replicate."""
+    over 'pipe'; scalar/step leaves replicate.  ``zero1`` additionally shards
+    the first free divisible axis over 'data' (ZeRO stage 1 — apply to the
+    OPTIMIZER state only; AdamW is elementwise so any axis works)."""
+    from .mesh import _zero1_extend
+    data_size = mesh.shape.get('data', 1) if zero1 else 1
+
     def spec_for(path, leaf):
         keys = [getattr(e, 'key', getattr(e, 'name', None)) for e in path]
         if 'transformer' in keys and jnp.ndim(leaf) >= 1:
-            return NamedSharding(mesh, P('pipe', *([None] * (jnp.ndim(leaf) - 1))))
-        return NamedSharding(mesh, P())
+            spec = P('pipe', *([None] * (jnp.ndim(leaf) - 1)))
+        else:
+            spec = P(*([None] * jnp.ndim(leaf)))
+        if data_size > 1 and jnp.ndim(leaf) >= 1:
+            spec = _zero1_extend(spec, jnp.shape(leaf), data_size)
+        return NamedSharding(mesh, spec)
     return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
@@ -220,16 +229,19 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
     over 'pipe' for pre-pipeline params, data-weighted mean over 'data' —
     then the optax update runs outside under GSPMD with the same placement.
 
-    v1 scope: composes with grad_accum (optax.MultiSteps) and remat; not with
-    zero1 / lora / mesh_model (Trainer raises).  Flash attention declines to
-    the bias path inside the pipeline (a nested Mosaic shard_map per stage
-    isn't worth it at these sequence lengths).
+    Composes with grad_accum (optax.MultiSteps), remat, and zero1 (the optax
+    update runs OUTSIDE the shard_map under GSPMD, so the optimizer moments
+    shard over 'data' exactly as in the declarative step); not with
+    lora / mesh_model (Trainer raises).  Flash attention declines to the bias
+    path inside the pipeline (a nested Mosaic shard_map per stage isn't worth
+    it at these sequence lengths).
     """
     from ..train import LOSS_FNS, TrainState, make_optimizer
     loss_fn = LOSS_FNS[model_name]
     tx = make_optimizer(config)
     n_pipe = mesh.shape['pipe']
     n_data = mesh.shape.get('data', 1)
+    zero1 = bool(getattr(config, 'zero1', False)) and n_data > 1
     m = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
     pp = ('pipe', n_pipe, m)
@@ -274,6 +286,13 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
         with jax.default_matmul_precision(config.matmul_precision):
             loss, grads, metrics = mapped(state.params, batch, step_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if zero1:
+            # Pin the updated moments back to their ZeRO-1 placement so the
+            # compiled step cannot silently replicate them (same guard as the
+            # GSPMD step in train.py).
+            opt_state = jax.tree.map(
+                jax.lax.with_sharding_constraint, opt_state,
+                pp_opt_specs(mesh, opt_state, zero1=True))
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics['grad_norm'] = optax.global_norm(grads)

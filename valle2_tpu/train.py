@@ -247,10 +247,10 @@ class Trainer:
         # pipelining concept); everything else rides the declarative GSPMD step.
         self._pp = mesh is not None and 'pipe' in mesh.axis_names
         if self._pp:
-            if config.zero1 or config.lora_rank > 0 or config.mesh_model > 1:
+            if config.lora_rank > 0 or config.mesh_model > 1:
                 raise ValueError(
-                    'mesh_pipe composes with mesh_data only (v1): disable '
-                    'zero1 / lora_rank / mesh_model')
+                    'mesh_pipe composes with mesh_data (+ zero1) only (v1): '
+                    'disable lora_rank / mesh_model')
             n_pipe = mesh.shape['pipe']
             if config.num_layers % n_pipe != 0:
                 raise ValueError(
@@ -356,7 +356,8 @@ class Trainer:
         if self._pp:
             from .parallel import pp_shard_params
             params = pp_shard_params(self.mesh, params)
-            opt_state = pp_shard_params(self.mesh, opt_state)
+            opt_state = pp_shard_params(self.mesh, opt_state,
+                                        zero1=self.config.zero1)
         elif self.mesh is not None:
             params = shard_params(self.mesh, params)
             opt_state = shard_params(self.mesh, opt_state,
@@ -388,7 +389,8 @@ class Trainer:
         if self._pp:
             from .parallel import pp_shard_params
             state = TrainState(pp_shard_params(self.mesh, state.params),
-                               pp_shard_params(self.mesh, state.opt_state),
+                               pp_shard_params(self.mesh, state.opt_state,
+                                               zero1=self.config.zero1),
                                state.step)
         elif self.mesh is not None:
             # Optimizer-state leaves mirror the param tree (adam mu/nu), so the same
