@@ -43,6 +43,23 @@ class TestDecodeEdges:
         out = np.asarray(m.generate(jnp.asarray([1, 2]), np.zeros((2, 8), np.int32)))
         assert len(out) == 0
 
+    def test_max_pos_guard_ar(self):
+        """A decode whose position budget runs past the sinusoidal table must
+        raise at trace time — JAX gathers clamp out-of-range indices, so
+        without the guard positions past MAX_POS silently repeat (r3 weak #6)."""
+        import pytest
+        m = ValleAR(cfg(max_audio_len=4990, bucket_sizes=(32,)))
+        with pytest.raises(ValueError, match='position budget'):
+            # prompt codes bucket to 32; 32 + 4990 > 5000.
+            m.generate(jnp.asarray([1, 2]), np.zeros((16, 8), np.int32))
+
+    def test_max_pos_guard_nar(self):
+        import pytest
+        from valle2_tpu.models.ar import check_max_pos
+        with pytest.raises(ValueError, match='position budget'):
+            check_max_pos(32, 5008, 'NAR refine')
+        check_max_pos(5000, 5000, 'boundary ok')   # inclusive bound
+
     def test_batch_with_very_different_lengths(self):
         m = ValleAR(cfg())
         rs = np.random.RandomState(0)

@@ -217,6 +217,27 @@ class TestPPTrainStep:
             solo_state.params, jax.device_get(pp_state.params))))
         assert diff < 1e-5, diff
 
+    def test_nar_step_matches_solo_nonuniform_lens(self):
+        # r4 (ADVICE): the prefix length pmaxes over 'data' inside the
+        # shard_map, so shards whose local batch max differs from the global
+        # max now train the exact solo objective.
+        cfg = _cfg(num_quantizers=8)
+        batch = _nar_batch(b=8)
+        batch['codes_lens'] = jnp.array([16, 12, 14, 16, 10, 9, 11, 13])
+        state = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        _, sm = make_train_step(cfg, 'ValleNAR', mesh=None)(
+            state, batch, jax.random.key(9))
+
+        mesh = make_pp_mesh(2, 4)
+        state2 = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        _, pm = make_pp_train_step(cfg, 'ValleNAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+
     def test_multi_step_training_descends(self):
         cfg = _cfg()
         mesh = make_pp_mesh(2, 4)
@@ -234,6 +255,21 @@ class TestPPTrainStep:
     def test_eval_step_matches_train_loss(self):
         cfg = _cfg()
         batch = _ar_batch()
+        params = ar.init_params(jax.random.key(0), cfg)
+        loss0, _ = ar.loss_fn(params, cfg, batch, None)
+        mesh = make_pp_mesh(2, 4)
+        ev = make_pp_eval_step(cfg, 'ValleAR', mesh)
+        metrics = ev(pp_shard_params(mesh, params), batch, jax.random.key(0))
+        np.testing.assert_allclose(float(loss0), float(metrics['loss']),
+                                   rtol=1e-6)
+
+    @pytest.mark.parametrize('b', [2, 6])
+    def test_eval_step_indivisible_batch(self, b):
+        # ADVICE r3 (medium): eval batches (valid_batch_size, drop_last=False
+        # partials) need not divide pp_microbatches — the microbatch count
+        # gcd-clamps per trace instead of tripping the b % m assert.
+        cfg = _cfg(pp_microbatches=4)
+        batch = _ar_batch(b=b)
         params = ar.init_params(jax.random.key(0), cfg)
         loss0, _ = ar.loss_fn(params, cfg, batch, None)
         mesh = make_pp_mesh(2, 4)

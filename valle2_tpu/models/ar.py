@@ -41,6 +41,27 @@ Params = dict[str, Any]
 MAX_POS = 5000  # sinusoidal table length (reference modules.py:56)
 
 
+def check_max_pos(token_hi: int, audio_hi: int, where: str) -> None:
+    """Fail loudly when a position index could run past the sinusoidal table.
+
+    Positions gather rows of a fixed ``MAX_POS``-long table; JAX's gather
+    CLAMPS out-of-range indices instead of erroring, so a decode whose
+    ``prompt + max_audio_len`` exceeds the table would silently repeat the
+    last position embedding — wrong outputs, no signal.  Called at trace
+    time from every decode entry (shapes are static there); the reference
+    has the same 5000 cap with the same silent-wrongness failure mode
+    (modules.py:56 registers the table; torch indexing would at least
+    raise, ours would not)."""
+    hi = max(int(token_hi), int(audio_hi))
+    if hi > MAX_POS:
+        raise ValueError(
+            f'{where}: position budget {hi} exceeds the sinusoidal table '
+            f'(MAX_POS={MAX_POS}). The audio stream needs prompt_frames + '
+            f'max_audio_len positions and the token stream its padded length '
+            f'— shorten the prompt/text, lower config.max_audio_len, or use '
+            f'synthesize_longform to chain bounded segments.')
+
+
 def _dims(config: ConfigValle) -> tuple[int, int]:
     """(source_vocab, target_vocab_with_specials) for the configured direction."""
     if config.direction == 'asr':
@@ -372,6 +393,7 @@ def _decode_prefill(params: Params, tokens: jax.Array, tokens_lens: jax.Array,
         # overwrites the last valid tail slot (cache AND codes buffers).
         max_new_pad += config.speculative_k
     total_max = ttm + pm + max_new_pad
+    check_max_pos(ttm, pm + max_new_pad, 'AR decode')
     rows = b * beams
     cache_dtype = jnp.dtype(config.kv_cache_dtype)
     mp = tp[1] if tp is not None else 1

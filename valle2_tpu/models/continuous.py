@@ -453,6 +453,8 @@ class ContinuousDecoder:
             max_new_pad += cfg.speculative_k
         total_max = self.ttm + self.pm + max_new_pad
         width = self.pm + max_new_pad
+        from .ar import check_max_pos
+        check_max_pos(self.ttm, width, 'continuous-batching hub')
         cache_dtype = jnp.dtype(cfg.kv_cache_dtype)
         # Fused whole-stack kernel: gate on the CALLER's preference at the
         # JOINT geometry (rows = n_slots decides VMEM fit and chunking — the

@@ -126,14 +126,17 @@ def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
 
 def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
             rng: jax.Array, train: bool = True, mesh=None,
-            pp: tuple | None = None
+            pp: tuple | None = None, data_axis: str | None = None
             ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Stage-sampled training step (reference valle_nar.py:53-105, Q3 fixed).
 
     ``train=False`` disables dropout while keeping the rng-driven stage draw —
     the evaluation mode (the rng cannot simply be None like the AR loss).
     ``mesh``: multi-device train/eval steps must shard_map the flash kernel
-    (GSPMD cannot partition a Mosaic custom call; see ar.forward)."""
+    (GSPMD cannot partition a Mosaic custom call; see ar.forward).
+    ``data_axis``: set when called inside a shard_map whose batch is split over
+    that mesh axis — the prefix length then maxes over the GLOBAL batch, so
+    the manual-DP objective matches the declarative GSPMD one exactly."""
     codes, tokens = batch['codes'], batch['tokens']
     codes_lens, tokens_lens = batch.get('codes_lens'), batch.get('tokens_lens')
     b, t_codes, nq = codes.shape
@@ -143,6 +146,10 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     # so compute it from the true lengths (traced) — the objective must not shift
     # with the bucket the batch landed in.
     max_true = codes_lens.max() if codes_lens is not None else t_codes
+    if data_axis is not None and codes_lens is not None:
+        # Inside a manual-DP shard_map each shard sees only its rows; pmax
+        # makes the prefix draw from the global batch max like the GSPMD path.
+        max_true = jax.lax.pmax(max_true, data_axis)
     prefix_len = prefix_length(config, max_true)
 
     stage_rng, drop_rng = jax.random.split(rng)
@@ -253,6 +260,8 @@ def _generate_fn(params: Params, tokens: jax.Array, tokens_len: jax.Array,
     pm = prompt_codes.shape[1]
     nm = first_layer.shape[1]
     s_total = ttm + pm + nm
+    from .ar import check_max_pos
+    check_max_pos(ttm, pm + nm, 'NAR refine')
 
     x_tok = add_positional(pe, embedding(params['tokens_emb'], tokens)
                            ).astype(dtype)

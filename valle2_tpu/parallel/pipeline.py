@@ -44,6 +44,14 @@ Params = dict[str, Any]
 _HEAD_KEYS = ('proj', 'proj_layers')
 
 
+def _gcd(b_local: int, m: int) -> int:
+    """Largest usable GPipe microbatch count <= the configured one for a
+    per-shard batch of ``b_local`` rows (pipeline_transformer requires
+    b % m == 0; shapes are static per trace so this is a Python int)."""
+    import math
+    return max(1, math.gcd(int(b_local), int(m)))
+
+
 def pipeline_transformer(p: Params, x: jax.Array, n_heads: int,
                          bias: jax.Array | None = None,
                          cond: jax.Array | None = None, *,
@@ -242,14 +250,23 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
     n_pipe = mesh.shape['pipe']
     n_data = mesh.shape.get('data', 1)
     zero1 = bool(getattr(config, 'zero1', False)) and n_data > 1
-    m = microbatches if microbatches is not None else max(
+    m_cfg = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
-    pp = ('pipe', n_pipe, m)
+    nar_kw = {'data_axis': 'data'} \
+        if model_name == 'ValleNAR' and n_data > 1 else {}
 
     def device_grads(params, batch, rng):
         """Per-device: local loss + completed grads (runs inside shard_map)."""
+        # Batch shapes are static per trace: clamp the microbatch count so a
+        # batch that doesn't divide by pp_microbatches (validation loaders use
+        # drop_last=False; eval batch sizes are independent of train's) still
+        # pipelines instead of tripping the b % m assert.  GPipe microbatching
+        # never changes the math, only the schedule, so gcd-clamping is exact.
+        b_local = jax.tree.leaves(batch)[0].shape[0]
+        pp = ('pipe', n_pipe, _gcd(b_local, m_cfg))
+
         def fwd(p):
-            return loss_fn(p, config, batch, rng, pp=pp)
+            return loss_fn(p, config, batch, rng, pp=pp, **nar_kw)
         (loss, metrics), grads = jax.value_and_grad(fwd, has_aux=True)(params)
         grads = _pipe_grad_reduce(grads)
         n = metrics['n_valid'].astype(jnp.float32)
@@ -314,13 +331,20 @@ def make_pp_eval_step(config, model_name: str, mesh: Mesh,
     loss_fn = LOSS_FNS[model_name]
     is_nar = model_name == 'ValleNAR'
     n_pipe = mesh.shape['pipe']
-    m = microbatches if microbatches is not None else max(
+    n_data = mesh.shape.get('data', 1)
+    m_cfg = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
-    pp = ('pipe', n_pipe, m)
+    nar_kw = {'data_axis': 'data'} if is_nar and n_data > 1 else {}
 
     def device_eval(params, batch, rng):
+        # Same per-trace microbatch clamp as the train step: validation
+        # batches (valid_batch_size, drop_last=False trailing partials) need
+        # not divide pp_microbatches.
+        b_local = jax.tree.leaves(batch)[0].shape[0]
+        pp = ('pipe', n_pipe, _gcd(b_local, m_cfg))
         if is_nar:
-            _, metrics = loss_fn(params, config, batch, rng, train=False, pp=pp)
+            _, metrics = loss_fn(params, config, batch, rng, train=False,
+                                 pp=pp, **nar_kw)
         else:
             _, metrics = loss_fn(params, config, batch, None, pp=pp)
         n = metrics['n_valid'].astype(jnp.float32)
