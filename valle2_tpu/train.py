@@ -571,7 +571,14 @@ def main(argv=None):
                         help='Capture a jax.profiler device trace into this dir')
     parser.add_argument('--debug-nans', action='store_true',
                         help='Enable jax_debug_nans (numerics sanitizer)')
+    parser.add_argument('--platform', type=str, default=None,
+                        choices=['cpu', 'tpu'],
+                        help='Force the JAX backend (the axon PJRT plugin '
+                             'ignores $JAX_PLATFORMS, so CPU smoke runs need '
+                             'the config API — NOTES.md)')
     args = parser.parse_args(argv)
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
     if args.debug_nans:
         from .profiling import enable_nan_checks
         enable_nan_checks()
