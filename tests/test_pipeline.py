@@ -279,6 +279,125 @@ class TestPPTrainStep:
                                    rtol=1e-6)
 
 
+class TestPPxTP:
+    """DP x PP x TP: Megatron TP within each pipeline stage (r4, lifting the
+    r3 'mesh_pipe composes with mesh_data only' restriction)."""
+
+    def test_ar_step_matches_solo(self):
+        cfg = _cfg()
+        batch = _ar_batch()
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        solo_state, sm = make_train_step(cfg, 'ValleAR', mesh=None)(
+            state, batch, jax.random.key(9))
+
+        mesh = make_pp_mesh(2, 2, 2)            # data x pipe x model
+        state2 = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        pp_state, pm = make_pp_train_step(cfg, 'ValleAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(sm['grad_norm']),
+                                   float(pm['grad_norm']), rtol=1e-4)
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params, jax.device_get(pp_state.params))))
+        assert diff < 1e-5, diff
+
+    def test_nar_step_matches_solo(self):
+        cfg = _cfg(num_quantizers=8)
+        batch = _nar_batch(b=8)
+        state = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        _, sm = make_train_step(cfg, 'ValleNAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_pp_mesh(2, 2, 2)
+        state2 = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        _, pm = make_pp_train_step(cfg, 'ValleNAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        assert int(sm['stage']) == int(pm['stage'])
+
+    def test_eval_matches_solo_loss(self):
+        cfg = _cfg()
+        batch = _ar_batch()
+        params = ar.init_params(jax.random.key(0), cfg)
+        loss0, _ = ar.loss_fn(params, cfg, batch, None)
+        mesh = make_pp_mesh(2, 2, 2)
+        ev = make_pp_eval_step(cfg, 'ValleAR', mesh)
+        metrics = ev(pp_shard_params(mesh, params), batch, jax.random.key(0))
+        np.testing.assert_allclose(float(loss0), float(metrics['loss']),
+                                   rtol=1e-6)
+
+    def test_multi_step_descends_dp_pp_tp(self):
+        # Many steps: the collective-ordering (deadlock) regression drive —
+        # a single passing step proves nothing for a race (NOTES.md).
+        cfg = _cfg()
+        mesh = make_pp_mesh(2, 2, 2)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state = TrainState(pp_shard_params(mesh, state.params),
+                           pp_shard_params(mesh, state.opt_state), state.step)
+        step = make_pp_train_step(cfg, 'ValleAR', mesh)
+        batch = _ar_batch()
+        losses = []
+        for _ in range(10):
+            state, m = step(state, batch, jax.random.key(7))
+            losses.append(float(m['loss']))
+        assert losses[-1] < losses[0]
+
+
+class TestPPxLoRA:
+    def test_lora_step_matches_solo(self):
+        cfg = _cfg(lora_rank=4, lora_alpha=8.0)
+        batch = _ar_batch()
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        solo_state, sm = make_train_step(cfg, 'ValleAR', mesh=None)(
+            state, batch, jax.random.key(9))
+
+        mesh = make_pp_mesh(2, 4)
+        state2 = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        pp_state, pm = make_pp_train_step(cfg, 'ValleAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        # Base must stay bit-identical; adapters must match solo's update.
+        base_diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params['base'],
+            jax.device_get(pp_state.params['base']))))
+        assert base_diff == 0.0
+        lora_diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params['lora'],
+            jax.device_get(pp_state.params['lora']))))
+        assert lora_diff < 1e-6, lora_diff
+
+    def test_lora_with_tp_descends(self):
+        cfg = _cfg(lora_rank=4)
+        mesh = make_pp_mesh(2, 2, 2)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state = TrainState(pp_shard_params(mesh, state.params),
+                           pp_shard_params(mesh, state.opt_state), state.step)
+        step = make_pp_train_step(cfg, 'ValleAR', mesh)
+        batch = _ar_batch()
+        losses = []
+        for _ in range(6):
+            state, m = step(state, batch, jax.random.key(7))
+            losses.append(float(m['loss']))
+        assert losses[-1] < losses[0]
+        ev = make_pp_eval_step(cfg, 'ValleAR', mesh)
+        metrics = ev(state.params, batch, jax.random.key(0))
+        assert np.isfinite(float(metrics['loss']))
+
+
 class TestPPCompositions:
     def test_grad_accum_matches_solo(self):
         # grad_accum=2: MultiSteps accumulates inside the pp step exactly as
@@ -366,12 +485,13 @@ class TestPPCompositions:
 class TestTrainerWiring:
     def test_trainer_rejects_bad_compositions(self):
         mesh = make_pp_mesh(2, 4)
-        with pytest.raises(ValueError, match='mesh_pipe'):
-            Trainer(_cfg(lora_rank=4), 'ValleAR', mesh=mesh,
-                    use_tensorboard=False)
         with pytest.raises(ValueError, match='num_layers'):
             Trainer(_cfg(num_layers=6), 'ValleAR', mesh=mesh,
                     use_tensorboard=False)
+        # TP within stages requires head/ffn divisibility by mesh_model.
+        with pytest.raises(ValueError, match='mesh_model'):
+            Trainer(_cfg(n_heads=3, d_model=48), 'ValleAR',
+                    mesh=make_pp_mesh(1, 2, 2), use_tensorboard=False)
 
     def test_trainer_uses_pp_step(self):
         mesh = make_pp_mesh(2, 4)

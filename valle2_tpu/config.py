@@ -117,9 +117,9 @@ class ConfigValle:
         metadata={'help': 'Pipeline-parallel mesh axis size: the layer stack '
                           'splits into mesh_pipe contiguous stages and '
                           'microbatches stream through them (GPipe schedule, '
-                          'parallel/pipeline.py). Composes with mesh_data; '
-                          'composes with mesh_data/zero1/grad_accum; '
-                          'exclusive with mesh_model/lora in v1'},
+                          'parallel/pipeline.py). Composes with mesh_data, '
+                          'zero1, grad_accum, lora, and mesh_model (manual '
+                          'Megatron TP within each stage — DP x PP x TP)'},
     )
     pp_microbatches: int = field(
         default=1,

@@ -124,8 +124,13 @@ def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
     ``tp_axis``: manual tensor parallelism inside a shard_map — ``n_heads`` is
     then this shard's LOCAL head count (qkv column-split along heads), and the
     row-split output projection psums the partial over ``tp_axis``
-    (``nn.linear_row_parallel``).  The returned k/v are the local heads'.
+    (``nn.linear_row_parallel``); the qkv input gets the backward all-reduce
+    (``nn.identity_psum_grad``) completing dx.  The returned k/v are the
+    local heads'.
     """
+    if tp_axis is not None:
+        from .nn import identity_psum_grad
+        x = identity_psum_grad(x, tp_axis)
     q, k, v = qkv_proj(p, x, n_heads)
     if flash is not None:
         wrap_mesh = flash.get('mesh')

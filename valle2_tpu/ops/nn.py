@@ -60,11 +60,65 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
     return y
 
 
+def psum_replicated_grad(x: jax.Array, axis: str) -> jax.Array:
+    """``jax.lax.psum`` whose TRANSPOSE is the identity.
+
+    Inside a ``shard_map`` without replication tracking (``check_vma=False``,
+    this codebase's convention), autodiff transposes psum to psum — so a
+    row-parallel projection's cotangent (replicated: everything downstream of
+    the reduction is computed identically on every rank) would get re-reduced
+    and scale every upstream gradient by the axis size.  The mathematically
+    correct transpose for a REPLICATED cotangent is the identity (same
+    reasoning as pipeline_transformer's masked output broadcast).  ONLY valid
+    when the consumer side is replicated over ``axis`` — e.g. the manual-TP
+    training path, where residuals/norms/loss are computed in lockstep."""
+    import functools
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def _psum(v, ax):
+        return jax.lax.psum(v, ax)
+
+    def _fwd(v, ax):
+        return jax.lax.psum(v, ax), None
+
+    def _bwd(ax, _res, ct):
+        return (ct,)
+
+    _psum.defvjp(_fwd, _bwd)
+    return _psum(x, axis)
+
+
+def identity_psum_grad(x: jax.Array, axis: str) -> jax.Array:
+    """Megatron's *g* operator: identity forward, all-reduce backward.
+
+    Place at the INPUT of a column-parallel region (qkv, lin1): the forward
+    needs nothing (x is replicated), but each rank's input cotangent carries
+    only its local output columns' contribution — disjoint partial sums that
+    must be psummed before the (replicated) upstream ops differentiate.  The
+    dual of ``psum_replicated_grad``; training-path manual TP only."""
+    import functools
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def _ident(v, ax):
+        return v
+
+    def _fwd(v, ax):
+        return v, None
+
+    def _bwd(ax, _res, ct):
+        return (jax.lax.psum(ct, ax),)
+
+    _ident.defvjp(_fwd, _bwd)
+    return _ident(x, axis)
+
+
 def linear_row_parallel(p: Params, x: jax.Array, tp_axis: str) -> jax.Array:
     """Row-parallel linear under MANUAL tensor parallelism (inside a
     jax.shard_map): this shard's weight holds a contiguous slice of the INPUT
     features (Megatron row split), so ``x @ w`` is a partial sum — ``psum``
     over ``tp_axis`` completes it before the (replicated) bias is added once.
+    The reduction differentiates as ``psum_replicated_grad`` (identity
+    transpose), making this layer trainable inside the PP x TP shard_map.
 
     int8 leaves stay EXACTLY solo-equal: the dynamic activation scale must be
     the max over the FULL feature axis (``quantize.int8_matmul``), so the
@@ -90,7 +144,7 @@ def linear_row_parallel(p: Params, x: jax.Array, tp_axis: str) -> jax.Array:
         from ..quantize import int4_matmul
         y = jax.lax.psum(int4_matmul(x, p['q4'], p['scale4']), tp_axis)
     else:
-        y = jax.lax.psum(x @ p['w'], tp_axis)
+        y = psum_replicated_grad(x @ p['w'], tp_axis)
     if 'b' in p:
         y = y + p['b']
     return y
@@ -238,7 +292,10 @@ def ffn(p: Params, x: jax.Array, *, dropout_rate: float = 0.0,
 
     ``tp_axis``: manual tensor parallelism inside a shard_map — lin1 is
     column-split (local hidden slice, local bias), lin2 row-split with a psum
-    completing the output (``linear_row_parallel``)."""
+    completing the output (``linear_row_parallel``); lin1's input gets the
+    backward all-reduce (``identity_psum_grad``) that completes dx."""
+    if tp_axis is not None:
+        x = identity_psum_grad(x, tp_axis)
     h = jax.nn.gelu(linear(p['lin1'], x), approximate=False)
     h = dropout(h, dropout_rate, rng)
     if tp_axis is not None:

@@ -147,16 +147,19 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
     ``tp_axis``: manual TP inside a shard_map (see encoder_layer) — ``n_heads``
     is then the LOCAL head count.
     ``sp_spec``: sequence-parallel residual sharding (see encoder_layer).
-    ``pp``: pipeline parallelism — ``(axis_name, num_stages, microbatches)``;
-    the call must then run inside a shard_map over that axis with ``p`` holding
-    this stage's layer slice (parallel.pipeline.pipeline_transformer)."""
+    ``pp``: pipeline parallelism — ``(axis_name, num_stages, microbatches)``
+    or ``(axis_name, num_stages, microbatches, model_axis, mp)`` for PP x TP;
+    the call must then run inside a shard_map over those axes with ``p``
+    holding this stage's layer slice (parallel.pipeline.pipeline_transformer;
+    ``n_heads`` stays the GLOBAL head count — the pipeline derives the local
+    count from ``mp``)."""
     if pp is not None:
         from ..parallel.pipeline import pipeline_transformer
-        pp_axis, n_stages, microbatches = pp
+        pp_axis, n_stages, microbatches, *tp_part = pp
         return pipeline_transformer(
             p, x, n_heads, bias, cond, axis=pp_axis, num_stages=n_stages,
             microbatches=microbatches, dropout_rate=dropout_rate, rng=rng,
-            remat=remat)
+            remat=remat, tp=tuple(tp_part) if tp_part else None)
     num_layers = jax.tree.leaves(p)[0].shape[0]
 
     def body(carry, scan_in):

@@ -52,13 +52,96 @@ def _gcd(b_local: int, m: int) -> int:
     return max(1, math.gcd(int(b_local), int(m)))
 
 
+#: Leaf-path suffixes whose gradients are PARTIAL under manual TP slicing
+#: (tp_slice_stage): the slice's transpose scatters each rank's block (or
+#: partial sum, for LoRA factors) into a full-shaped zero tree, so one psum
+#: over 'model' reassembles the exact dense gradient.  Row-parallel biases
+#: (out/b, lin2/b — added once after the activation psum) and norm leaves
+#: compute identically on every model rank and must NOT be reduced.
+_TP_PARTIAL_SUFFIXES = tuple(
+    f'{t}/{leaf}' for t in ('qkv', 'lin1') for leaf in ('w', 'b')
+) + ('out/w', 'lin2/w') + tuple(
+    f'{t}/{leaf}' for t in ('qkv', 'out', 'lin1', 'lin2')
+    for leaf in ('lora_a', 'lora_b'))
+
+
+def tp_slice_stage(p: Params, axis: str, mp: int) -> Params:
+    """Differentiably slice a stage's stacked layer params to this model
+    rank's Megatron shard — manual tensor parallelism INSIDE the pipeline
+    shard_map.
+
+    Layout contract matches the decode-path splits (mesh.tp_permute_qkv /
+    tp_decode_specs), but computed in-trace from the canonical layout: the
+    fused qkv's [q | k | v] columns regroup so this rank holds the contiguous
+    [q_r | k_r | v_r] block of its heads; lin1 splits output columns (+bias);
+    out/lin2 split input rows (head-aligned for ``out`` because merge_heads
+    concatenates heads in order).  Norms, AdaLN conditioning, and row-parallel
+    biases stay full (replicated work).  Because the slice is traced, params
+    (and optimizer state, checkpoints) keep the canonical dense layout —
+    cross-mesh restore needs no inverse permutation.
+
+    The transpose of these slices scatters grads into full-shaped zeros;
+    ``_model_grad_reduce`` psums them back together.
+    """
+    r = jax.lax.axis_index(axis)
+
+    def qkv_cols(w):                     # (..., d_in | none, 3d) fused columns
+        *lead, td = w.shape
+        d = td // 3
+        w5 = w.reshape(*lead, 3, mp, d // mp)
+        loc = jnp.take(w5, r, axis=len(lead) + 1)
+        return loc.reshape(*lead, 3 * (d // mp))
+
+    def cols(w):                         # (..., out) → local output columns
+        n = w.shape[-1] // mp
+        return jax.lax.dynamic_slice_in_dim(w, r * n, n, axis=w.ndim - 1)
+
+    def rows(w):                         # (..., in, out) → local input rows
+        n = w.shape[-2] // mp
+        return jax.lax.dynamic_slice_in_dim(w, r * n, n, axis=w.ndim - 2)
+
+    def slice_for(path, leaf):
+        keys = [getattr(e, 'key', getattr(e, 'name', None)) for e in path]
+        joined = '/'.join(str(k) for k in keys if k is not None)
+        if joined.endswith(('qkv/w', 'qkv/b')):
+            return qkv_cols(leaf)
+        if joined.endswith(('lin1/w', 'lin1/b')):
+            return cols(leaf)
+        if joined.endswith(('out/w', 'lin2/w')):
+            return rows(leaf)
+        return leaf
+    return jax.tree_util.tree_map_with_path(slice_for, p)
+
+
+def _model_grad_reduce(grads: Params, axis: str):
+    """One variadic psum over ``axis`` for the TP-partial leaves (see
+    _TP_PARTIAL_SUFFIXES).  Returns (reduced grads, anchor leaf) — the anchor
+    lets the caller dataflow-order the NEXT collective after this one
+    (independent collectives deadlock XLA:CPU's thunk executor; NOTES.md)."""
+    def needs(path) -> bool:
+        keys = [getattr(e, 'key', getattr(e, 'name', None)) for e in path]
+        joined = '/'.join(str(k) for k in keys if k is not None)
+        return joined.endswith(_TP_PARTIAL_SUFFIXES)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
+    vals = tuple(v for p_, v in flat if needs(p_))
+    anchor = None
+    if vals:
+        reduced = jax.lax.psum(vals, axis)
+        anchor = reduced[0]
+        it = iter(reduced)
+        flat = [(p_, next(it) if needs(p_) else v) for p_, v in flat]
+    return jax.tree_util.tree_unflatten(treedef, [v for _, v in flat]), anchor
+
+
 def pipeline_transformer(p: Params, x: jax.Array, n_heads: int,
                          bias: jax.Array | None = None,
                          cond: jax.Array | None = None, *,
                          axis: str, num_stages: int, microbatches: int,
                          dropout_rate: float = 0.0,
                          rng: jax.Array | None = None,
-                         remat: bool = False) -> jax.Array:
+                         remat: bool = False,
+                         tp: tuple | None = None) -> jax.Array:
     """Device-local GPipe forward — call INSIDE a shard_map over ``axis``.
 
     ``p``: THIS STAGE's (L/P, ...) slice of the stacked layer params.
@@ -72,6 +155,12 @@ def pipeline_transformer(p: Params, x: jax.Array, n_heads: int,
     — a different (equally valid) draw than solo, bit-equal only at
     dropout_rate 0.
 
+    ``tp``: (model_axis, mp) — manual tensor parallelism WITHIN each stage:
+    this rank's layer slice is further sliced to its Megatron shard
+    (tp_slice_stage), attention runs n_heads/mp local heads, and the
+    row-parallel projections psum over the model axis per layer.  The mesh
+    must carry both axes; every model rank holds the same stage replica.
+
     Returns (b, s, d), psum-broadcast over 'pipe' so every rank leaves with
     the real output (loss/eval code downstream needs no stage awareness).
     """
@@ -83,6 +172,11 @@ def pipeline_transformer(p: Params, x: jax.Array, n_heads: int,
     b, s, d = x.shape
     assert b % m == 0, \
         f'pp_microbatches={m} must divide the per-data-shard batch {b}'
+    tp_axis = None
+    if tp is not None:
+        tp_axis, mp = tp
+        p = tp_slice_stage(p, tp_axis, mp)
+        n_heads //= mp
     mb = b // m
     x_mb = x.reshape(m, mb, s, d)
     bias_mb = None
@@ -99,7 +193,8 @@ def pipeline_transformer(p: Params, x: jax.Array, n_heads: int,
             else:
                 layer_rng = None
             y = encoder_layer(layer_p, carry, n_heads, bias_i, cond,
-                              dropout_rate=dropout_rate, rng=layer_rng)
+                              dropout_rate=dropout_rate, rng=layer_rng,
+                              tp_axis=tp_axis)
             return y, None
         if remat:
             body = jax.checkpoint(body)
@@ -149,13 +244,18 @@ def pipeline_transformer(p: Params, x: jax.Array, n_heads: int,
 # Placement + mesh
 # ---------------------------------------------------------------------------
 
-def make_pp_mesh(data: int, pipe: int, devices=None) -> Mesh:
-    """A ('data', 'pipe') mesh: batch over 'data', layer stack over 'pipe'."""
+def make_pp_mesh(data: int, pipe: int, model: int = 1, devices=None) -> Mesh:
+    """A ('data', 'pipe'[, 'model']) mesh: batch over 'data', layer stack over
+    'pipe', and (model > 1) Megatron tensor parallelism within each stage."""
     import numpy as np
     devices = devices if devices is not None else jax.devices()
-    assert data * pipe <= len(devices), \
-        f'mesh {data}x{pipe} needs {data * pipe} devices, have {len(devices)}'
-    dev = np.asarray(devices[:data * pipe]).reshape(data, pipe)
+    n = data * pipe * model
+    assert n <= len(devices), \
+        f'mesh {data}x{pipe}x{model} needs {n} devices, have {len(devices)}'
+    if model > 1:
+        dev = np.asarray(devices[:n]).reshape(data, pipe, model)
+        return Mesh(dev, ('data', 'pipe', 'model'))
+    dev = np.asarray(devices[:n]).reshape(data, pipe)
     return Mesh(dev, ('data', 'pipe'))
 
 
@@ -199,7 +299,7 @@ def pp_opt_specs(mesh: Mesh, tree: Any, zero1: bool = False) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
-def _pipe_grad_reduce(grads: Params) -> Params:
+def _pipe_grad_reduce(grads: Params, anchor: jax.Array | None = None) -> Params:
     """Complete per-rank gradients over the 'pipe' axis (see _HEAD_KEYS).
 
     ONE variadic psum for every leaf that needs it: collectives that are
@@ -208,7 +308,12 @@ def _pipe_grad_reduce(grads: Params) -> Params:
     rendezvous hang at train step ~5 via the CLI), and a single fused
     all-reduce is cheaper on real ICI anyway.  The psum's operands include
     the embedding grads, which depend on the LAST backward ppermute, so the
-    op is totally ordered after the whole pipeline on every rank."""
+    op is totally ordered after the whole pipeline on every rank.
+
+    ``anchor``: an output leaf of a PRECEDING collective on another axis
+    (the TP 'model' psum) — threading it through an optimization_barrier with
+    this psum's operands pins the cross-axis ordering by dataflow (the two
+    reductions touch disjoint leaves, so nothing else orders them)."""
     def needs_psum(path) -> bool:
         keys = [getattr(e, 'key', getattr(e, 'name', None)) for e in path]
         if 'transformer' in keys:
@@ -218,6 +323,9 @@ def _pipe_grad_reduce(grads: Params) -> Params:
     flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
     reduce_vals = tuple(v for p, v in flat if needs_psum(p))
     if reduce_vals:
+        if anchor is not None:
+            reduce_vals, _ = jax.lax.optimization_barrier(
+                (reduce_vals, anchor))
         reduced = iter(jax.lax.psum(reduce_vals, 'pipe'))
         flat = [(p, next(reduced) if needs_psum(p) else v) for p, v in flat]
     return jax.tree_util.tree_unflatten(treedef, [v for _, v in flat])
@@ -237,23 +345,30 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
     over 'pipe' for pre-pipeline params, data-weighted mean over 'data' —
     then the optax update runs outside under GSPMD with the same placement.
 
-    Composes with grad_accum (optax.MultiSteps), remat, and zero1 (the optax
+    Composes with grad_accum (optax.MultiSteps), remat, zero1 (the optax
     update runs OUTSIDE the shard_map under GSPMD, so the optimizer moments
-    shard over 'data' exactly as in the declarative step); not with
-    lora / mesh_model (Trainer raises).  Flash attention declines to the bias
-    path inside the pipeline (a nested Mosaic shard_map per stage isn't worth
-    it at these sequence lengths).
+    shard over 'data' exactly as in the declarative step), lora (adapters
+    shard over 'pipe' with their targets; the base is a frozen closure
+    constant), and a 'model' mesh axis (manual Megatron TP within each stage
+    — tp_slice_stage).  Flash attention declines to the bias path inside the
+    pipeline (a nested Mosaic shard_map per stage isn't worth it at these
+    sequence lengths).
     """
     from ..train import LOSS_FNS, TrainState, make_optimizer
     loss_fn = LOSS_FNS[model_name]
     tx = make_optimizer(config)
     n_pipe = mesh.shape['pipe']
     n_data = mesh.shape.get('data', 1)
+    n_model = mesh.shape.get('model', 1)
     zero1 = bool(getattr(config, 'zero1', False)) and n_data > 1
     m_cfg = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
     nar_kw = {'data_axis': 'data'} \
         if model_name == 'ValleNAR' and n_data > 1 else {}
+    lora_mode = config.lora_rank > 0
+    if lora_mode:
+        from ..lora import lora_scale, merge_lora
+        scale = lora_scale(config)
 
     def device_grads(params, batch, rng):
         """Per-device: local loss + completed grads (runs inside shard_map)."""
@@ -263,12 +378,25 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
         # pipelines instead of tripping the b % m assert.  GPipe microbatching
         # never changes the math, only the schedule, so gcd-clamping is exact.
         b_local = jax.tree.leaves(batch)[0].shape[0]
-        pp = ('pipe', n_pipe, _gcd(b_local, m_cfg))
+        pp = ('pipe', n_pipe, _gcd(b_local, m_cfg)) if n_model == 1 else \
+            ('pipe', n_pipe, _gcd(b_local, m_cfg), 'model', n_model)
 
-        def fwd(p):
-            return loss_fn(p, config, batch, rng, pp=pp, **nar_kw)
-        (loss, metrics), grads = jax.value_and_grad(fwd, has_aux=True)(params)
-        grads = _pipe_grad_reduce(grads)
+        if lora_mode:
+            base, trainable = params['base'], params['lora']
+
+            def fwd(l):
+                return loss_fn(merge_lora(base, l, scale), config, batch, rng,
+                               pp=pp, **nar_kw)
+        else:
+            trainable = params
+
+            def fwd(p):
+                return loss_fn(p, config, batch, rng, pp=pp, **nar_kw)
+        (loss, metrics), grads = jax.value_and_grad(fwd, has_aux=True)(trainable)
+        anchor = None
+        if n_model > 1:
+            grads, anchor = _model_grad_reduce(grads, 'model')
+        grads = _pipe_grad_reduce(grads, anchor=anchor)
         n = metrics['n_valid'].astype(jnp.float32)
         # ONE variadic all-reduce over 'data' for grads + loss + metrics:
         # d(global weighted loss)/dp = sum_l n_l*g_l / sum_l n_l — the exact
@@ -293,16 +421,18 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
         import optax
         step_rng = jax.random.fold_in(rng, state.step)
         p_specs = pp_param_specs(state.params)
+        trainable = state.params['lora'] if lora_mode else state.params
+        g_specs = pp_param_specs(trainable)
         batch_specs = jax.tree.map(
             lambda x: P('data', *([None] * (jnp.ndim(x) - 1))), batch)
         mapped = jax.shard_map(
             device_grads, mesh=mesh,
             in_specs=(p_specs, batch_specs, P()),
-            out_specs=(P(), p_specs, {k: P() for k in _metric_keys(model_name)}),
+            out_specs=(P(), g_specs, {k: P() for k in _metric_keys(model_name)}),
             check_vma=False)
         with jax.default_matmul_precision(config.matmul_precision):
             loss, grads, metrics = mapped(state.params, batch, step_rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
         if zero1:
             # Pin the updated moments back to their ZeRO-1 placement so the
             # compiled step cannot silently replicate them (same guard as the
@@ -310,7 +440,9 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
             opt_state = jax.tree.map(
                 jax.lax.with_sharding_constraint, opt_state,
                 pp_opt_specs(mesh, opt_state, zero1=True))
-        params = optax.apply_updates(state.params, updates)
+        new_trainable = optax.apply_updates(trainable, updates)
+        params = {'base': state.params['base'], 'lora': new_trainable} \
+            if lora_mode else new_trainable
         metrics = dict(metrics)
         metrics['grad_norm'] = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1), metrics
@@ -332,16 +464,24 @@ def make_pp_eval_step(config, model_name: str, mesh: Mesh,
     is_nar = model_name == 'ValleNAR'
     n_pipe = mesh.shape['pipe']
     n_data = mesh.shape.get('data', 1)
+    n_model = mesh.shape.get('model', 1)
     m_cfg = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
     nar_kw = {'data_axis': 'data'} if is_nar and n_data > 1 else {}
+    lora_mode = config.lora_rank > 0
+    if lora_mode:
+        from ..lora import lora_scale, merge_lora
+        scale = lora_scale(config)
 
     def device_eval(params, batch, rng):
         # Same per-trace microbatch clamp as the train step: validation
         # batches (valid_batch_size, drop_last=False trailing partials) need
         # not divide pp_microbatches.
         b_local = jax.tree.leaves(batch)[0].shape[0]
-        pp = ('pipe', n_pipe, _gcd(b_local, m_cfg))
+        pp = ('pipe', n_pipe, _gcd(b_local, m_cfg)) if n_model == 1 else \
+            ('pipe', n_pipe, _gcd(b_local, m_cfg), 'model', n_model)
+        if lora_mode:
+            params = merge_lora(params['base'], params['lora'], scale)
         if is_nar:
             _, metrics = loss_fn(params, config, batch, rng, train=False,
                                  pp=pp, **nar_kw)

@@ -247,15 +247,21 @@ class Trainer:
         # pipelining concept); everything else rides the declarative GSPMD step.
         self._pp = mesh is not None and 'pipe' in mesh.axis_names
         if self._pp:
-            if config.lora_rank > 0 or config.mesh_model > 1:
-                raise ValueError(
-                    'mesh_pipe composes with mesh_data (+ zero1) only (v1): '
-                    'disable lora_rank / mesh_model')
             n_pipe = mesh.shape['pipe']
             if config.num_layers % n_pipe != 0:
                 raise ValueError(
                     f'num_layers={config.num_layers} must divide into '
                     f'mesh_pipe={n_pipe} equal stages')
+            n_model = mesh.shape.get('model', 1)
+            if n_model > 1:
+                from .parallel import tp_divisible
+                if not tp_divisible(config.n_heads, config.dim_feedforward,
+                                    n_model):
+                    raise ValueError(
+                        f'mesh_model={n_model} must divide n_heads='
+                        f'{config.n_heads} and dim_feedforward='
+                        f'{config.dim_feedforward} (Megatron TP within each '
+                        f'pipeline stage)')
             from .parallel import make_pp_eval_step, make_pp_train_step
             self.train_step = make_pp_train_step(config, model_name, mesh)
             self.eval_step = make_pp_eval_step(config, model_name, mesh)
@@ -539,9 +545,10 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
     enable_aot_cache(fallback=config.aot_cache_dir)
     if mesh is None and config.mesh_pipe > 1:
         from .parallel import make_pp_mesh
-        mesh = make_pp_mesh(config.mesh_data, config.mesh_pipe)
-        log_info('Mesh from config: %dx%d (data x pipe)',
-                 config.mesh_data, config.mesh_pipe)
+        mesh = make_pp_mesh(config.mesh_data, config.mesh_pipe,
+                            config.mesh_model)
+        log_info('Mesh from config: %dx%dx%d (data x pipe x model)',
+                 config.mesh_data, config.mesh_pipe, config.mesh_model)
     elif mesh is None and config.mesh_data * config.mesh_model > 1:
         # The config's mesh request (mesh_data x mesh_model) builds the device
         # mesh here so `-c cfg.json` alone scales a run across chips.
