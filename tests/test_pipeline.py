@@ -398,6 +398,106 @@ class TestPPxLoRA:
         assert np.isfinite(float(metrics['loss']))
 
 
+class Test1F1B:
+    """pp_schedule='1f1b': hand-scheduled one-forward-one-backward pipeline
+    (parallel/pipeline_1f1b.py) — same gradients as GPipe/solo, O(P)
+    activation liveness."""
+
+    @pytest.mark.parametrize('microbatches', [1, 2, 4])
+    def test_ar_step_matches_solo(self, microbatches):
+        from valle2_tpu.parallel.pipeline_1f1b import make_pp_train_step_1f1b
+        cfg = _cfg(pp_microbatches=microbatches)
+        batch = _ar_batch()
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        solo_state, sm = make_train_step(cfg, 'ValleAR', mesh=None)(
+            state, batch, jax.random.key(9))
+
+        mesh = make_pp_mesh(2, 4)
+        state2 = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        pp_state, pm = make_pp_train_step_1f1b(cfg, 'ValleAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(sm['acc']), float(pm['acc']),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(sm['grad_norm']),
+                                   float(pm['grad_norm']), rtol=1e-4)
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params, jax.device_get(pp_state.params))))
+        assert diff < 1e-5, diff
+
+    def test_nar_step_matches_solo(self):
+        from valle2_tpu.parallel.pipeline_1f1b import make_pp_train_step_1f1b
+        cfg = _cfg(num_quantizers=8, pp_microbatches=2)
+        batch = _nar_batch(b=8)
+        batch['codes_lens'] = jnp.array([16, 12, 14, 16, 10, 9, 11, 13])
+        state = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        _, sm = make_train_step(cfg, 'ValleNAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_pp_mesh(2, 4)
+        state2 = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        _, pm = make_pp_train_step_1f1b(cfg, 'ValleNAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        assert int(sm['stage']) == int(pm['stage'])
+
+    def test_1f1b_with_tp_matches_solo(self):
+        from valle2_tpu.parallel.pipeline_1f1b import make_pp_train_step_1f1b
+        cfg = _cfg(pp_microbatches=2)
+        batch = _ar_batch()
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        solo_state, sm = make_train_step(cfg, 'ValleAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_pp_mesh(2, 2, 2)
+        state2 = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        pp_state, pm = make_pp_train_step_1f1b(cfg, 'ValleAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params, jax.device_get(pp_state.params))))
+        assert diff < 1e-5, diff
+
+    def test_multi_step_descends(self):
+        # Collective-ordering drive: interleaved fwd/bwd ppermutes + psums
+        # over many steps (a single pass proves nothing for a race).
+        from valle2_tpu.parallel.pipeline_1f1b import make_pp_train_step_1f1b
+        cfg = _cfg(pp_microbatches=4)
+        mesh = make_pp_mesh(2, 4)
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state = TrainState(pp_shard_params(mesh, state.params),
+                           pp_shard_params(mesh, state.opt_state), state.step)
+        step = make_pp_train_step_1f1b(cfg, 'ValleAR', mesh)
+        batch = _ar_batch()
+        losses = []
+        for _ in range(10):
+            state, m = step(state, batch, jax.random.key(7))
+            losses.append(float(m['loss']))
+        assert losses[-1] < losses[0]
+
+    def test_trainer_selects_1f1b(self):
+        mesh = make_pp_mesh(2, 4)
+        tr = Trainer(_cfg(pp_schedule='1f1b'), 'ValleAR', mesh=mesh,
+                     use_tensorboard=False)
+        state = init_state(tr.config, 'ValleAR', jax.random.key(0))
+        state = TrainState(pp_shard_params(mesh, state.params),
+                           pp_shard_params(mesh, state.opt_state), state.step)
+        _, m = tr.train_step(state, _ar_batch(), jax.random.key(1))
+        assert np.isfinite(float(m['loss']))
+
+
 class TestPPCompositions:
     def test_grad_accum_matches_solo(self):
         # grad_accum=2: MultiSteps accumulates inside the pp step exactly as

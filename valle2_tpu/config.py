@@ -123,9 +123,20 @@ class ConfigValle:
     )
     pp_microbatches: int = field(
         default=1,
-        metadata={'help': 'GPipe microbatches per step under mesh_pipe > 1; '
+        metadata={'help': 'Pipeline microbatches per step under mesh_pipe > 1; '
                           'bubble fraction is (P-1)/(M+P-1), so use >= 4x the '
-                          'stage count. Must divide the per-data-shard batch'},
+                          'stage count. Clamped per trace to divide the '
+                          'per-data-shard batch'},
+    )
+    pp_schedule: Literal['gpipe', '1f1b'] = field(
+        default='gpipe',
+        metadata={'help': "Pipeline schedule: 'gpipe' (autodiff backward — "
+                          'activation liveness grows with pp_microbatches M) '
+                          "or '1f1b' (one-forward-one-backward with recompute "
+                          '— liveness bounded at ~2P stage inputs regardless '
+                          'of M, so M scales for bubble amortization without '
+                          'scaling memory; parallel/pipeline_1f1b.py). Same '
+                          'gradients either way (parity-tested)'},
     )
     bucket_sizes: tuple = field(
         default=(128, 256, 384, 512, 768, 1024),

@@ -199,6 +199,83 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     return loss, {'loss': loss, 'acc': acc, 'n_valid': n_valid}
 
 
+def pp_microbatch_parts(config: ConfigValle, batch: dict, rng: jax.Array | None,
+                        data_axis: str | None = None) -> dict:
+    """1F1B decomposition of ``loss_fn`` for parallel.pipeline_1f1b: the same
+    math as loss_fn/forward (embed → stack → head+CE) split into per-
+    microbatch callables so the schedule can run the head AND its backward at
+    the last stage while earlier microbatches are still in flight.
+
+    Returns {'prep', 'head_loss', 'extra_metrics'}:
+    - ``prep(params, i, mb)`` → (x (mb, s, d), bias, cond): rows
+      [i*mb, (i+1)*mb) embedded + positional; ``params`` arrive UNCAST (the
+      closures cast to the compute dtype so grads stay in the master dtype).
+    - ``head_loss(params, y_mb, i, mb)`` → (nll_sum, (acc_sum, n_valid)):
+      UNNORMALIZED sums — the schedule divides by the psum'd token count at
+      the end, which reproduces loss_fn's weighted mean exactly.
+    Dropout folds per microbatch (bit-equal to solo only at dropout 0 — the
+    same caveat as the GPipe path's per-microbatch rng).
+    """
+    tokens, codes, target = batch['tokens'], batch['codes'], batch['target']
+    tokens_lens, codes_lens = batch.get('tokens_lens'), batch.get('codes_lens')
+    tt, tc = tokens.shape[1], codes.shape[1]
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    cdtype = jnp.dtype(config.dtype)
+    pdtype = jnp.dtype(config.param_dtype)
+    drop = config.dropout if rng is not None else 0.0
+    max_true = codes_lens.max() if codes_lens is not None else tc
+
+    def cast(p):
+        if cdtype == pdtype:
+            return p
+        return jax.tree.map(
+            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, p)
+
+    def mb_slice(arr, i, mb):
+        return jax.lax.dynamic_slice_in_dim(arr, i * mb, mb, axis=0)
+
+    def prep(params, i, mb):
+        params = cast(params)
+        rngs = (jax.random.split(jax.random.fold_in(rng, i), 2)
+                if rng is not None else (None, None))
+        tok_mb = mb_slice(tokens, i, mb)
+        cod_mb = mb_slice(codes, i, mb)
+        x_tok = add_positional(pe, embedding(params['tokens_emb'], tok_mb),
+                               dropout_rate=drop, rng=rngs[0])
+        x_aud = add_positional(pe, embedding(params['audio_emb'], cod_mb),
+                               dropout_rate=drop, rng=rngs[1])
+        cl_mb = mb_slice(codes_lens, i, mb) if codes_lens is not None else None
+        bias = prefix_lm_bias(tt, tc, cl_mb)
+        if tokens_lens is not None:
+            tl_mb = mb_slice(tokens_lens, i, mb)
+            tok_pad = jnp.pad(build_pad_mask(tl_mb, tt), ((0, 0), (0, tc)))
+            bias = bias + mask_to_bias(tok_pad)[:, None, None, :]
+        x = jnp.concatenate([x_tok, x_aud], axis=1).astype(cdtype)
+        return x, bias, None
+
+    def head_loss(params, y_mb, i, mb):
+        params = cast(params)
+        logits = linear(params['proj'], y_mb[:, tt:]).astype(jnp.float32)
+        tgt_mb = mb_slice(target, i, mb)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logprobs, tgt_mb[..., None], axis=-1)[..., 0]
+        if codes_lens is not None:
+            cl_mb = mb_slice(codes_lens, i, mb)
+            if config.mask_loss_pads:
+                valid = ~build_pad_mask(cl_mb, tgt_mb.shape[1])
+            else:
+                valid = jnp.arange(tgt_mb.shape[1])[None, :] < max_true
+        else:
+            valid = jnp.ones(tgt_mb.shape, bool)
+        nll_sum = jnp.sum(nll * valid)
+        acc_sum = jnp.sum((jnp.argmax(logits, -1) == tgt_mb) * valid)
+        n_valid = jnp.sum(valid)
+        return nll_sum, (acc_sum.astype(jnp.float32),
+                         n_valid.astype(jnp.float32))
+
+    return {'prep': prep, 'head_loss': head_loss, 'extra_metrics': {}}
+
+
 # ---------------------------------------------------------------------------
 # Decode — on-device while_loop (north-star item #2)
 # ---------------------------------------------------------------------------

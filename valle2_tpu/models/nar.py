@@ -222,6 +222,88 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     return loss, {'loss': loss, 'acc': acc, 'stage': stage, 'n_valid': n_valid}
 
 
+def pp_microbatch_parts(config: ConfigValle, batch: dict, rng: jax.Array,
+                        data_axis: str | None = None) -> dict:
+    """1F1B decomposition of the NAR ``loss_fn`` (see ar.pp_microbatch_parts
+    for the protocol).  The stage draw replicates loss_fn's exactly (same rng
+    split), the AdaLN conditioning row rides through ``prep``'s third output
+    so its gradient accumulates per stage, and the acoustic-prefix length
+    maxes over the GLOBAL batch via ``data_axis`` like the GPipe path."""
+    codes, tokens = batch['codes'], batch['tokens']
+    codes_lens, tokens_lens = batch.get('codes_lens'), batch.get('tokens_lens')
+    b, t_codes, nq = codes.shape
+    t_tok = tokens.shape[1]
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    cdtype = jnp.dtype(config.dtype)
+    pdtype = jnp.dtype(config.param_dtype)
+    stage_rng, drop_rng = jax.random.split(rng)
+    stage = jax.random.randint(stage_rng, (), 1, nq)
+    max_true = codes_lens.max() if codes_lens is not None else t_codes
+    if data_axis is not None and codes_lens is not None:
+        max_true = jax.lax.pmax(max_true, data_axis)
+    prefix_len = prefix_length(config, max_true)
+    drop = config.dropout if rng is not None else 0.0
+
+    def cast(p):
+        if cdtype == pdtype:
+            return p
+        return jax.tree.map(
+            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, p)
+
+    def mb_slice(arr, i, mb):
+        return jax.lax.dynamic_slice_in_dim(arr, i * mb, mb, axis=0)
+
+    def prep(params, i, mb):
+        params = cast(params)
+        rngs = jax.random.split(jax.random.fold_in(drop_rng, i), 2)
+        tok_mb = mb_slice(tokens, i, mb)
+        cod_mb = mb_slice(codes, i, mb)
+        x_tok = add_positional(pe, embedding(params['tokens_emb'], tok_mb),
+                               dropout_rate=drop, rng=rngs[0])
+        codes_emb = prepare_audio_embedding(params, cod_mb, stage, prefix_len)
+        codes_emb = add_positional(pe, codes_emb, dropout_rate=drop,
+                                   rng=rngs[1])
+        x = jnp.concatenate([x_tok, codes_emb], axis=1).astype(cdtype)
+        pad = jnp.zeros((mb, t_tok + t_codes), bool)
+        if codes_lens is not None:
+            pad = pad | jnp.pad(build_pad_mask(mb_slice(codes_lens, i, mb),
+                                               t_codes), ((0, 0), (t_tok, 0)))
+        if tokens_lens is not None:
+            pad = pad | jnp.pad(build_pad_mask(mb_slice(tokens_lens, i, mb),
+                                               t_tok), ((0, 0), (0, t_codes)))
+        bias = mask_to_bias(pad)[:, None, None, :]
+        cond = jax.lax.dynamic_index_in_dim(params['stage_embs'], stage - 1, 0,
+                                            keepdims=True)
+        return x, bias, cond
+
+    def head_loss(params, y_mb, i, mb):
+        params = cast(params)
+        y = y_mb[:, t_tok:]
+        head = jax.lax.dynamic_index_in_dim(params['proj_layers'], stage - 1,
+                                            0, keepdims=False)
+        logits = (y @ head).astype(jnp.float32)
+        tgt_mb = jax.lax.dynamic_index_in_dim(mb_slice(codes, i, mb), stage, 2,
+                                              keepdims=False)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logprobs, tgt_mb[..., None], axis=-1)[..., 0]
+        pos = jnp.arange(t_codes)[None, :]
+        valid = pos >= prefix_len
+        if codes_lens is not None:
+            cl_mb = mb_slice(codes_lens, i, mb)
+            if config.mask_loss_pads:
+                valid = valid & (pos < cl_mb[:, None])
+            else:
+                valid = valid & (pos < max_true)
+        nll_sum = jnp.sum(nll * valid)
+        acc_sum = jnp.sum((jnp.argmax(logits, -1) == tgt_mb) * valid)
+        n_valid = jnp.sum(valid)
+        return nll_sum, (acc_sum.astype(jnp.float32),
+                         n_valid.astype(jnp.float32))
+
+    return {'prep': prep, 'head_loss': head_loss,
+            'extra_metrics': {'stage': stage}}
+
+
 # ---------------------------------------------------------------------------
 # Decode — 7 stages in one lax.scan
 # ---------------------------------------------------------------------------

@@ -263,7 +263,14 @@ class Trainer:
                         f'{config.dim_feedforward} (Megatron TP within each '
                         f'pipeline stage)')
             from .parallel import make_pp_eval_step, make_pp_train_step
-            self.train_step = make_pp_train_step(config, model_name, mesh)
+            if config.pp_schedule == '1f1b':
+                from .parallel.pipeline_1f1b import make_pp_train_step_1f1b
+                self.train_step = make_pp_train_step_1f1b(config, model_name,
+                                                          mesh)
+            else:
+                self.train_step = make_pp_train_step(config, model_name, mesh)
+            # Eval has no backward — the schedule is a training concern; the
+            # GPipe eval step serves both.
             self.eval_step = make_pp_eval_step(config, model_name, mesh)
         else:
             self.train_step = make_train_step(config, model_name, mesh)
