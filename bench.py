@@ -264,6 +264,104 @@ def bench_train(batch: int = 32, frames: int = 512, tag: str = 'default',
     return {'frames_per_sec': fps, 'step_ms': best * 1e3, 'mfu': mfu}
 
 
+def bench_train_nar(batch: int = 32, frames: int = 512, tag: str = 'default',
+                    **config_kwargs) -> dict:
+    """NAR training throughput (r4, VERDICT item 3): the other half of real
+    training FLOPs — masked 8-way embedding reduction, AdaLN conditioning,
+    full bidirectional attention.  Same steady-state chained-dispatch
+    methodology as bench_train."""
+    from valle2_tpu.config import ConfigValle
+    from valle2_tpu.profiling import V5E_PEAK_BF16_FLOPS, nar_train_step_flops
+    from valle2_tpu.train import init_state, make_train_step
+
+    config = ConfigValle(dropout=0.1, batch_size=batch, dtype='bfloat16',
+                         norm='AdaptiveLayerNorm', **config_kwargs)
+    state = init_state(config, 'ValleNAR', jax.random.key(0))
+    step = make_train_step(config, 'ValleNAR')
+    rs = np.random.RandomState(0)
+    data = {
+        'tokens': jnp.asarray(rs.randint(0, 256, (batch, frames // 4)), jnp.int32),
+        'tokens_lens': jnp.asarray([frames // 4] * batch),
+        'codes': jnp.asarray(rs.randint(0, 1024, (batch, frames, 8)), jnp.int32),
+        'codes_lens': jnp.asarray([frames] * batch),
+    }
+    rng = jax.random.key(1, impl=config.train_rng_impl)
+    state, m = step(state, data, rng)
+    _ = np.asarray(m['loss'])
+    n_chain = 8
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        for _k in range(n_chain):
+            state, m = step(state, data, rng)
+        _ = np.asarray(m['loss'])
+        times.append((time.perf_counter() - t0) / n_chain)
+    best = min(times)
+    fps = batch * frames / best
+    flops = nar_train_step_flops(config, batch, frames // 4, frames)
+    mfu = flops / best / V5E_PEAK_BF16_FLOPS
+    fused = os.environ.get('VALLE2_FUSED_ADALN') == '1'
+    log(f'train step ({tag}: NAR, b={batch}x{frames} frames, bf16, '
+        f'flash={config.flash_enabled}, fused_adaln={fused}): '
+        f'{best * 1e3:.1f} ms -> {fps:.0f} codec frames/s, '
+        f'{flops / best / 1e12:.1f} TFLOP/s, MFU {mfu:.1%}')
+    return {'frames_per_sec': fps, 'step_ms': best * 1e3, 'mfu': mfu}
+
+
+def bench_codec_precompute(secs: float = 8.0, batch: int = 8) -> dict:
+    """Codec tokenization rate: the data pipeline's on-device batched encode
+    (SEANet encoder + RVQ) in x-realtime — the stage that replaces the
+    reference's per-item CPU EnCodec bottleneck (its actual training
+    bottleneck, SURVEY §3.1)."""
+    from valle2_tpu.codec.encodec import EncodecTPU
+
+    codec = EncodecTPU()
+    rs = np.random.RandomState(0)
+    wav = jnp.asarray(rs.randn(batch, int(24000 * secs)).astype(np.float32) * 0.1)
+    codes = codec.batch_encode(wav)
+    _ = np.asarray(codes)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        codes = codec.batch_encode(wav)
+        _ = np.asarray(codes)
+        times.append(time.perf_counter() - t0)
+    rate = batch * secs / min(times)
+    log(f'codec precompute: {batch}x{secs:.0f}s audio encoded in '
+        f'{min(times):.3f}s -> {rate:.0f}x realtime')
+    return {'encode_x_realtime': rate}
+
+
+def _grammar_tpu_extras() -> dict:
+    """Fold the production-configuration grammar training results
+    (tools/grammar_production.py -> GRAMMAR_TPU.json) into the bench JSON so
+    the driver-captured record carries the trained-to-convergence evidence."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'GRAMMAR_TPU.json')
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path, encoding='utf-8') as f:
+            rep = json.load(f)
+        ev = rep.get('evals', {})
+        pc = ev.get('prompt_conditioning', {})
+        bo = ev.get('best_of_n', {})
+        cl = ev.get('closed_loop', {})
+        cl0 = cl.get(0, cl.get('0', {}))
+        out = {
+            'grammar_train_wall_s': rep.get('train_wall_s'),
+            'grammar_text_exact': cl0.get('text_exact'),
+            'grammar_tts_exact': cl0.get('tts_exact'),
+            'grammar_prompt_match_exact': pc.get('match_exact'),
+            'grammar_prompt_mismatch_exact': pc.get('mismatch_exact'),
+            'grammar_best_of_n_delta': bo.get('best_of_n_delta'),
+        }
+        return {k: v for k, v in out.items() if v is not None}
+    except Exception as exc:
+        log(f'GRAMMAR_TPU.json unreadable: {exc!r}')
+        return {}
+
+
 def main():
     log(f'devices: {jax.devices()}')
     try:
@@ -292,6 +390,23 @@ def main():
     except Exception as exc:
         log(f'204M train bench failed: {exc!r}')
         trn_large = None
+    try:
+        nar = bench_train_nar()
+    except Exception as exc:
+        log(f'NAR train bench failed: {exc!r}')
+        nar = None
+    try:
+        nar_large = bench_train_nar(batch=16, frames=512, tag='204M',
+                                    d_model=1024, num_layers=16, n_heads=16,
+                                    dim_feedforward=4096)
+    except Exception as exc:
+        log(f'204M NAR train bench failed: {exc!r}')
+        nar_large = None
+    try:
+        codec = bench_codec_precompute()
+    except Exception as exc:
+        log(f'codec precompute bench failed: {exc!r}')
+        codec = None
 
     result = {
         'metric': 'ar_codec_tokens_per_sec_per_chip',
@@ -312,6 +427,15 @@ def main():
     if trn_large is not None:
         extra['train_mfu_204m'] = round(trn_large['mfu'], 4)
         extra['train_frames_per_sec_204m'] = round(trn_large['frames_per_sec'])
+    if nar is not None:
+        extra['nar_frames_per_sec'] = round(nar['frames_per_sec'])
+        extra['nar_mfu'] = round(nar['mfu'], 4)
+    if nar_large is not None:
+        extra['nar_frames_per_sec_204m'] = round(nar_large['frames_per_sec'])
+        extra['nar_mfu_204m'] = round(nar_large['mfu'], 4)
+    if codec is not None:
+        extra['codec_encode_x_realtime'] = round(codec['encode_x_realtime'])
+    extra.update(_grammar_tpu_extras())
     if ar.get('marginal_tokens_per_sec'):
         extra['ar_marginal_tokens_per_sec'] = round(ar['marginal_tokens_per_sec'])
     if os.environ.get('VALLE2_BENCH_CB'):

@@ -98,3 +98,29 @@ class TestTwoProcessCluster:
         # workers' SHARED checkpoint dir (one directory, collective write).
         steps = list((tmp_path / 'ckpt_mp' / 'ValleAR').glob('step_*'))
         assert steps, 'no checkpoint written by the 2-process cluster'
+
+        # ---- Multi-host SERVING (r4, VERDICT item 8): generate_batch over
+        # the 2-process data mesh — every host returns the FULL batch
+        # (process_allgather inside generate_batch), identical across
+        # processes and to the single-process run (greedy decode).
+        from tests.dist_worker import run_generate, run_pp_step
+        run_generate(tmp_path, 'solo')
+        g0 = np.load(tmp_path / 'proc0_gen.npz')['out']
+        g1 = np.load(tmp_path / 'proc1_gen.npz')['out']
+        gs = np.load(tmp_path / 'solo_gen.npz')['out']
+        np.testing.assert_array_equal(g0, g1)
+        np.testing.assert_array_equal(g0, gs)
+
+        # ---- Cross-process PIPELINE (item 8): one GPipe step on a pipe=8
+        # mesh whose stage hops cross the process boundary; updated params
+        # agree across processes and with the single-process mesh.
+        run_pp_step(tmp_path, 'solo')
+        p0 = np.load(tmp_path / 'proc0_pp.npz')
+        p1 = np.load(tmp_path / 'proc1_pp.npz')
+        ps = np.load(tmp_path / 'solo_pp.npz')
+        for k in ps.files:
+            np.testing.assert_array_equal(p0[k], p1[k],
+                                          err_msg=f'pp proc0[{k}] != proc1[{k}]')
+            np.testing.assert_allclose(
+                p0[k], ps[k], rtol=1e-5, atol=1e-6,
+                err_msg=f'pp proc0[{k}] diverged from single-process run')

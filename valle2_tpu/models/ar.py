@@ -1168,6 +1168,14 @@ class ValleAR:
         codes_buf, _, best = self._decode_jit(params, tokens, tokens_lens,
                                               codes, codes_lens, rng)
         # Host-side strip (dynamic shapes): best beam per item, drop prompt + EOS.
+        if jax.process_count() > 1:
+            # Multi-host serving: each process holds only its data-shard of the
+            # result; gather the global value to every host so callers see the
+            # full batch (the single-host path's contract).  One collective
+            # per generate_batch call, over DCN.
+            from jax.experimental import multihost_utils
+            codes_buf = multihost_utils.process_allgather(codes_buf, tiled=True)
+            best = multihost_utils.process_allgather(best, tiled=True)
         codes_buf = np.asarray(codes_buf)
         best = np.asarray(best)
         out = []

@@ -64,6 +64,29 @@ def train_step_flops(config, batch: int, tokens_len: int, codes_len: int) -> flo
     return 3.0 * fwd
 
 
+def nar_train_step_flops(config, batch: int, tokens_len: int,
+                         codes_len: int) -> float:
+    """Analytic matmul FLOPs for one NAR train step (fwd + bwd ≈ 3 × fwd).
+
+    Same transformer accounting as the AR step (the stack is identical and
+    the attention is full-bidirectional — the AR count already charges the
+    full s² dot, matching what the kernels compute), plus the NAR-specific
+    terms: the masked 8-way codebook-embedding reduction (``btqd,tq->btd`` —
+    a real MAC per (position, quantizer, channel)) and the single-stage
+    output head over the code positions.  AdaLN's conditioning projections
+    act on a (1, d) row — negligible, excluded."""
+    s = tokens_len + codes_len
+    d, layers, dff = config.d_model, config.num_layers, config.dim_feedforward
+    nq = config.num_quantizers
+    mm_per_tok = layers * 2 * (4 * d * d + 2 * d * dff)
+    attn_per_tok = layers * 4 * s * d
+    head_per_code = 2 * d * config.num_audio_tokens
+    embed_reduce = 2 * codes_len * nq * d
+    fwd = batch * (s * (mm_per_tok + attn_per_tok)
+                   + codes_len * head_per_code + embed_reduce)
+    return 3.0 * fwd
+
+
 def memory_stats(device=None) -> dict:
     """Live/peak HBM usage for the given (default first) device."""
     device = device or jax.devices()[0]
