@@ -50,13 +50,77 @@ def _setup(mode: str):
     return ConfigValle, ValleTTS, cfg
 
 
+def _programs_breakdown() -> dict:
+    """Per-program compile-seconds for the bench.py program suite (r4,
+    VERDICT item 5): WHAT dominates the cold start, measured by toggling one
+    feature at a time on the AR-decode program (the bench's 274.9 s r3 cold
+    number) plus the train-step programs.  Compilation cache pointed at a
+    throwaway dir so every arm pays its true compile."""
+    import tempfile
+    os.environ['JAX_COMPILATION_CACHE_DIR'] = tempfile.mkdtemp(
+        prefix='coldstart_programs_')
+    import jax
+    import numpy as np
+    from ..config import ConfigValle
+    from ..models.ar import ValleAR
+
+    rs = np.random.RandomState(0)
+    pt = rs.randint(0, 256, (64,))
+    pc = rs.randint(0, 1024, (150, 8)).astype(np.int32)
+    out: dict = {}
+
+    def time_decode(tag, **kw):
+        base = dict(max_audio_len=512, ignore_eos=True, dropout=0.0,
+                    dtype='bfloat16')
+        base.update(kw)
+        m = ValleAR(ConfigValle(**base))
+        t0 = time.perf_counter()
+        m.generate(pt, pc, rng=jax.random.key(0), bucket=False)
+        dt = time.perf_counter() - t0
+        out[tag] = round(dt, 1)
+        print(f'{tag}: {dt:.1f}s', flush=True)
+
+    # The bench's exact program, then single-feature ablations.
+    time_decode('decode_default')                       # fused + buckets=4
+    time_decode('decode_buckets1', decode_attn_buckets=1)
+    time_decode('decode_unfused', use_fused_decode=False)
+    time_decode('decode_unfused_buckets1', use_fused_decode=False,
+                decode_attn_buckets=1)
+    time_decode('decode_beams1', num_beams=1)
+
+    from ..train import init_state, make_train_step
+    for tag, kw in (('train_ar_default', {}),
+                    ('train_ar_204m', dict(d_model=1024, num_layers=16,
+                                           n_heads=16, dim_feedforward=4096))):
+        cfg = ConfigValle(dropout=0.1, batch_size=8, dtype='bfloat16', **kw)
+        st = init_state(cfg, 'ValleAR', jax.random.key(0))
+        step = make_train_step(cfg, 'ValleAR')
+        b = {
+            'tokens': np.asarray(rs.randint(0, 256, (8, 128)), np.int32),
+            'tokens_lens': np.asarray([128] * 8),
+            'codes': np.asarray(rs.randint(0, 1024, (8, 512)), np.int32),
+            'codes_lens': np.asarray([512] * 8),
+            'target': np.asarray(rs.randint(0, 1024, (8, 512)), np.int32),
+        }
+        t0 = time.perf_counter()
+        st, m = step(st, b, jax.random.key(1, impl=cfg.train_rng_impl))
+        np.asarray(m['loss'])
+        out[tag] = round(time.perf_counter() - t0, 1)
+        print(f'{tag}: {out[tag]}s', flush=True)
+    return out
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) != 1 or argv[0] not in (
-            'compile', 'aot', 'warmup', 'decompose-compile', 'decompose-aot'):
+            'compile', 'aot', 'warmup', 'decompose-compile', 'decompose-aot',
+            'programs'):
         print(__doc__)
         return 2
     mode = argv[0]
+    if mode == 'programs':
+        print(json.dumps({'mode': mode, **_programs_breakdown()}))
+        return 0
 
     t_start = time.perf_counter()
     import numpy as np

@@ -76,8 +76,12 @@ def _decode_timed(model, tokens, codes, repeats: int = 3):
     return best
 
 
-def _spec_turns(model, tokens, codes):
-    """Run prefill + the spec loop directly to read the turns counter."""
+def _spec_turns(model, tokens, codes, pad_to: tuple[int, int] | None = None):
+    """Run prefill + the spec loop directly to read the turns counter.
+
+    ``pad_to`` = (tokens_width, codes_width): pad the prompt streams to fixed
+    widths (true lengths still drive the masks) so many utterances share ONE
+    compilation — the trained-weights acceptance sweep needs this."""
     import jax
     import jax.numpy as jnp
     from ..models.ar import _decode_advance_spec, _decode_prefill
@@ -89,14 +93,97 @@ def _spec_turns(model, tokens, codes):
     tok = jnp.asarray(tokens, jnp.int32)[None]
     cds = jnp.concatenate([jnp.array([model.bos_token], jnp.int32),
                            jnp.asarray(codes, jnp.int32)[:, 0]])[None]
+    tl = jnp.asarray([tok.shape[1]], jnp.int32)
+    pl = jnp.asarray([cds.shape[1]], jnp.int32)
+    if pad_to is not None:
+        tok = jnp.pad(tok, ((0, 0), (0, pad_to[0] - tok.shape[1])))
+        cds = jnp.pad(cds, ((0, 0), (0, pad_to[1] - cds.shape[1])))
     state, tl_f, pl_f = _decode_prefill(
-        model.decode_params, tok,
-        jnp.asarray([tok.shape[1]], jnp.int32), cds,
-        jnp.asarray([cds.shape[1]], jnp.int32), jax.random.key(0), config)
+        model.decode_params, tok, tl, cds, pl, jax.random.key(0), config)
     fn = jax.jit(lambda p, s: _decode_advance_spec(
         p, s, tl_f, pl_f, config, tok.shape[1], cds.shape[1]))
     final, turns = fn(model.decode_params, state)
     return int(turns), int(final.step[0])
+
+
+def _trained_grammar(args) -> dict:
+    """Acceptance + speedup on TRAINED weights decoding REAL text (r4,
+    VERDICT item 6 — the r3 recommendation extrapolated from random-init
+    extremes).  Loads the production-run AR checkpoint (GRAMMAR_TPU.json),
+    decodes held-out grammar sentences with a cloning prompt, and measures
+    plain vs speculative wall-clock (EOS active — real utterance lengths)
+    plus accepted tokens per verify turn."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from ..config import ConfigValle
+    from ..data.frontend import PhonemeTokenizer
+    from ..data.grammar import (build_grammar_datasets, parse_grammar_dataset,
+                                split_sentences, synthesize_codes)
+    from ..models.ar import ValleAR
+
+    rep = json.load(open(args.trained_grammar, encoding='utf-8'))
+    conf = ConfigValle.from_dict(rep['config'])
+    _, _, spec_g = build_grammar_datasets(conf)
+    opts = parse_grammar_dataset(rep['config']['dataset'])
+    tokz = PhonemeTokenizer(use_g2p=False)
+    train_s, held_s = split_sentences(seed=int(opts['seed']),
+                                      holdout_frac=opts['holdout'])
+    p_toks = tokz(train_s[0] + ' ')
+    pcodes = np.ascontiguousarray(synthesize_codes(p_toks, spec_g, 0).T)
+    sents = held_s[:args.sentences]
+    toks = [jnp.asarray(np.concatenate([p_toks, tokz(s)])) for s in sents]
+    pcs = [pcodes] * len(sents)
+
+    def load(spec_k):
+        m = ValleAR(dataclasses.replace(conf, num_beams=1, temperature=0.0,
+                                        speculative_k=spec_k,
+                                        speculative_ngram=args.ngram))
+        m.load(rep['runs']['ValleAR']['final_ckpt'])
+        return m
+
+    plain = load(0)
+    spec = load(args.k)
+
+    def timed(model):
+        outs = model.generate_batch(toks, pcs)             # compile
+        n_tok = sum(len(o) for o in outs)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = model.generate_batch(toks, pcs)
+            np.asarray(outs[0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n_tok
+
+    t_plain, n_tok = timed(plain)
+    t_spec, n_tok2 = timed(spec)
+    assert n_tok == n_tok2, 'speculative decode changed greedy outputs'
+
+    # Acceptance statistics over a handful of utterances (bucket-padded so
+    # they share one compilation).
+    turns_tot, steps_tot = 0, 0
+    for s in sents[:8]:
+        t, fs = _spec_turns(spec, np.concatenate([p_toks, tokz(s)]), pcodes,
+                            pad_to=(64, 96))
+        turns_tot += t
+        steps_tot += fs
+    result = {
+        'trained': True, 'n_sentences': len(sents), 'k': args.k,
+        'tokens_decoded': n_tok,
+        'plain_tok_s': round(n_tok / t_plain, 1),
+        'spec_tok_s': round(n_tok / t_spec, 1),
+        'speedup': round(t_plain / t_spec, 3),
+        'turns': turns_tot, 'steps': steps_tot,
+        'mean_accepted': round(steps_tot / max(turns_tot, 1), 2),
+    }
+    print(f'trained grammar: plain {result["plain_tok_s"]} tok/s, spec '
+          f'{result["spec_tok_s"]} tok/s = {result["speedup"]}x; '
+          f'{result["mean_accepted"]} accepted/turn '
+          f'({steps_tot} steps / {turns_tot} turns)', flush=True)
+    print(json.dumps(result), flush=True)
+    return result
 
 
 def _cb_timed(model, tokens, codes, n_sessions: int, steps: int,
@@ -147,7 +234,17 @@ def main(argv=None):
                          '(rejection sampling, distribution-exact — '
                          'acceptance drops to p(draft), so expect fewer '
                          'accepted tokens per turn than greedy)')
+    ap.add_argument('--trained-grammar', type=str, default='',
+                    metavar='GRAMMAR_TPU.json',
+                    help='measure on the production-run TRAINED AR weights '
+                         'decoding held-out grammar text (real acceptance, '
+                         'not the random-init extremes)')
+    ap.add_argument('--sentences', type=int, default=16,
+                    help='held-out sentences for --trained-grammar')
     args = ap.parse_args(argv)
+
+    if args.trained_grammar:
+        return _trained_grammar(args)
 
     rs = np.random.RandomState(0)
     tokens = rs.randint(0, 70, (24,))
