@@ -66,6 +66,11 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+#: Side-channel for per-bench detail that belongs in the JSON (e.g. the cold
+#: compile seconds — the r3→r4 compile-budget trend line, VERDICT item 5).
+_RESULTS: dict = {}
+
+
 def bench_ar_decode(steps: int = 512, repeats: int = 6) -> dict:
     from valle2_tpu.config import ConfigValle
     from valle2_tpu.models.ar import ValleAR
@@ -84,6 +89,7 @@ def bench_ar_decode(steps: int = 512, repeats: int = 6) -> dict:
                          bucket=False)
     compile_time = time.perf_counter() - t0
     log(f'AR decode compile+first run: {compile_time:.1f}s, generated {len(out)} tokens')
+    _RESULTS['decode_compile_s'] = round(compile_time, 1)
 
     times = []
     for i in range(repeats):
@@ -435,6 +441,7 @@ def main():
         extra['nar_mfu_204m'] = round(nar_large['mfu'], 4)
     if codec is not None:
         extra['codec_encode_x_realtime'] = round(codec['encode_x_realtime'])
+    extra.update(_RESULTS)
     extra.update(_grammar_tpu_extras())
     if ar.get('marginal_tokens_per_sec'):
         extra['ar_marginal_tokens_per_sec'] = round(ar['marginal_tokens_per_sec'])
