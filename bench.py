@@ -81,6 +81,16 @@ def bench_ar_decode(steps: int = 512, repeats: int = 6) -> dict:
     prompt_tokens = jnp.asarray(np.random.RandomState(0).randint(0, 256, (64,)))
     prompt_codes = np.random.RandomState(1).randint(0, 1024, (150, 8)).astype(np.int32)
 
+    # One trivial program first: the FIRST compile of a process absorbs the
+    # per-process one-time costs (compile-server handshake, backend warmup) —
+    # splitting it out makes decode_compile_s the PROGRAM's cost
+    # (tools/coldstart_bench 'programs-reorder' decomposes further).
+    t0 = time.perf_counter()
+    _ = np.asarray(jax.jit(lambda a: a @ a)(jnp.ones((128, 128), jnp.bfloat16)))
+    _RESULTS['backend_warmup_s'] = round(time.perf_counter() - t0, 1)
+    log(f'backend warmup (trivial first program): '
+        f'{_RESULTS["backend_warmup_s"]}s')
+
     # Warmup / compile.  bucket=False: measure the exact prompt shapes (the
     # serving default bucket=True pads prompts up, trading decode bandwidth for a
     # bounded compile count — not what this capability metric is about).
@@ -280,8 +290,9 @@ def bench_train_nar(batch: int = 32, frames: int = 512, tag: str = 'default',
     from valle2_tpu.profiling import V5E_PEAK_BF16_FLOPS, nar_train_step_flops
     from valle2_tpu.train import init_state, make_train_step
 
-    config = ConfigValle(dropout=0.1, batch_size=batch, dtype='bfloat16',
-                         norm='AdaptiveLayerNorm', **config_kwargs)
+    kw = dict(norm='AdaptiveLayerNorm')
+    kw.update(config_kwargs)
+    config = ConfigValle(dropout=0.1, batch_size=batch, dtype='bfloat16', **kw)
     state = init_state(config, 'ValleNAR', jax.random.key(0))
     step = make_train_step(config, 'ValleNAR')
     rs = np.random.RandomState(0)
@@ -402,7 +413,10 @@ def main():
         log(f'NAR train bench failed: {exc!r}')
         nar = None
     try:
-        nar_large = bench_train_nar(batch=16, frames=512, tag='204M',
+        # b=8, not the AR arm's 16: the NAR step's activations (per-quantizer
+        # embedding tensors + AdaLN backward) are ~2x the AR step's and b=16
+        # exhausts HBM at this scale (measured r4; b=8 runs at 37.6% MFU).
+        nar_large = bench_train_nar(batch=8, frames=512, tag='204M',
                                     d_model=1024, num_layers=16, n_heads=16,
                                     dim_feedforward=4096)
     except Exception as exc:

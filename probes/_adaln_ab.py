@@ -55,17 +55,16 @@ def measure(step, state, data, rng, n_chain=8, reps=4):
 
 
 def ab(tag, batch, frames, **kw):
-    arms = {}
-    for fused in (False, True):
-        arms[fused] = build_step(batch, frames, fused, **kw)
-    # Interleave the measurement rounds A/B/A/B.
+    """Alternating A/B rounds; each arm is REBUILT per round (holding both
+    arms' states at once OOMs the chip at 204M — two full f32 opt states).
+    Compiles cache after the first build, so rebuilds cost only init."""
     best = {False: 1e9, True: 1e9}
     for _round in range(3):
         for fused in (False, True):
-            step, state, data, rng = arms[fused]
-            t, state = measure(step, state, data, rng, reps=2)
-            arms[fused] = (step, state, data, rng)
+            step, state, data, rng = build_step(batch, frames, fused, **kw)
+            t, _ = measure(step, state, data, rng, reps=2)
             best[fused] = min(best[fused], t)
+            del step, state, data
     speedup = best[False] / best[True]
     print(f'{tag}: jnp {best[False]*1e3:.2f} ms | fused {best[True]*1e3:.2f} ms '
           f'| fused speedup {speedup:.3f}x', flush=True)
@@ -73,11 +72,15 @@ def ab(tag, batch, frames, **kw):
 
 
 def main():
+    # One scale per process: the two scales back to back exhausted HBM
+    # (fragmentation across rebuilt 204M states in one process).
     print('devices:', jax.devices(), file=sys.stderr, flush=True)
-    s1 = ab('default (b=32, f=512)', 32, 512)
-    s2 = ab('204M (b=16, f=512)', 16, 512, d_model=1024, num_layers=16,
-            n_heads=16, dim_feedforward=4096)
-    print(f'VERDICT-input: default {s1:.3f}x, 204M {s2:.3f}x')
+    scale = sys.argv[1] if len(sys.argv) > 1 else 'default'
+    if scale == 'default':
+        ab('default (b=32, f=512)', 32, 512)
+    else:
+        ab('204M (b=8, f=512)', 8, 512, d_model=1024, num_layers=16,
+           n_heads=16, dim_feedforward=4096)
 
 
 if __name__ == '__main__':

@@ -113,7 +113,7 @@ def _flash_sharded(q, k, v, meta, tokens_total: int, causal: bool, mesh):
 
 def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
         return_kv: bool = False, flash: dict | None = None,
-        tp_axis: str | None = None):
+        tp_axis: str | None = None, ring: dict | None = None):
     """Full-sequence MHA.  Returns out, or (out, k, v) for cache prefill.
 
     ``flash``: optional {'meta': (b, 2) int32, 'tokens_total': int, 'causal': bool} —
@@ -127,12 +127,19 @@ def mha(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = None,
     (``nn.linear_row_parallel``); the qkv input gets the backward all-reduce
     (``nn.identity_psum_grad``) completing dx.  The returned k/v are the
     local heads'.
+    ``ring``: context parallelism inside a shard_map — same meta keys as
+    ``flash`` plus {'axis': mesh axis}; ``x`` is this device's SEQUENCE block
+    and attention runs the exact ring schedule (parallel/ring.py).
     """
     if tp_axis is not None:
         from .nn import identity_psum_grad
         x = identity_psum_grad(x, tp_axis)
     q, k, v = qkv_proj(p, x, n_heads)
-    if flash is not None:
+    if ring is not None:
+        from ..parallel.ring import ring_attention
+        attn = ring_attention(q, k, v, ring['meta'], ring['tokens_total'],
+                              ring['axis'], ring.get('causal', True))
+    elif flash is not None:
         wrap_mesh = flash.get('mesh')
         if wrap_mesh is not None:
             attn = _flash_sharded(q, k, v, flash['meta'], flash['tokens_total'],

@@ -99,7 +99,7 @@ def encoder_layer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None,
                   cond: jax.Array | None, *, dropout_rate: float = 0.0,
                   rng: jax.Array | None = None, return_kv: bool = False,
                   flash: dict | None = None, tp_axis: str | None = None,
-                  sp_spec=None):
+                  sp_spec=None, ring: dict | None = None):
     """One pre-norm block (reference modules.py:240-280).
 
     ``tp_axis``: manual tensor parallelism inside a shard_map — ``p`` holds
@@ -123,7 +123,8 @@ def encoder_layer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None,
         attn_out, k, v = mha(p['attn'], h, n_heads, bias, return_kv=True,
                              flash=flash, tp_axis=tp_axis)
     else:
-        attn_out = mha(p['attn'], h, n_heads, bias, flash=flash, tp_axis=tp_axis)
+        attn_out = mha(p['attn'], h, n_heads, bias, flash=flash,
+                       tp_axis=tp_axis, ring=ring)
     x = sp(x + dropout(attn_out, dropout_rate, rngs[0]))
     h = ffn(p['ffn'], _norm(p['norm2'], x, cond), dropout_rate=dropout_rate,
             rng=rngs[1], tp_axis=tp_axis)
@@ -138,7 +139,7 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
                 rng: jax.Array | None = None, remat: bool = False,
                 flash: dict | None = None, unroll: int | bool = 1,
                 tp_axis: str | None = None, sp_spec=None,
-                pp: tuple | None = None) -> jax.Array:
+                pp: tuple | None = None, ring: dict | None = None) -> jax.Array:
     """Full-sequence forward over the scanned stack.
 
     ``unroll``: lax.scan unroll factor.  Inference paths pass True (full unroll) —
@@ -167,7 +168,7 @@ def transformer(p: Params, x: jax.Array, n_heads: int, bias: jax.Array | None = 
         layer_rng = jax.random.fold_in(rng, idx) if rng is not None else None
         y = encoder_layer(layer_p, carry, n_heads, bias, cond,
                           dropout_rate=dropout_rate, rng=layer_rng, flash=flash,
-                          tp_axis=tp_axis, sp_spec=sp_spec)
+                          tp_axis=tp_axis, sp_spec=sp_spec, ring=ring)
         return y, None
 
     if remat:

@@ -1,0 +1,186 @@
+"""Context parallelism: the AR training step with the SEQUENCE sharded across chips.
+
+The missing long-context axis (SURVEY §5 scoped cross-chip ring attention out
+of v1): when one chip cannot hold a sequence's activations, shard the
+concatenated [source tokens | target codes] sequence over a 'ctx' mesh axis.
+Everything position-local (embeddings, norms, FFN, residuals, the LM head,
+the CE loss terms) computes on the device's own block; only attention needs
+cross-chip data, and that runs the exact ring schedule (parallel/ring.py —
+K/V blocks rotate over ICI while Q stays resident).  Activation memory per
+chip scales 1/ctx; the ring's transfer volume per layer is the K/V bytes,
+point-to-point, overlappable.
+
+Design notes:
+
+- The two embedding tables select PER POSITION (``where(pos < Ttm,
+  tokens_emb[id], audio_emb[id])``) because a block may straddle the
+  source/target boundary; positional indices restart at the boundary exactly
+  like the solo path (reference valle_ar.py:61-66 embeds the streams
+  separately before concatenating).
+- Targets/lengths stay replicated ((b, Tc) ints — tiny); each device
+  gathers the target ids for its own positions and masks the loss to its
+  valid slice, so the psum over 'ctx' of the (nll, acc, n) sums and of the
+  parameter gradients reproduces the solo weighted mean EXACTLY
+  (parity-tested at 1e-6, ragged lengths included).
+- Collective discipline: ONE variadic psum over 'ctx' (grads + loss sums),
+  then the weighted 'data' combine, chained by dataflow (NOTES.md).
+- Composes with 'data' (DP x CP) and grad accumulation; dropout draws a
+  different (equally valid) mask stream than solo — parity at dropout 0,
+  the same caveat as the pipeline schedules.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+Params = dict[str, Any]
+
+
+def make_cp_mesh(data: int, ctx: int, devices=None) -> Mesh:
+    """A ('data', 'ctx') mesh: batch over 'data', sequence over 'ctx'."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    n = data * ctx
+    assert n <= len(devices), \
+        f'mesh {data}x{ctx} needs {n} devices, have {len(devices)}'
+    return Mesh(np.asarray(devices[:n]).reshape(data, ctx), ('data', 'ctx'))
+
+
+def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
+                    config, ttm: int, tc: int, n_ctx: int):
+    """Device-local AR loss over this rank's sequence block (inside shard_map).
+
+    ids: (b, s_loc) — this block of the padded [tokens | codes] concat;
+    target/lens replicated.  Returns UNNORMALIZED (nll_sum, acc_sum, n_valid)
+    — the caller psums over 'ctx' and normalizes (see module docstring)."""
+    from ..models.ar import MAX_POS
+    from ..ops import embedding, linear, sinusoidal_table
+    from ..ops.transformer import transformer
+
+    b, s_loc = ids.shape
+    rank = jax.lax.axis_index('ctx')
+    pos = rank * s_loc + jnp.arange(s_loc)                  # global seq index
+    is_tok = pos < ttm
+    cdtype = jnp.dtype(config.dtype)
+    pdtype = jnp.dtype(config.param_dtype)
+    if cdtype != pdtype:
+        params = jax.tree.map(
+            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, params)
+
+    # Per-position table select (blocks can straddle the stream boundary).
+    # Out-of-vocab gathers clamp harmlessly — the other branch is selected.
+    emb = jnp.where(is_tok[None, :, None],
+                    embedding(params['tokens_emb'], ids),
+                    embedding(params['audio_emb'], ids))
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    stream_pos = jnp.where(is_tok, pos, pos - ttm)          # restart at boundary
+    drop = config.dropout if rng is not None else 0.0
+    rngs = jax.random.split(jax.random.fold_in(rng, rank), 2) \
+        if rng is not None else (None, None)
+    x = emb + jnp.take(pe, stream_pos, axis=0)[None]
+    from ..ops.nn import dropout as _dropout
+    x = _dropout(x.astype(cdtype), drop, rngs[0])
+
+    meta = jnp.stack([tokens_lens, ttm + codes_lens], axis=1).astype(jnp.int32)
+    ring = {'meta': meta, 'tokens_total': ttm, 'causal': True, 'axis': 'ctx'}
+    y = transformer(params['transformer'], x, config.n_heads, None,
+                    dropout_rate=drop, rng=rngs[1], remat=config.remat,
+                    unroll=config.train_scan_unroll, ring=ring)
+
+    logits = linear(params['proj'], y).astype(jnp.float32)  # all local positions
+    tgt_idx = jnp.clip(pos - ttm, 0, tc - 1)
+    tgt = jnp.take(target, tgt_idx, axis=1)                 # (b, s_loc)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, tgt[..., None], axis=-1)[..., 0]
+    in_codes = (pos >= ttm) & (pos < ttm + tc)
+    if config.mask_loss_pads:
+        valid = in_codes[None, :] & ((pos - ttm)[None, :] < codes_lens[:, None])
+    else:
+        valid = in_codes[None, :] & ((pos - ttm)[None, :] < codes_lens.max())
+    nll_sum = jnp.sum(nll * valid)
+    acc_sum = jnp.sum((jnp.argmax(logits, -1) == tgt) * valid).astype(jnp.float32)
+    n_valid = jnp.sum(valid).astype(jnp.float32)
+    return nll_sum, acc_sum, n_valid
+
+
+def make_cp_train_step(config, model_name: str, mesh: Mesh):
+    """DP x CP train step over a ('data', 'ctx') mesh — same TrainState/batch/
+    metrics contract as make_train_step.  AR-family models only (the NAR's
+    8-way embedding reduction is position-local too and would follow the same
+    recipe; raise until it is written rather than silently mis-train)."""
+    import optax
+
+    from ..train import TrainState, make_optimizer
+
+    if model_name not in ('ValleAR', 'ValleASR'):
+        raise NotImplementedError(
+            f'context parallelism supports the AR family (got {model_name}); '
+            'the NAR recipe is the same shape but unimplemented')
+    tx = make_optimizer(config)
+    n_ctx = mesh.shape['ctx']
+    n_data = mesh.shape.get('data', 1)
+
+    def device_grads(params, ids, batch, rng):
+        ttm = int(batch['tokens'].shape[1])
+        tc = int(batch['target'].shape[1])
+
+        def fwd(p):
+            nll, acc, n = _cp_loss_device(
+                p, ids, batch['target'],
+                batch.get('tokens_lens',
+                          jnp.full((ids.shape[0],), ttm, jnp.int32)),
+                batch.get('codes_lens',
+                          jnp.full((ids.shape[0],), tc, jnp.int32)),
+                rng, config, ttm, tc, n_ctx)
+            return nll, (acc, n)
+        (nll, (acc, n)), grads = jax.value_and_grad(fwd, has_aux=True)(params)
+        # ONE fused psum over 'ctx': every param grad is partial (only this
+        # block's positions contributed) and the loss sums live per block.
+        red = jax.lax.psum({'g': grads, 'nll': nll, 'acc': acc, 'n': n}, 'ctx')
+        n_tot = jnp.maximum(red['n'], 1.0)
+        grads = jax.tree.map(lambda v: v / n_tot, red['g'])
+        metrics = {'loss': red['nll'] / n_tot, 'acc': red['acc'] / n_tot,
+                   'n_valid': red['n']}
+        # Weighted 'data' combine (chained after the ctx psum by dataflow).
+        scalars = {k: v * red['n'] for k, v in metrics.items()
+                   if k != 'n_valid'}
+        red_d = jax.lax.psum(
+            {'grads': jax.tree.map(lambda v: v * red['n'], grads),
+             'scalars': scalars, 'n': red['n']}, 'data')
+        total = jnp.maximum(red_d['n'], 1.0)
+        grads = jax.tree.map(lambda v: v / total, red_d['grads'])
+        out = {k: v / total for k, v in red_d['scalars'].items()}
+        out['n_valid'] = red_d['n']
+        return out['loss'], grads, out
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        # Concatenate the streams and pad to a multiple of the ctx axis; pad
+        # positions sit past every row's kv_end, so no key leaks and pad
+        # queries are masked out of the loss.
+        ids = jnp.concatenate([batch['tokens'], batch['codes']], axis=1)
+        pad = (-ids.shape[1]) % n_ctx
+        ids = jnp.pad(ids, ((0, 0), (0, pad)))
+        p_specs = jax.tree.map(lambda a: P(*([None] * jnp.ndim(a))),
+                               state.params)
+        batch_specs = jax.tree.map(
+            lambda x: P('data', *([None] * (jnp.ndim(x) - 1))), batch)
+        mapped = jax.shard_map(
+            device_grads, mesh=mesh,
+            in_specs=(p_specs, P('data', 'ctx'), batch_specs, P()),
+            out_specs=(P(), p_specs, {k: P() for k in
+                                      ('loss', 'acc', 'n_valid')}),
+            check_vma=False)
+        with jax.default_matmul_precision(config.matmul_precision):
+            loss, grads, metrics = mapped(state.params, ids, batch, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))

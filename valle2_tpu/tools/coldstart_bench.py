@@ -50,7 +50,7 @@ def _setup(mode: str):
     return ConfigValle, ValleTTS, cfg
 
 
-def _programs_breakdown() -> dict:
+def _programs_breakdown(order: str = 'default-first') -> dict:
     """Per-program compile-seconds for the bench.py program suite (r4,
     VERDICT item 5): WHAT dominates the cold start, measured by toggling one
     feature at a time on the AR-decode program (the bench's 274.9 s r3 cold
@@ -80,13 +80,21 @@ def _programs_breakdown() -> dict:
         out[tag] = round(dt, 1)
         print(f'{tag}: {dt:.1f}s', flush=True)
 
-    # The bench's exact program, then single-feature ablations.
-    time_decode('decode_default')                       # fused + buckets=4
-    time_decode('decode_buckets1', decode_attn_buckets=1)
-    time_decode('decode_unfused', use_fused_decode=False)
-    time_decode('decode_unfused_buckets1', use_fused_decode=False,
-                decode_attn_buckets=1)
-    time_decode('decode_beams1', num_beams=1)
+    # The bench's exact program, then single-feature ablations.  'reorder'
+    # runs a small program FIRST to separate per-process one-time costs
+    # (compile-server handshake, backend warmup) from the program's own cost
+    # — the first arm of any process absorbs them.
+    if order == 'reorder':
+        time_decode('decode_beams1', num_beams=1)
+        time_decode('decode_default')
+        time_decode('decode_unfused', use_fused_decode=False)
+    else:
+        time_decode('decode_default')                   # fused + buckets=4
+        time_decode('decode_buckets1', decode_attn_buckets=1)
+        time_decode('decode_unfused', use_fused_decode=False)
+        time_decode('decode_unfused_buckets1', use_fused_decode=False,
+                    decode_attn_buckets=1)
+        time_decode('decode_beams1', num_beams=1)
 
     from ..train import init_state, make_train_step
     for tag, kw in (('train_ar_default', {}),
@@ -114,12 +122,13 @@ def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) != 1 or argv[0] not in (
             'compile', 'aot', 'warmup', 'decompose-compile', 'decompose-aot',
-            'programs'):
+            'programs', 'programs-reorder'):
         print(__doc__)
         return 2
     mode = argv[0]
-    if mode == 'programs':
-        print(json.dumps({'mode': mode, **_programs_breakdown()}))
+    if mode.startswith('programs'):
+        order = 'reorder' if mode.endswith('reorder') else 'default-first'
+        print(json.dumps({'mode': mode, **_programs_breakdown(order)}))
         return 0
 
     t_start = time.perf_counter()
