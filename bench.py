@@ -317,9 +317,8 @@ def bench_train_nar(batch: int = 32, frames: int = 512, tag: str = 'default',
     fps = batch * frames / best
     flops = nar_train_step_flops(config, batch, frames // 4, frames)
     mfu = flops / best / V5E_PEAK_BF16_FLOPS
-    fused = os.environ.get('VALLE2_FUSED_ADALN') == '1'
     log(f'train step ({tag}: NAR, b={batch}x{frames} frames, bf16, '
-        f'flash={config.flash_enabled}, fused_adaln={fused}): '
+        f'flash={config.flash_enabled}): '
         f'{best * 1e3:.1f} ms -> {fps:.0f} codec frames/s, '
         f'{flops / best / 1e12:.1f} TFLOP/s, MFU {mfu:.1%}')
     return {'frames_per_sec': fps, 'step_ms': best * 1e3, 'mfu': mfu}

@@ -694,52 +694,6 @@ class TestRVQKernel:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-class TestAdaLNKernel:
-    def test_matches_jnp_adaln(self):
-        from valle2_tpu.ops import adaln, adaln_init
-        from valle2_tpu.kernels.adaln import adaln_fused
-        d = 64
-        p = adaln_init(jax.random.key(0), d)
-        x = jax.random.normal(jax.random.key(1), (2, 37, d))
-        cond = jax.random.normal(jax.random.key(2), (1, d))
-        want = adaln(p, x, cond)
-        got = adaln_fused(p, x, cond)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
-
-    def test_fused_adaln_is_differentiable(self, monkeypatch):
-        """VALLE2_FUSED_ADALN=1 must not break jax.grad (the NAR loss trains
-        through AdaLN): the custom VJP runs the jnp formula's backward."""
-        from valle2_tpu.ops import adaln, adaln_init
-        monkeypatch.setenv('VALLE2_FUSED_ADALN', '1')
-        d = 32
-        p = adaln_init(jax.random.key(6), d)
-        x = jax.random.normal(jax.random.key(7), (2, 8, d))
-        cond = jax.random.normal(jax.random.key(8), (1, d))
-
-        def loss(p, x, cond):
-            return jnp.sum(adaln(p, x, cond) ** 2)
-
-        g_fused = jax.grad(loss, argnums=(0, 1, 2))(p, x, cond)
-        monkeypatch.setenv('VALLE2_FUSED_ADALN', '0')
-        g_ref = jax.grad(loss, argnums=(0, 1, 2))(p, x, cond)
-        for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-5, atol=1e-4)
-
-    def test_bf16_input(self):
-        from valle2_tpu.ops import adaln, adaln_init
-        from valle2_tpu.kernels.adaln import adaln_fused
-        d = 32
-        p = adaln_init(jax.random.key(3), d)
-        x = jax.random.normal(jax.random.key(4), (1, 8, d), jnp.bfloat16)
-        cond = jax.random.normal(jax.random.key(5), (1, d))
-        got = adaln_fused(p, x, cond)
-        want = adaln(p, x.astype(jnp.float32), cond)
-        assert got.dtype == jnp.bfloat16
-        np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
-                                   np.asarray(want), atol=0.05)
-
-
 class TestPickChunk:
     def test_whole_seq_when_block_fits(self, monkeypatch):
         from valle2_tpu.kernels.fused_decode import pick_chunk

@@ -226,39 +226,6 @@ def adaln_init(key: jax.Array, dim: int, dtype=jnp.float32) -> Params:
     return {'proj': linear_init(key, dim, 2 * dim, dtype=dtype), 'ln': layernorm_init(dim, dtype)}
 
 
-def _adaln_jnp(p: Params, x: jax.Array, cond: jax.Array, eps: float) -> jax.Array:
-    wb = linear(p['proj'], cond)
-    weight, bias = jnp.split(wb, 2, axis=-1)
-    y = layernorm(p['ln'], x, eps)
-    if cond.ndim == 2 and x.ndim == 3:
-        weight = weight[:, None, :]
-        bias = bias[:, None, :]
-    return weight * y + bias
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _adaln_fused_diff(p: Params, x: jax.Array, cond: jax.Array, eps: float):
-    """Fused Pallas forward with a jnp-formula backward: pallas_call itself is not
-    differentiable, so without this VJP the VALLE2_FUSED_ADALN flag would break
-    jax.grad on any training loss that passes through AdaLN (the NAR's does)."""
-    from ..kernels.adaln import adaln_fused
-    return adaln_fused(p, x, cond, eps)
-
-
-def _adaln_fused_fwd(p, x, cond, eps):
-    from ..kernels.adaln import adaln_fused
-    return adaln_fused(p, x, cond, eps), (p, x, cond)
-
-
-def _adaln_fused_bwd(eps, residuals, g):
-    p, x, cond = residuals
-    _, vjp = jax.vjp(lambda p_, x_, c_: _adaln_jnp(p_, x_, c_, eps), p, x, cond)
-    return vjp(g)
-
-
-_adaln_fused_diff.defvjp(_adaln_fused_fwd, _adaln_fused_bwd)
-
-
 def adaln(p: Params, x: jax.Array, cond: jax.Array, eps: float = 1e-5) -> jax.Array:
     """``weight * LN(x) + bias`` with (weight, bias) = split(proj(cond)).
 
@@ -266,16 +233,19 @@ def adaln(p: Params, x: jax.Array, cond: jax.Array, eps: float = 1e-5) -> jax.Ar
     sequence axis.  The inner LN carries its own learned affine exactly like the
     reference (``self.norm = nn.LayerNorm(d_model)``).
 
-    Set ``VALLE2_FUSED_ADALN=1`` to dispatch eligible shapes ((b,t,d) x (1,d)) to
-    the Pallas fused kernel (kernels/adaln.py); the jnp path is the reference.
-    The fused path is differentiable via a custom VJP that runs the jnp formula's
-    backward, so the flag is safe on training losses too.
+    There is deliberately no hand-fused kernel here: a Pallas fused-AdaLN
+    variant was A/B'd inside the real NAR train step on v5e (r4, interleaved
+    same-process arms) and measured 1.03x at the default scale / 0.99x at
+    204M — within run-to-run drift; XLA already fuses this chain.  The
+    kernel was removed rather than shipped dormant (BENCHMARKS.md r4).
     """
-    import os
-    if (os.environ.get('VALLE2_FUSED_ADALN') == '1' and x.ndim == 3
-            and cond.ndim == 2 and cond.shape[0] == 1):
-        return _adaln_fused_diff(p, x, cond, eps)
-    return _adaln_jnp(p, x, cond, eps)
+    wb = linear(p['proj'], cond)
+    weight, bias = jnp.split(wb, 2, axis=-1)
+    y = layernorm(p['ln'], x, eps)
+    if cond.ndim == 2 and x.ndim == 3:
+        weight = weight[:, None, :]
+        bias = bias[:, None, :]
+    return weight * y + bias
 
 
 def ffn_init(key: jax.Array, d_model: int, d_ff: int, dtype=jnp.float32) -> Params:

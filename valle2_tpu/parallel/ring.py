@@ -76,7 +76,8 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, meta: jax.Array,
     perm = [(i, (i - 1) % n) for i in range(n)]
 
     def hop(carry, r):
-        acc, m_run, l_run, k_r, v_r = carry
+        acc, m_run, l_run, kv = carry
+        k_r, v_r = kv[..., :hd], kv[..., hd:]
         src = jnp.mod(rank + r, n)
         k_pos = src * s_loc + jnp.arange(s_loc)
         attend = _block_attend(q_pos, k_pos, meta, tokens_total, causal)
@@ -88,16 +89,20 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, meta: jax.Array,
         l_new = l_run * alpha + p.sum(axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
             'bhqk,bhkd->bhqd', p, v_r.astype(jnp.float32))
-        k_r = jax.lax.ppermute(k_r, axis, perm)
-        v_r = jax.lax.ppermute(v_r, axis, perm)
-        return (acc, m_new, l_new, k_r, v_r), None
+        # K and V travel as ONE collective: two dataflow-independent
+        # ppermutes per hop could rendezvous-interleave across devices on
+        # XLA:CPU's thunk executor (NOTES.md) — and one transfer is cheaper
+        # on real ICI anyway.
+        kv = jax.lax.ppermute(kv, axis, perm)
+        return (acc, m_new, l_new, kv), None
 
     if remat:
         hop = jax.checkpoint(hop)
     acc0 = jnp.zeros((b, h, s_loc, hd), jnp.float32)
     m0 = jnp.full((b, h, s_loc), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, s_loc), jnp.float32)
-    (acc, _, l, _, _), _ = jax.lax.scan(hop, (acc0, m0, l0, k, v),
-                                        jnp.arange(n))
+    kv0 = jnp.concatenate([k, v], axis=-1)
+    (acc, _, l, _), _ = jax.lax.scan(hop, (acc0, m0, l0, kv0),
+                                     jnp.arange(n))
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     return out.astype(v.dtype)
