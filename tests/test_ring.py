@@ -174,6 +174,24 @@ class TestCPTrainStep:
             losses.append(float(m['loss']))
         assert losses[-1] < losses[0]
 
-    def test_nar_raises(self):
-        with pytest.raises(NotImplementedError, match='AR family'):
-            make_cp_train_step(self._cfg(), 'ValleNAR', make_cp_mesh(2, 4))
+    def test_nar_step_matches_solo(self):
+        cfg = self._cfg(num_quantizers=8)
+        kt, kc = jax.random.split(jax.random.key(5), 2)
+        batch = {'tokens': jax.random.randint(kt, (4, 10), 0, 40),
+                 'codes': jax.random.randint(kc, (4, 22, 8), 0, 50),
+                 'tokens_lens': jnp.array([10, 8, 9, 7]),
+                 'codes_lens': jnp.array([22, 15, 20, 11])}
+        state = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        solo_state, sm = make_train_step(cfg, 'ValleNAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_cp_mesh(2, 4)
+        state2 = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        cp_state, pm = make_cp_train_step(cfg, 'ValleNAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        assert int(sm['stage']) == int(pm['stage'])
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params, jax.device_get(cp_state.params))))
+        assert diff < 1e-5, diff

@@ -82,16 +82,19 @@ def prefix_length(config: ConfigValle, codes_len):
 
 
 def prepare_audio_embedding(params: Params, codes: jax.Array, stage: jax.Array,
-                            prefix_len: int) -> jax.Array:
+                            prefix_len: int,
+                            positions: jax.Array | None = None) -> jax.Array:
     """Summed codebook embeddings: all quantizers over the prefix, quantizers < stage
     over the suffix (reference _prepare_audio_codes, valle_nar.py:167-188).
 
     codes: (b, T, nq); stage: traced scalar in [1, nq-1].  Returns (b, T, d).
+    ``positions``: explicit (T,) code-stream positions for callers holding a
+    SLICE of the stream (context parallelism) — default arange(T).
     """
     per_q = _embed_codes_all(params['codes_embs'], codes)          # (b, T, nq, d)
     t = codes.shape[1]
     nq = codes.shape[2]
-    pos = jnp.arange(t)[:, None]                                    # (T, 1)
+    pos = (jnp.arange(t) if positions is None else positions)[:, None]  # (T, 1)
     qidx = jnp.arange(nq)[None, :]                                  # (1, nq)
     weight = jnp.where(pos < prefix_len, 1.0, (qidx < stage).astype(jnp.float32))
     return jnp.einsum('btqd,tq->btd', per_q, weight.astype(per_q.dtype))

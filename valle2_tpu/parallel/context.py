@@ -107,37 +107,122 @@ def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
     return nll_sum, acc_sum, n_valid
 
 
+def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
+                        n_data: int):
+    """Device-local NAR loss over this rank's sequence block.
+
+    ``ids`` carries the concatenated [tokens | first-codebook] stream only
+    for its SHAPE/padding layout; token ids and the full (b, T, nq) codes are
+    read from the replicated batch (small int arrays) and sliced to this
+    block's global positions — the d-wide activations are what shard.
+    Returns (nll_sum, acc_sum, n_valid, stage)."""
+    from ..models.nar import prefix_length, prepare_audio_embedding
+    from ..models.ar import MAX_POS
+    from ..ops import embedding, sinusoidal_table
+    from ..ops.nn import dropout as _dropout
+    from ..ops.transformer import transformer
+
+    tokens, codes = batch['tokens'], batch['codes']
+    tokens_lens = batch.get('tokens_lens',
+                            jnp.full((ids.shape[0],), ttm, jnp.int32))
+    codes_lens = batch.get('codes_lens',
+                           jnp.full((ids.shape[0],), tc, jnp.int32))
+    b, s_loc = ids.shape
+    rank = jax.lax.axis_index('ctx')
+    pos = rank * s_loc + jnp.arange(s_loc)
+    is_tok = pos < ttm
+    code_pos = jnp.clip(pos - ttm, 0, tc - 1)
+    cdtype = jnp.dtype(config.dtype)
+    pdtype = jnp.dtype(config.param_dtype)
+    stage_rng, drop_rng = jax.random.split(rng)
+    nq = codes.shape[2]
+    stage = jax.random.randint(stage_rng, (), 1, nq)     # loss_fn's exact draw
+    max_true = codes_lens.max()
+    if n_data > 1:
+        max_true = jax.lax.pmax(max_true, 'data')
+    prefix_len = prefix_length(config, max_true)
+    if cdtype != pdtype:
+        params = jax.tree.map(
+            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, params)
+
+    tok_local = jnp.take(tokens, jnp.clip(pos, 0, ttm - 1), axis=1)
+    codes_local = jnp.take(codes, code_pos, axis=1)               # (b, sl, nq)
+    emb_tok = embedding(params['tokens_emb'], tok_local)
+    emb_code = prepare_audio_embedding(params, codes_local, stage, prefix_len,
+                                       positions=code_pos)
+    emb = jnp.where(is_tok[None, :, None], emb_tok, emb_code)
+    pe = sinusoidal_table(MAX_POS, config.d_model)
+    stream_pos = jnp.where(is_tok, pos, code_pos)
+    drop = config.dropout if rng is not None else 0.0
+    rngs = jax.random.split(jax.random.fold_in(drop_rng, rank), 2)
+    x = _dropout((emb + jnp.take(pe, stream_pos, axis=0)[None]).astype(cdtype),
+                 drop, rngs[0])
+
+    meta = jnp.stack([tokens_lens, ttm + codes_lens], axis=1).astype(jnp.int32)
+    ring = {'meta': meta, 'tokens_total': ttm, 'causal': False, 'axis': 'ctx'}
+    cond = jax.lax.dynamic_index_in_dim(params['stage_embs'], stage - 1, 0,
+                                        keepdims=True)
+    y = transformer(params['transformer'], x, config.n_heads, None, cond,
+                    dropout_rate=drop, rng=rngs[1], remat=config.remat,
+                    unroll=config.train_scan_unroll, ring=ring)
+    head = jax.lax.dynamic_index_in_dim(params['proj_layers'], stage - 1, 0,
+                                        keepdims=False)
+    logits = (y @ head).astype(jnp.float32)
+    tgt = jax.lax.dynamic_index_in_dim(codes_local, stage, 2, keepdims=False)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, tgt[..., None], axis=-1)[..., 0]
+    in_codes = (pos >= ttm) & (pos < ttm + tc)
+    valid = in_codes[None, :] & (code_pos[None, :] >= prefix_len)
+    if config.mask_loss_pads:
+        valid = valid & (code_pos[None, :] < codes_lens[:, None])
+    else:
+        valid = valid & (code_pos[None, :] < max_true)
+    nll_sum = jnp.sum(nll * valid)
+    acc_sum = jnp.sum((jnp.argmax(logits, -1) == tgt) * valid).astype(jnp.float32)
+    n_valid = jnp.sum(valid).astype(jnp.float32)
+    return nll_sum, acc_sum, n_valid, stage
+
+
 def make_cp_train_step(config, model_name: str, mesh: Mesh):
     """DP x CP train step over a ('data', 'ctx') mesh — same TrainState/batch/
-    metrics contract as make_train_step.  AR-family models only (the NAR's
-    8-way embedding reduction is position-local too and would follow the same
-    recipe; raise until it is written rather than silently mis-train)."""
+    metrics contract as make_train_step.  Supports the AR family AND the NAR
+    (whose 8-way embedding reduction and stage head are position-local too)."""
     import optax
 
     from ..train import TrainState, make_optimizer
 
-    if model_name not in ('ValleAR', 'ValleASR'):
+    if model_name not in ('ValleAR', 'ValleASR', 'ValleNAR'):
         raise NotImplementedError(
-            f'context parallelism supports the AR family (got {model_name}); '
-            'the NAR recipe is the same shape but unimplemented')
+            f'context parallelism: unknown model {model_name}')
+    is_nar = model_name == 'ValleNAR'
     tx = make_optimizer(config)
     n_ctx = mesh.shape['ctx']
     n_data = mesh.shape.get('data', 1)
 
     def device_grads(params, ids, batch, rng):
         ttm = int(batch['tokens'].shape[1])
-        tc = int(batch['target'].shape[1])
+        tc = int(batch['codes'].shape[1]) if is_nar \
+            else int(batch['target'].shape[1])
 
-        def fwd(p):
-            nll, acc, n = _cp_loss_device(
-                p, ids, batch['target'],
-                batch.get('tokens_lens',
-                          jnp.full((ids.shape[0],), ttm, jnp.int32)),
-                batch.get('codes_lens',
-                          jnp.full((ids.shape[0],), tc, jnp.int32)),
-                rng, config, ttm, tc, n_ctx)
-            return nll, (acc, n)
-        (nll, (acc, n)), grads = jax.value_and_grad(fwd, has_aux=True)(params)
+        if is_nar:
+            def fwd(p):
+                nll, acc, n, stage = _cp_loss_device_nar(
+                    p, ids, batch, rng, config, ttm, tc, n_data)
+                return nll, (acc, n, stage)
+            (nll, (acc, n, stage)), grads = jax.value_and_grad(
+                fwd, has_aux=True)(params)
+        else:
+            def fwd(p):
+                nll, acc, n = _cp_loss_device(
+                    p, ids, batch['target'],
+                    batch.get('tokens_lens',
+                              jnp.full((ids.shape[0],), ttm, jnp.int32)),
+                    batch.get('codes_lens',
+                              jnp.full((ids.shape[0],), tc, jnp.int32)),
+                    rng, config, ttm, tc, n_ctx)
+                return nll, (acc, n)
+            (nll, (acc, n)), grads = jax.value_and_grad(
+                fwd, has_aux=True)(params)
         # ONE fused psum over 'ctx': every param grad is partial (only this
         # block's positions contributed) and the loss sums live per block.
         red = jax.lax.psum({'g': grads, 'nll': nll, 'acc': acc, 'n': n}, 'ctx')
@@ -155,25 +240,31 @@ def make_cp_train_step(config, model_name: str, mesh: Mesh):
         grads = jax.tree.map(lambda v: v / total, red_d['grads'])
         out = {k: v / total for k, v in red_d['scalars'].items()}
         out['n_valid'] = red_d['n']
+        if is_nar:
+            out['stage'] = stage                    # replicated draw
         return out['loss'], grads, out
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
         # Concatenate the streams and pad to a multiple of the ctx axis; pad
         # positions sit past every row's kv_end, so no key leaks and pad
-        # queries are masked out of the loss.
-        ids = jnp.concatenate([batch['tokens'], batch['codes']], axis=1)
+        # queries are masked out of the loss.  (For the NAR the concat only
+        # fixes the block layout — first-codebook column as a stand-in; the
+        # device fn re-reads the replicated (b, T, nq) codes per position.)
+        codes_flat = batch['codes'][..., 0] if is_nar else batch['codes']
+        ids = jnp.concatenate([batch['tokens'], codes_flat], axis=1)
         pad = (-ids.shape[1]) % n_ctx
         ids = jnp.pad(ids, ((0, 0), (0, pad)))
         p_specs = jax.tree.map(lambda a: P(*([None] * jnp.ndim(a))),
                                state.params)
         batch_specs = jax.tree.map(
             lambda x: P('data', *([None] * (jnp.ndim(x) - 1))), batch)
+        keys = ('loss', 'acc', 'n_valid', 'stage') if is_nar \
+            else ('loss', 'acc', 'n_valid')
         mapped = jax.shard_map(
             device_grads, mesh=mesh,
             in_specs=(p_specs, P('data', 'ctx'), batch_specs, P()),
-            out_specs=(P(), p_specs, {k: P() for k in
-                                      ('loss', 'acc', 'n_valid')}),
+            out_specs=(P(), p_specs, {k: P() for k in keys}),
             check_vma=False)
         with jax.default_matmul_precision(config.matmul_precision):
             loss, grads, metrics = mapped(state.params, ids, batch, step_rng)
