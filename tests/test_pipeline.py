@@ -487,6 +487,33 @@ class Test1F1B:
             losses.append(float(m['loss']))
         assert losses[-1] < losses[0]
 
+    def test_1f1b_lora_matches_solo(self):
+        from valle2_tpu.parallel.pipeline_1f1b import make_pp_train_step_1f1b
+        cfg = _cfg(lora_rank=4, lora_alpha=8.0, pp_microbatches=2)
+        batch = _ar_batch()
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        solo_state, sm = make_train_step(cfg, 'ValleAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_pp_mesh(2, 4)
+        state2 = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        pp_state, pm = make_pp_train_step_1f1b(cfg, 'ValleAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        base_diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params['base'],
+            jax.device_get(pp_state.params['base']))))
+        assert base_diff == 0.0
+        lora_diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params['lora'],
+            jax.device_get(pp_state.params['lora']))))
+        assert lora_diff < 1e-6, lora_diff
+
     def test_trainer_selects_1f1b(self):
         mesh = make_pp_mesh(2, 4)
         tr = Trainer(_cfg(pp_schedule='1f1b'), 'ValleAR', mesh=mesh,

@@ -174,6 +174,26 @@ class TestCPTrainStep:
             losses.append(float(m['loss']))
         assert losses[-1] < losses[0]
 
+    def test_trainer_wires_cp(self):
+        # config.mesh_ctx drives the CLI path: Trainer selects the CP steps
+        # and validation returns finite token-weighted metrics.
+        from valle2_tpu.train import Trainer
+        cfg = self._cfg(mesh_ctx=4, mesh_data=2)
+        mesh = make_cp_mesh(2, 4)
+        tr = Trainer(cfg, 'ValleAR', mesh=mesh, use_tensorboard=False)
+        assert tr._cp
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state2, m = tr.train_step(state, self._batch(), jax.random.key(1))
+        assert np.isfinite(float(m['loss']))
+        em = tr.eval_step(state2.params, self._batch(), jax.random.key(2))
+        assert np.isfinite(float(em['loss'])) and float(em['n_valid']) > 0
+
+    def test_trainer_rejects_ctx_compositions(self):
+        from valle2_tpu.train import Trainer
+        with pytest.raises(ValueError, match='mesh_ctx'):
+            Trainer(self._cfg(lora_rank=4), 'ValleAR',
+                    mesh=make_cp_mesh(2, 4), use_tensorboard=False)
+
     def test_nar_step_matches_solo(self):
         cfg = self._cfg(num_quantizers=8)
         kt, kc = jax.random.split(jax.random.key(5), 2)

@@ -128,6 +128,16 @@ class ConfigValle:
                           'stage count. Clamped per trace to divide the '
                           'per-data-shard batch'},
     )
+    mesh_ctx: int = field(
+        default=1,
+        metadata={'help': 'Context-parallel mesh axis size: the training '
+                          'SEQUENCE shards over a ctx axis and attention '
+                          'runs the exact ring schedule (K/V blocks rotate '
+                          'via ppermute; parallel/ring.py + context.py) — '
+                          'activation memory per chip scales 1/ctx for '
+                          'long-context training. Composes with mesh_data; '
+                          'exclusive with mesh_model/mesh_pipe/lora'},
+    )
     pp_schedule: Literal['gpipe', '1f1b'] = field(
         default='gpipe',
         metadata={'help': "Pipeline schedule: 'gpipe' (autodiff backward — "

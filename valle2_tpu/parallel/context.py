@@ -183,6 +183,81 @@ def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
     return nll_sum, acc_sum, n_valid, stage
 
 
+def _concat_ids(batch: dict, is_nar: bool, n_ctx: int) -> jax.Array:
+    """The ctx-sharded block-layout array: [tokens | first-codebook codes],
+    padded to a multiple of the ctx axis.  Pad positions sit past every row's
+    kv_end, so no key leaks and pad queries are masked out of the loss.  (For
+    the NAR the concat only fixes the layout — the device fn re-reads the
+    replicated (b, T, nq) codes per position.)"""
+    codes_flat = batch['codes'][..., 0] if is_nar else batch['codes']
+    ids = jnp.concatenate([batch['tokens'], codes_flat], axis=1)
+    pad = (-ids.shape[1]) % n_ctx
+    return jnp.pad(ids, ((0, 0), (0, pad)))
+
+
+def make_cp_eval_step(config, model_name: str, mesh: Mesh):
+    """Validation under the cp mesh: the same device-local losses, no grads;
+    returns the token-weighted metrics make_eval_step would."""
+    is_nar = model_name == 'ValleNAR'
+    n_ctx = mesh.shape['ctx']
+    n_data = mesh.shape.get('data', 1)
+
+    def device_eval(params, ids, batch, rng):
+        ttm = int(batch['tokens'].shape[1])
+        tc = int(batch['codes'].shape[1]) if is_nar \
+            else int(batch['target'].shape[1])
+        if is_nar:
+            # train=False semantics: the stage draw stays rng-driven but
+            # dropout must be off — the solo eval passes train=False; here
+            # dropout gates on config.dropout * (rng is not None), so zero it
+            # by evaluating with the dropout-free config contract: the CP
+            # loss reads config.dropout only when rng is not None, and eval
+            # passes rng for the stage draw — mirror make_eval_step by
+            # running under a dropout-0 view.
+            import dataclasses
+            cfg0 = dataclasses.replace(config, dropout=0.0)
+            nll, acc, n, stage = _cp_loss_device_nar(
+                params, ids, batch, rng, cfg0, ttm, tc, n_data)
+        else:
+            nll, acc, n = _cp_loss_device(
+                params, ids, batch['target'],
+                batch.get('tokens_lens',
+                          jnp.full((ids.shape[0],), ttm, jnp.int32)),
+                batch.get('codes_lens',
+                          jnp.full((ids.shape[0],), tc, jnp.int32)),
+                None, config, ttm, tc, n_ctx)
+        red = jax.lax.psum({'nll': nll, 'acc': acc, 'n': n}, 'ctx')
+        n_tot = jnp.maximum(red['n'], 1.0)
+        metrics = {'loss': red['nll'] / n_tot, 'acc': red['acc'] / n_tot,
+                   'n_valid': red['n']}
+        scalars = {k: v * red['n'] for k, v in metrics.items()
+                   if k != 'n_valid'}
+        red_d = jax.lax.psum({'scalars': scalars, 'n': red['n']}, 'data')
+        total = jnp.maximum(red_d['n'], 1.0)
+        out = {k: v / total for k, v in red_d['scalars'].items()}
+        out['n_valid'] = red_d['n']
+        if is_nar:
+            out['stage'] = stage
+        return out
+
+    @jax.jit
+    def eval_fn(params, batch, rng):
+        ids = _concat_ids(batch, is_nar, n_ctx)
+        p_specs = jax.tree.map(lambda a: P(*([None] * jnp.ndim(a))), params)
+        batch_specs = jax.tree.map(
+            lambda x: P('data', *([None] * (jnp.ndim(x) - 1))), batch)
+        keys = ('loss', 'acc', 'n_valid', 'stage') if is_nar \
+            else ('loss', 'acc', 'n_valid')
+        mapped = jax.shard_map(device_eval, mesh=mesh,
+                               in_specs=(p_specs, P('data', 'ctx'),
+                                         batch_specs, P()),
+                               out_specs={k: P() for k in keys},
+                               check_vma=False)
+        with jax.default_matmul_precision(config.matmul_precision):
+            return mapped(params, ids, batch, rng)
+    return eval_fn
+
+
 def make_cp_train_step(config, model_name: str, mesh: Mesh):
     """DP x CP train step over a ('data', 'ctx') mesh — same TrainState/batch/
     metrics contract as make_train_step.  Supports the AR family AND the NAR
@@ -246,15 +321,7 @@ def make_cp_train_step(config, model_name: str, mesh: Mesh):
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        # Concatenate the streams and pad to a multiple of the ctx axis; pad
-        # positions sit past every row's kv_end, so no key leaks and pad
-        # queries are masked out of the loss.  (For the NAR the concat only
-        # fixes the block layout — first-codebook column as a stand-in; the
-        # device fn re-reads the replicated (b, T, nq) codes per position.)
-        codes_flat = batch['codes'][..., 0] if is_nar else batch['codes']
-        ids = jnp.concatenate([batch['tokens'], codes_flat], axis=1)
-        pad = (-ids.shape[1]) % n_ctx
-        ids = jnp.pad(ids, ((0, 0), (0, pad)))
+        ids = _concat_ids(batch, is_nar, n_ctx)
         p_specs = jax.tree.map(lambda a: P(*([None] * jnp.ndim(a))),
                                state.params)
         batch_specs = jax.tree.map(

@@ -101,10 +101,10 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
     m_cfg = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
     data_axis = 'data' if model_name == 'ValleNAR' and n_data > 1 else None
-    if config.lora_rank > 0:
-        raise NotImplementedError(
-            "pp_schedule='1f1b' does not compose with lora yet — use the "
-            "GPipe schedule (pp_schedule='gpipe') for LoRA fine-tunes")
+    lora_mode = config.lora_rank > 0
+    if lora_mode:
+        from ..lora import lora_scale, merge_lora
+        scale = lora_scale(config)
     cdtype = jnp.dtype(config.dtype)
     pdtype = jnp.dtype(config.param_dtype)
 
@@ -116,15 +116,37 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
 
     def device_grads(params, batch, rng):
         parts = parts_fn(config, batch, rng, data_axis=data_axis)
-        prep, head_loss = parts['prep'], parts['head_loss']
+        prep_m, head_loss_m = parts['prep'], parts['head_loss']
         stage_idx = jax.lax.axis_index('pipe')
         b_local = jax.tree.leaves(batch)[0].shape[0]
         m = _gcd(b_local, m_cfg)
         mb = b_local // m
-        l_per_stage = jax.tree.leaves(params['transformer'])[0].shape[0]
+        if lora_mode:
+            # Differentiate the ADAPTERS through the in-trace merge; the base
+            # is a frozen closure constant (bit-identical forever).  Every
+            # VJP closure below takes the TRAINABLE tree and re-merges —
+            # a rank-r matmul per target per call, negligible.
+            base, trainable = params['base'], params['lora']
+
+            def as_model(tr):
+                return merge_lora(base, tr, scale)
+        else:
+            trainable = params
+
+            def as_model(tr):
+                return tr
+
+        def prep(tr, i, mb_):
+            return prep_m(as_model(tr), i, mb_)
+
+        def head_loss(tr, y_mb, i, mb_):
+            return head_loss_m(as_model(tr), y_mb, i, mb_)
+
+        l_per_stage = jax.tree.leaves(
+            as_model(trainable)['transformer'])[0].shape[0]
         d = config.d_model
         # Probe prep once (mb 0) for the residual-stream shape/dtype.
-        x0, bias0, cond0 = prep(params, jnp.int32(0), mb)
+        x0, bias0, cond0 = prep(trainable, jnp.int32(0), mb)
         s = x0.shape[1]
         ring_n = min(m, 2 * n_pipe)
         ticks = m + 2 * n_pipe - 2
@@ -135,10 +157,10 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
 
         def stack_fn(p_raw, x_i, bias_i, cond_i, m_idx):
             """This stage's layer scan on one microbatch — the unit both the
-            forward tick and the recompute-VJP differentiate through.  Casting
-            and (under TP) Megatron slicing live INSIDE so grads come back in
-            the master dtype/full layout."""
-            p_t = cast(p_raw['transformer'])
+            forward tick and the recompute-VJP differentiate through.  Casting,
+            the LoRA merge, and (under TP) Megatron slicing live INSIDE so
+            grads come back in the trainable tree's dtype/layout."""
+            p_t = cast(as_model(p_raw)['transformer'])
             tp_axis = None
             local_heads = config.n_heads
             if n_model > 1:
@@ -162,7 +184,7 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
             y, _ = jax.lax.scan(body, x_i, (p_t, jnp.arange(l_per_stage)))
             return y
 
-        zeros_g = jax.tree.map(jnp.zeros_like, params)
+        zeros_g = jax.tree.map(jnp.zeros_like, trainable)
         carry0 = dict(
             fwd=jnp.zeros((mb, s, d), x0.dtype),
             bwd=jnp.zeros((mb, s, d), x0.dtype),
@@ -180,21 +202,21 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
             i_f = t - stage_idx
             f_valid = (i_f >= 0) & (i_f < m)
             i_f_c = jnp.clip(i_f, 0, m - 1)
-            x_prep, bias_f, cond_f = prep(params, i_f_c, mb)
+            x_prep, bias_f, cond_f = prep(trainable, i_f_c, mb)
             x_in = jnp.where(is_first, x_prep, carry['fwd'])
             slot_f = jnp.mod(i_f_c, ring_n)
             old = jax.lax.dynamic_index_in_dim(carry['ring'], slot_f, 0,
                                                keepdims=False)
             ring = jax.lax.dynamic_update_index_in_dim(
                 carry['ring'], jnp.where(f_valid, x_in, old), slot_f, 0)
-            y = stack_fn(params, x_in, bias_f, cond_f, i_f_c)
+            y = stack_fn(trainable, x_in, bias_f, cond_f, i_f_c)
 
             # Last stage: head + loss + their VJP in the SAME tick (1F1B).
             def head_closure(p_raw, y_):
                 nll_sum, aux = head_loss(p_raw, y_.astype(cdtype), i_f_c, mb)
                 return nll_sum, aux
             nll_sum, head_vjp, (acc_sum, nv_sum) = jax.vjp(
-                head_closure, params, y, has_aux=True)
+                head_closure, trainable, y, has_aux=True)
             d_head_params, dy = head_vjp(jnp.float32(1.0))
             seed_gate = f_valid & is_last
             grads = add_masked(carry['grads'], d_head_params, seed_gate)
@@ -209,7 +231,7 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
             ct = jnp.where(is_last, dy.astype(x0.dtype), carry['bwd'])
             x_saved = jax.lax.dynamic_index_in_dim(
                 ring, jnp.mod(i_b_c, ring_n), 0, keepdims=False)
-            x_prep_b, bias_b, cond_b = prep(params, i_b_c, mb)
+            x_prep_b, bias_b, cond_b = prep(trainable, i_b_c, mb)
 
             def stage_closure(p_raw, x_):
                 # cond re-derived from params INSIDE so stage-conditioning
@@ -217,14 +239,14 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
                 _, _, cond_ = prep(p_raw, i_b_c, mb)
                 return stack_fn(p_raw, x_, bias_b, cond_,
                                 i_b_c).astype(jnp.float32)
-            _, stage_vjp = jax.vjp(stage_closure, params, x_saved)
+            _, stage_vjp = jax.vjp(stage_closure, trainable, x_saved)
             d_stage_params, dx = stage_vjp(ct.astype(jnp.float32))
             grads = add_masked(grads, d_stage_params, b_valid)
             # Stage 0: the input cotangent belongs to prep (embeddings).
             def prep_closure(p_raw):
                 x_, _, _ = prep(p_raw, i_b_c, mb)
                 return x_.astype(jnp.float32)
-            _, prep_vjp = jax.vjp(prep_closure, params)
+            _, prep_vjp = jax.vjp(prep_closure, trainable)
             (d_prep_params,) = prep_vjp(dx)
             grads = add_masked(grads, d_prep_params, b_valid & is_first)
 
@@ -276,21 +298,25 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
         p_specs = pp_param_specs(state.params)
+        trainable = state.params['lora'] if lora_mode else state.params
+        g_specs = pp_param_specs(trainable)
         batch_specs = jax.tree.map(
             lambda x: P('data', *([None] * (jnp.ndim(x) - 1))), batch)
         mapped = jax.shard_map(
             device_grads, mesh=mesh,
             in_specs=(p_specs, batch_specs, P()),
-            out_specs=(P(), p_specs, {k: P() for k in _metric_keys(model_name)}),
+            out_specs=(P(), g_specs, {k: P() for k in _metric_keys(model_name)}),
             check_vma=False)
         with jax.default_matmul_precision(config.matmul_precision):
             loss, grads, metrics = mapped(state.params, batch, step_rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
         if zero1:
             opt_state = jax.tree.map(
                 jax.lax.with_sharding_constraint, opt_state,
                 pp_opt_specs(mesh, opt_state, zero1=True))
-        params = optax.apply_updates(state.params, updates)
+        new_trainable = optax.apply_updates(trainable, updates)
+        params = {'base': state.params['base'], 'lora': new_trainable} \
+            if lora_mode else new_trainable
         metrics = dict(metrics)
         metrics['grad_norm'] = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1), metrics

@@ -246,7 +246,18 @@ class Trainer:
         # Pipeline-parallel meshes take the manual shard_map step (GSPMD has no
         # pipelining concept); everything else rides the declarative GSPMD step.
         self._pp = mesh is not None and 'pipe' in mesh.axis_names
-        if self._pp:
+        self._cp = mesh is not None and 'ctx' in mesh.axis_names
+        if self._cp:
+            if config.lora_rank > 0 or config.mesh_model > 1 \
+                    or config.mesh_pipe > 1:
+                raise ValueError(
+                    'mesh_ctx composes with mesh_data only: disable '
+                    'lora_rank / mesh_model / mesh_pipe')
+            from .parallel import make_cp_train_step
+            from .parallel.context import make_cp_eval_step
+            self.train_step = make_cp_train_step(config, model_name, mesh)
+            self.eval_step = make_cp_eval_step(config, model_name, mesh)
+        elif self._pp:
             n_pipe = mesh.shape['pipe']
             if config.num_layers % n_pipe != 0:
                 raise ValueError(
@@ -556,6 +567,11 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
                             config.mesh_model)
         log_info('Mesh from config: %dx%dx%d (data x pipe x model)',
                  config.mesh_data, config.mesh_pipe, config.mesh_model)
+    elif mesh is None and config.mesh_ctx > 1:
+        from .parallel import make_cp_mesh
+        mesh = make_cp_mesh(config.mesh_data, config.mesh_ctx)
+        log_info('Mesh from config: %dx%d (data x ctx)',
+                 config.mesh_data, config.mesh_ctx)
     elif mesh is None and config.mesh_data * config.mesh_model > 1:
         # The config's mesh request (mesh_data x mesh_model) builds the device
         # mesh here so `-c cfg.json` alone scales a run across chips.
