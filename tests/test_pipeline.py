@@ -217,6 +217,48 @@ class TestPPTrainStep:
             solo_state.params, jax.device_get(pp_state.params))))
         assert diff < 1e-5, diff
 
+    def test_ar_reference_parity_mode_matches_solo(self):
+        # r4 review fix: mask_loss_pads=False (the reference-parity loss)
+        # must mask to the GLOBAL batch max under manual DP — AR loss_fn now
+        # takes data_axis like the NAR's.
+        cfg = _cfg(mask_loss_pads=False)
+        batch = _ar_batch()                    # ragged codes_lens across shards
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        _, sm = make_train_step(cfg, 'ValleAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_pp_mesh(2, 4)
+        state2 = init_state(cfg, 'ValleAR', jax.random.key(0))
+        state2 = TrainState(pp_shard_params(mesh, state2.params),
+                            pp_shard_params(mesh, state2.opt_state),
+                            state2.step)
+        _, pm = make_pp_train_step(cfg, 'ValleAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(sm['n_valid']), float(pm['n_valid']))
+
+    def test_parity_mode_counts_every_row(self):
+        # r4 bugfix: the (1, T) valid mask in mask_loss_pads=False counted ONE
+        # row in n_valid, inflating the mean loss/grads by the batch size.
+        cfg = _cfg(mask_loss_pads=False)
+        batch = _ar_batch()
+        params = ar.init_params(jax.random.key(0), cfg)
+        _, m = ar.loss_fn(params, cfg, batch, None)
+        assert float(m['n_valid']) == 8 * 16          # all rows x batch max
+        nb = _nar_batch(b=8)
+        nparams = nar.init_params(jax.random.key(0), _cfg(num_quantizers=8))
+        _, nm = nar.loss_fn(nparams, _cfg(num_quantizers=8,
+                                          mask_loss_pads=False),
+                            nb, jax.random.key(1))
+        assert float(nm['n_valid']) > 8               # (b, T), not (1, T)
+
+    def test_microbatch_clamp_is_largest_divisor(self):
+        from valle2_tpu.parallel.pipeline import _gcd
+        assert _gcd(6, 4) == 3        # gcd alone would give 2 (bigger bubble)
+        assert _gcd(8, 4) == 4
+        assert _gcd(7, 4) == 1
+        assert _gcd(2, 4) == 2        # clamped to the batch
+
     def test_nar_step_matches_solo_nonuniform_lens(self):
         # r4 (ADVICE): the prefix length pmaxes over 'data' inside the
         # shard_map, so shards whose local batch max differs from the global

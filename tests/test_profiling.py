@@ -29,13 +29,3 @@ class TestProfiling:
         profiling.enable_nan_checks(False)
 
 
-class TestFusedAdaLNDispatch:
-    def test_env_flag_dispatches_to_kernel(self, monkeypatch):
-        from valle2_tpu.ops import adaln, adaln_init
-        p = adaln_init(jax.random.key(0), 32)
-        x = jax.random.normal(jax.random.key(1), (1, 9, 32))
-        cond = jax.random.normal(jax.random.key(2), (1, 32))
-        base = np.asarray(adaln(p, x, cond))
-        monkeypatch.setenv('VALLE2_FUSED_ADALN', '1')
-        fused = np.asarray(adaln(p, x, cond))
-        np.testing.assert_allclose(fused, base, atol=2e-6)

@@ -165,14 +165,18 @@ def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.A
 
 
 def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
-            rng: jax.Array | None = None, mesh=None, pp: tuple | None = None
+            rng: jax.Array | None = None, mesh=None, pp: tuple | None = None,
+            data_axis: str | None = None
             ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Masked cross-entropy over the target stream (reference valle_ar.py:86).
 
     ``mesh``: forwarded to ``forward`` — multi-device train/eval steps must
     shard_map the flash kernel (see forward's docstring).
     ``pp``: pipeline parallelism — (axis, num_stages, microbatches); the call
-    then runs device-local inside parallel.pipeline's shard_map."""
+    then runs device-local inside parallel.pipeline's shard_map.
+    ``data_axis``: set inside a manual-DP shard_map — the reference-parity
+    loss mode (mask_loss_pads=False) then takes its batch max over the
+    GLOBAL batch, matching the solo/GSPMD objective."""
     logits = forward(params, config, batch['tokens'], batch['codes'],
                      batch.get('tokens_lens'), batch.get('codes_lens'), rng,
                      mesh=mesh, pp=pp)
@@ -187,7 +191,12 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
             # only to the BATCH max — bucket columns beyond it must still be
             # excluded or the loss shifts with the bucket the batch landed in.
             pos = jnp.arange(target.shape[1])[None, :]
-            valid = pos < batch['codes_lens'].max()
+            max_true = batch['codes_lens'].max()
+            if data_axis is not None:
+                max_true = jax.lax.pmax(max_true, data_axis)
+            # Broadcast to the full batch: a (1, T) mask would make n_valid
+            # count ONE row and inflate the mean loss/grads by b (r4 fix).
+            valid = jnp.broadcast_to(pos < max_true, target.shape)
         n_valid = jnp.sum(valid)
         loss = jnp.sum(nll * valid) / jnp.maximum(n_valid, 1)
         acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
@@ -224,6 +233,10 @@ def pp_microbatch_parts(config: ConfigValle, batch: dict, rng: jax.Array | None,
     pdtype = jnp.dtype(config.param_dtype)
     drop = config.dropout if rng is not None else 0.0
     max_true = codes_lens.max() if codes_lens is not None else tc
+    if data_axis is not None and codes_lens is not None:
+        # Manual DP: the reference-parity loss mode masks to the GLOBAL
+        # batch max, like the solo/GSPMD step (same fix as the NAR twin).
+        max_true = jax.lax.pmax(max_true, data_axis)
 
     def cast(p):
         if cdtype == pdtype:
@@ -264,7 +277,9 @@ def pp_microbatch_parts(config: ConfigValle, batch: dict, rng: jax.Array | None,
             if config.mask_loss_pads:
                 valid = ~build_pad_mask(cl_mb, tgt_mb.shape[1])
             else:
-                valid = jnp.arange(tgt_mb.shape[1])[None, :] < max_true
+                valid = jnp.broadcast_to(
+                    jnp.arange(tgt_mb.shape[1])[None, :] < max_true,
+                    tgt_mb.shape)
         else:
             valid = jnp.ones(tgt_mb.shape, bool)
         nll_sum = jnp.sum(nll * valid)
@@ -1168,11 +1183,17 @@ class ValleAR:
         codes_buf, _, best = self._decode_jit(params, tokens, tokens_lens,
                                               codes, codes_lens, rng)
         # Host-side strip (dynamic shapes): best beam per item, drop prompt + EOS.
-        if jax.process_count() > 1:
-            # Multi-host serving: each process holds only its data-shard of the
-            # result; gather the global value to every host so callers see the
-            # full batch (the single-host path's contract).  One collective
-            # per generate_batch call, over DCN.
+        if (jax.process_count() > 1 and self.mesh is not None
+                and len({d.process_index
+                         for d in self.mesh.devices.flat}) > 1):
+            # Multi-host serving: the decode really spanned processes, so each
+            # process holds only its data-shard of the result — gather the
+            # global value to every host so callers see the full batch (the
+            # single-host contract).  The mesh-spans-processes check matters:
+            # on a process-local decode the result is already complete, and a
+            # tiled allgather would CONCATENATE per-process buffers (every
+            # host would then strip process 0's rows) and block any process
+            # that didn't decode.
             from jax.experimental import multihost_utils
             codes_buf = multihost_utils.process_allgather(codes_buf, tiled=True)
             best = multihost_utils.process_allgather(best, tiled=True)

@@ -216,8 +216,9 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
         else:
             # Reference-parity mode (Q6: pads INSIDE the batch count) pads
             # only to the BATCH max; bucket columns beyond it must still be
-            # excluded or the loss shifts with the bucket width.
-            valid = valid & (pos < max_true)
+            # excluded or the loss shifts with the bucket width.  Broadcast
+            # to (b, T): a (1, T) mask would count ONE row in n_valid (r4).
+            valid = jnp.broadcast_to(valid & (pos < max_true), target.shape)
     n_valid = jnp.sum(valid)
     loss = jnp.sum(nll * valid) / jnp.maximum(n_valid, 1)
     acc = jnp.sum((jnp.argmax(logits, -1) == target) * valid) / jnp.maximum(
@@ -296,7 +297,8 @@ def pp_microbatch_parts(config: ConfigValle, batch: dict, rng: jax.Array,
             if config.mask_loss_pads:
                 valid = valid & (pos < cl_mb[:, None])
             else:
-                valid = valid & (pos < max_true)
+                valid = jnp.broadcast_to(valid & (pos < max_true),
+                                         tgt_mb.shape)
         nll_sum = jnp.sum(nll * valid)
         acc_sum = jnp.sum((jnp.argmax(logits, -1) == tgt_mb) * valid)
         n_valid = jnp.sum(valid)

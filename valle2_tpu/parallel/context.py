@@ -51,7 +51,7 @@ def make_cp_mesh(data: int, ctx: int, devices=None) -> Mesh:
 
 
 def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
-                    config, ttm: int, tc: int, n_ctx: int):
+                    config, ttm: int, tc: int, n_ctx: int, n_data: int = 1):
     """Device-local AR loss over this rank's sequence block (inside shard_map).
 
     ids: (b, s_loc) — this block of the padded [tokens | codes] concat;
@@ -79,8 +79,15 @@ def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
     pe = sinusoidal_table(MAX_POS, config.d_model)
     stream_pos = jnp.where(is_tok, pos, pos - ttm)          # restart at boundary
     drop = config.dropout if rng is not None else 0.0
-    rngs = jax.random.split(jax.random.fold_in(rng, rank), 2) \
-        if rng is not None else (None, None)
+    if rng is not None:
+        # Fold BOTH mesh ranks: the rng arrives replicated, so folding only
+        # the ctx rank would hand every data shard the identical mask tensor
+        # (cross-shard-correlated dropout).
+        rng_dev = jax.random.fold_in(jax.random.fold_in(rng, rank),
+                                     jax.lax.axis_index('data'))
+        rngs = jax.random.split(rng_dev, 2)
+    else:
+        rngs = (None, None)
     x = emb + jnp.take(pe, stream_pos, axis=0)[None]
     from ..ops.nn import dropout as _dropout
     x = _dropout(x.astype(cdtype), drop, rngs[0])
@@ -100,7 +107,15 @@ def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
     if config.mask_loss_pads:
         valid = in_codes[None, :] & ((pos - ttm)[None, :] < codes_lens[:, None])
     else:
-        valid = in_codes[None, :] & ((pos - ttm)[None, :] < codes_lens.max())
+        # Reference-parity mode masks to the GLOBAL batch max (solo
+        # loss_fn semantics) — pmax over 'data' like the PP/NAR paths.
+        max_true = codes_lens.max()
+        if n_data > 1:
+            max_true = jax.lax.pmax(max_true, 'data')
+        # Broadcast to (b, s_loc): a (1, s_loc) mask would count ONE row in
+        # n_valid and inflate the mean loss/grads by b (r4 fix).
+        valid = jnp.broadcast_to(
+            in_codes[None, :] & ((pos - ttm)[None, :] < max_true), tgt.shape)
     nll_sum = jnp.sum(nll * valid)
     acc_sum = jnp.sum((jnp.argmax(logits, -1) == tgt) * valid).astype(jnp.float32)
     n_valid = jnp.sum(valid).astype(jnp.float32)
@@ -154,7 +169,9 @@ def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
     pe = sinusoidal_table(MAX_POS, config.d_model)
     stream_pos = jnp.where(is_tok, pos, code_pos)
     drop = config.dropout if rng is not None else 0.0
-    rngs = jax.random.split(jax.random.fold_in(drop_rng, rank), 2)
+    rngs = jax.random.split(
+        jax.random.fold_in(jax.random.fold_in(drop_rng, rank),
+                           jax.lax.axis_index('data')), 2)
     x = _dropout((emb + jnp.take(pe, stream_pos, axis=0)[None]).astype(cdtype),
                  drop, rngs[0])
 
@@ -176,7 +193,8 @@ def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
     if config.mask_loss_pads:
         valid = valid & (code_pos[None, :] < codes_lens[:, None])
     else:
-        valid = valid & (code_pos[None, :] < max_true)
+        valid = jnp.broadcast_to(valid & (code_pos[None, :] < max_true),
+                                 tgt.shape)
     nll_sum = jnp.sum(nll * valid)
     acc_sum = jnp.sum((jnp.argmax(logits, -1) == tgt) * valid).astype(jnp.float32)
     n_valid = jnp.sum(valid).astype(jnp.float32)
@@ -189,7 +207,11 @@ def _concat_ids(batch: dict, is_nar: bool, n_ctx: int) -> jax.Array:
     kv_end, so no key leaks and pad queries are masked out of the loss.  (For
     the NAR the concat only fixes the layout — the device fn re-reads the
     replicated (b, T, nq) codes per position.)"""
+    from ..models.ar import check_max_pos
     codes_flat = batch['codes'][..., 0] if is_nar else batch['codes']
+    # CP exists for LONG sequences — exactly where the positional table's
+    # silent gather-clamp (check_max_pos's reason to exist) would bite.
+    check_max_pos(batch['tokens'].shape[1], codes_flat.shape[1], 'CP train')
     ids = jnp.concatenate([batch['tokens'], codes_flat], axis=1)
     pad = (-ids.shape[1]) % n_ctx
     return jnp.pad(ids, ((0, 0), (0, pad)))
@@ -225,7 +247,7 @@ def make_cp_eval_step(config, model_name: str, mesh: Mesh):
                           jnp.full((ids.shape[0],), ttm, jnp.int32)),
                 batch.get('codes_lens',
                           jnp.full((ids.shape[0],), tc, jnp.int32)),
-                None, config, ttm, tc, n_ctx)
+                None, config, ttm, tc, n_ctx, n_data)
         red = jax.lax.psum({'nll': nll, 'acc': acc, 'n': n}, 'ctx')
         n_tot = jnp.maximum(red['n'], 1.0)
         metrics = {'loss': red['nll'] / n_tot, 'acc': red['acc'] / n_tot,
@@ -294,7 +316,7 @@ def make_cp_train_step(config, model_name: str, mesh: Mesh):
                               jnp.full((ids.shape[0],), ttm, jnp.int32)),
                     batch.get('codes_lens',
                               jnp.full((ids.shape[0],), tc, jnp.int32)),
-                    rng, config, ttm, tc, n_ctx)
+                    rng, config, ttm, tc, n_ctx, n_data)
                 return nll, (acc, n)
             (nll, (acc, n)), grads = jax.value_and_grad(
                 fwd, has_aux=True)(params)

@@ -45,11 +45,16 @@ _HEAD_KEYS = ('proj', 'proj_layers')
 
 
 def _gcd(b_local: int, m: int) -> int:
-    """Largest usable GPipe microbatch count <= the configured one for a
-    per-shard batch of ``b_local`` rows (pipeline_transformer requires
-    b % m == 0; shapes are static per trace so this is a Python int)."""
-    import math
-    return max(1, math.gcd(int(b_local), int(m)))
+    """Largest usable microbatch count <= the configured one for a per-shard
+    batch of ``b_local`` rows: the LARGEST DIVISOR of b_local that is <= m
+    (pipeline_transformer requires b % m == 0; shapes are static per trace so
+    this is Python-int arithmetic).  gcd alone under-pipelines — e.g. b=6,
+    m=4: gcd is 2 but 3 divides 6 and fits the budget (smaller bubble)."""
+    b_local, m = int(b_local), int(m)
+    m = max(1, min(m, b_local))
+    while b_local % m:
+        m -= 1
+    return m
 
 
 #: Leaf-path suffixes whose gradients are PARTIAL under manual TP slicing
@@ -363,8 +368,7 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
     zero1 = bool(getattr(config, 'zero1', False)) and n_data > 1
     m_cfg = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
-    nar_kw = {'data_axis': 'data'} \
-        if model_name == 'ValleNAR' and n_data > 1 else {}
+    dp_kw = {'data_axis': 'data'} if n_data > 1 else {}
     lora_mode = config.lora_rank > 0
     if lora_mode:
         from ..lora import lora_scale, merge_lora
@@ -386,12 +390,12 @@ def make_pp_train_step(config, model_name: str, mesh: Mesh,
 
             def fwd(l):
                 return loss_fn(merge_lora(base, l, scale), config, batch, rng,
-                               pp=pp, **nar_kw)
+                               pp=pp, **dp_kw)
         else:
             trainable = params
 
             def fwd(p):
-                return loss_fn(p, config, batch, rng, pp=pp, **nar_kw)
+                return loss_fn(p, config, batch, rng, pp=pp, **dp_kw)
         (loss, metrics), grads = jax.value_and_grad(fwd, has_aux=True)(trainable)
         anchor = None
         if n_model > 1:
@@ -467,7 +471,7 @@ def make_pp_eval_step(config, model_name: str, mesh: Mesh,
     n_model = mesh.shape.get('model', 1)
     m_cfg = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
-    nar_kw = {'data_axis': 'data'} if is_nar and n_data > 1 else {}
+    dp_kw = {'data_axis': 'data'} if n_data > 1 else {}
     lora_mode = config.lora_rank > 0
     if lora_mode:
         from ..lora import lora_scale, merge_lora
@@ -484,9 +488,9 @@ def make_pp_eval_step(config, model_name: str, mesh: Mesh,
             params = merge_lora(params['base'], params['lora'], scale)
         if is_nar:
             _, metrics = loss_fn(params, config, batch, rng, train=False,
-                                 pp=pp, **nar_kw)
+                                 pp=pp, **dp_kw)
         else:
-            _, metrics = loss_fn(params, config, batch, None, pp=pp)
+            _, metrics = loss_fn(params, config, batch, None, pp=pp, **dp_kw)
         n = metrics['n_valid'].astype(jnp.float32)
         # One fused 'data' all-reduce (see _pipe_grad_reduce on collective
         # ordering) computing the token-weighted means.

@@ -100,7 +100,7 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
     zero1 = bool(getattr(config, 'zero1', False)) and n_data > 1
     m_cfg = microbatches if microbatches is not None else max(
         1, int(getattr(config, 'pp_microbatches', 1)))
-    data_axis = 'data' if model_name == 'ValleNAR' and n_data > 1 else None
+    data_axis = 'data' if n_data > 1 else None
     lora_mode = config.lora_rank > 0
     if lora_mode:
         from ..lora import lora_scale, merge_lora

@@ -75,8 +75,8 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, meta: jax.Array,
     # Rotation i -> i-1: after r hops this device holds block (rank + r) % n.
     perm = [(i, (i - 1) % n) for i in range(n)]
 
-    def hop(carry, r):
-        acc, m_run, l_run, kv = carry
+    def block(carry, kv, r):
+        acc, m_run, l_run = carry
         k_r, v_r = kv[..., :hd], kv[..., hd:]
         src = jnp.mod(rank + r, n)
         k_pos = src * s_loc + jnp.arange(s_loc)
@@ -89,11 +89,18 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, meta: jax.Array,
         l_new = l_run * alpha + p.sum(axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
             'bhqk,bhkd->bhqd', p, v_r.astype(jnp.float32))
-        # K and V travel as ONE collective: two dataflow-independent
-        # ppermutes per hop could rendezvous-interleave across devices on
-        # XLA:CPU's thunk executor (NOTES.md) — and one transfer is cheaper
-        # on real ICI anyway.
+        return acc, m_new, l_new
+
+    def hop(carry, r):
+        # Rotate FIRST, then attend the arriving block: n-1 transfers total —
+        # a trailing rotation after the last block would move bytes nobody
+        # reads (1/n of the ring's volume).  K and V travel as ONE collective:
+        # two dataflow-independent ppermutes per hop could rendezvous-
+        # interleave across devices on XLA:CPU's thunk executor (NOTES.md) —
+        # and one transfer is cheaper on real ICI anyway.
+        acc, m_run, l_run, kv = carry
         kv = jax.lax.ppermute(kv, axis, perm)
+        acc, m_new, l_new = block((acc, m_run, l_run), kv, r)
         return (acc, m_new, l_new, kv), None
 
     if remat:
@@ -102,7 +109,8 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, meta: jax.Array,
     m0 = jnp.full((b, h, s_loc), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, s_loc), jnp.float32)
     kv0 = jnp.concatenate([k, v], axis=-1)
-    (acc, _, l, _), _ = jax.lax.scan(hop, (acc0, m0, l0, kv0),
-                                     jnp.arange(n))
+    # Resident block (r = 0) needs no transfer; hops 1..n-1 rotate-then-attend.
+    carry0 = block((acc0, m0, l0), kv0, jnp.int32(0))
+    (acc, _, l, _), _ = jax.lax.scan(hop, (*carry0, kv0), jnp.arange(1, n))
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     return out.astype(v.dtype)

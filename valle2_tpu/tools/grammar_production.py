@@ -95,6 +95,7 @@ def _run_cli(cfg_path: Path, model: str, resume: bool = False,
     {'train': [(step, loss)...], 'valid': [...], 'wall_s', 'rc',
     'preempted_at'}.
     """
+    import threading
     cmd = [sys.executable, '-m', 'valle2_tpu.train', '-c', str(cfg_path),
            '-m', model] + (['--resume'] if resume else []) \
         + (['--platform', platform] if platform else [])
@@ -104,22 +105,34 @@ def _run_cli(cfg_path: Path, model: str, resume: bool = False,
                             stderr=subprocess.STDOUT, text=True, env=env)
     train_curve, valid_curve, lines = [], [], []
     preempted_at = None
-    assert proc.stdout is not None
-    for line in proc.stdout:
-        lines.append(line)
-        if m := _STEP_RE.search(line):
-            train_curve.append((int(m.group(1)), float(m.group(2))))
-            if (sigterm_after_step is not None and preempted_at is None
-                    and int(m.group(1)) >= sigterm_after_step):
-                preempted_at = int(m.group(1))
-                proc.send_signal(signal.SIGTERM)
-        if m := _VALID_RE.search(line):
-            valid_curve.append((int(m.group(1)), float(m.group(2))))
-        if time.time() - t0 > timeout:
-            proc.kill()
-            raise TimeoutError(f'{model} run exceeded {timeout}s;'
-                               f' tail: {"".join(lines[-12:])}')
-    rc = proc.wait()
+    # Watchdog THREAD, not an in-loop clock: `for line in proc.stdout` blocks
+    # in readline, so a child that hangs silently (TPU tunnel stall, wedged
+    # collective) would never reach a loop-body timeout check.
+    timed_out = threading.Event()
+
+    def _kill():
+        timed_out.set()
+        proc.kill()
+    watchdog = threading.Timer(timeout, _kill)
+    watchdog.start()
+    try:
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            lines.append(line)
+            if m := _STEP_RE.search(line):
+                train_curve.append((int(m.group(1)), float(m.group(2))))
+                if (sigterm_after_step is not None and preempted_at is None
+                        and int(m.group(1)) >= sigterm_after_step):
+                    preempted_at = int(m.group(1))
+                    proc.send_signal(signal.SIGTERM)
+            if m := _VALID_RE.search(line):
+                valid_curve.append((int(m.group(1)), float(m.group(2))))
+        rc = proc.wait()
+    finally:
+        watchdog.cancel()
+    if timed_out.is_set():
+        raise TimeoutError(f'{model} run exceeded {timeout}s; '
+                           f'tail: {"".join(lines[-12:])}')
     if rc != 0:
         raise RuntimeError(f'{model} CLI exited {rc}; '
                            f'tail: {"".join(lines[-20:])}')

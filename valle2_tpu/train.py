@@ -561,6 +561,13 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
     enable_compilation_cache(fallback=config.compile_cache_dir)
     from .aot import enable_aot_cache
     enable_aot_cache(fallback=config.aot_cache_dir)
+    if config.mesh_pipe > 1 and config.mesh_ctx > 1:
+        # A silent elif would build the pp mesh and DROP the configured
+        # context sharding — fail loudly instead (mesh_ctx is documented
+        # exclusive with mesh_pipe/mesh_model/lora).
+        raise ValueError('mesh_ctx and mesh_pipe are exclusive — pick the '
+                         'axis that addresses your bottleneck (memory per '
+                         'sequence: ctx; layers across chips: pipe)')
     if mesh is None and config.mesh_pipe > 1:
         from .parallel import make_pp_mesh
         mesh = make_pp_mesh(config.mesh_data, config.mesh_pipe,
