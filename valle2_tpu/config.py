@@ -362,6 +362,12 @@ class ConfigValle:
             raise ValueError('Activation function must be relu or gelu')
         if self.weight_dtype not in ('compute', 'int8', 'int4'):
             raise ValueError("weight_dtype must be 'compute', 'int8' or 'int4'")
+        if self.pp_schedule not in ('gpipe', '1f1b'):
+            # Literal annotations are not enforced at runtime; a typo here
+            # would silently select GPipe and blow the activation budget the
+            # user sized for 1F1B.
+            raise ValueError("pp_schedule must be 'gpipe' or '1f1b', got "
+                             f'{self.pp_schedule!r}')
         self.ckpt_path = Path(self.ckpt_path)
         self.log_path = Path(self.log_path)
         self.betas = tuple(self.betas)

@@ -330,7 +330,8 @@ def get_dataloaders(model_name: str, config: ConfigValle,
         train_ds = SyntheticValleDataset(config, size=max(8 * config.batch_size, 64))
         valid_ds = SyntheticValleDataset(config, size=max(2 * config.valid_batch_size, 8),
                                          seed=1)
-    elif str(config.dataset).startswith('grammar'):
+    elif (str(config.dataset) == 'grammar'
+          or str(config.dataset).startswith('grammar://')):
         # Deterministic compositional grammar (data/grammar.py) as a first-
         # class dataset: the exact production path (collate buckets, prefetch,
         # checkpoints) trains the generalization testbed with one CLI command.

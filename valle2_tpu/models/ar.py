@@ -120,11 +120,8 @@ def forward(params: Params, config: ConfigValle, tokens: jax.Array, codes: jax.A
     # Mixed precision: cast the (f32 master) params to the compute dtype here; the
     # cast is differentiable so grads/optimizer state stay f32.  Without this, f32
     # params promote bf16 activations straight back to f32.
-    cdtype = jnp.dtype(config.dtype)
-    if cdtype != jnp.dtype(config.param_dtype):
-        params = jax.tree.map(
-            lambda a: a.astype(cdtype) if a.dtype == jnp.dtype(config.param_dtype)
-            else a, params)
+    from ..ops.nn import cast_to_compute
+    params = cast_to_compute(params, config)
 
     x_tok = embedding(params['tokens_emb'], tokens)
     x_tok = add_positional(pe, x_tok, dropout_rate=drop, rng=rngs[0])
@@ -176,7 +173,11 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     then runs device-local inside parallel.pipeline's shard_map.
     ``data_axis``: set inside a manual-DP shard_map — the reference-parity
     loss mode (mask_loss_pads=False) then takes its batch max over the
-    GLOBAL batch, matching the solo/GSPMD objective."""
+    GLOBAL batch, and the dropout rng folds the data rank (the rng arrives
+    replicated; without the fold every shard would draw identical masks for
+    different examples)."""
+    if data_axis is not None and rng is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
     logits = forward(params, config, batch['tokens'], batch['codes'],
                      batch.get('tokens_lens'), batch.get('codes_lens'), rng,
                      mesh=mesh, pp=pp)
@@ -230,27 +231,31 @@ def pp_microbatch_parts(config: ConfigValle, batch: dict, rng: jax.Array | None,
     tt, tc = tokens.shape[1], codes.shape[1]
     pe = sinusoidal_table(MAX_POS, config.d_model)
     cdtype = jnp.dtype(config.dtype)
-    pdtype = jnp.dtype(config.param_dtype)
     drop = config.dropout if rng is not None else 0.0
     max_true = codes_lens.max() if codes_lens is not None else tc
     if data_axis is not None and codes_lens is not None:
         # Manual DP: the reference-parity loss mode masks to the GLOBAL
         # batch max, like the solo/GSPMD step (same fix as the NAR twin).
         max_true = jax.lax.pmax(max_true, data_axis)
+    from ..ops.nn import cast_to_compute as cast_cfg
 
     def cast(p):
-        if cdtype == pdtype:
-            return p
-        return jax.tree.map(
-            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, p)
+        return cast_cfg(p, config)
 
     def mb_slice(arr, i, mb):
         return jax.lax.dynamic_slice_in_dim(arr, i * mb, mb, axis=0)
 
     def prep(params, i, mb):
         params = cast(params)
-        rngs = (jax.random.split(jax.random.fold_in(rng, i), 2)
-                if rng is not None else (None, None))
+        if rng is not None:
+            r = jax.random.fold_in(rng, i)
+            if data_axis is not None:
+                # Replicated rng: without the data-rank fold every shard
+                # draws identical masks for different examples.
+                r = jax.random.fold_in(r, jax.lax.axis_index(data_axis))
+            rngs = jax.random.split(r, 2)
+        else:
+            rngs = (None, None)
         tok_mb = mb_slice(tokens, i, mb)
         cod_mb = mb_slice(codes, i, mb)
         x_tok = add_positional(pe, embedding(params['tokens_emb'], tok_mb),

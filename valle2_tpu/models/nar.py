@@ -157,13 +157,16 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
 
     stage_rng, drop_rng = jax.random.split(rng)
     stage = jax.random.randint(stage_rng, (), 1, nq)                # uniform 1..nq-1
+    if data_axis is not None:
+        # Fold the data rank into the DROPOUT stream only — the stage draw
+        # above must stay replicated (one global stage per step, like GSPMD);
+        # without the fold every shard draws identical masks (replicated rng).
+        drop_rng = jax.random.fold_in(drop_rng,
+                                      jax.lax.axis_index(data_axis))
 
     # Mixed precision: cast f32 master params to the compute dtype (see ar.forward).
-    cdtype = jnp.dtype(config.dtype)
-    if cdtype != jnp.dtype(config.param_dtype):
-        params = jax.tree.map(
-            lambda a: a.astype(cdtype) if a.dtype == jnp.dtype(config.param_dtype)
-            else a, params)
+    from ..ops.nn import cast_to_compute
+    params = cast_to_compute(params, config)
 
     pe = sinusoidal_table(MAX_POS, config.d_model)
     drop = config.dropout if train else 0.0
@@ -248,18 +251,22 @@ def pp_microbatch_parts(config: ConfigValle, batch: dict, rng: jax.Array,
     prefix_len = prefix_length(config, max_true)
     drop = config.dropout if rng is not None else 0.0
 
+    from ..ops.nn import cast_to_compute as cast_cfg
+
     def cast(p):
-        if cdtype == pdtype:
-            return p
-        return jax.tree.map(
-            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, p)
+        return cast_cfg(p, config)
 
     def mb_slice(arr, i, mb):
         return jax.lax.dynamic_slice_in_dim(arr, i * mb, mb, axis=0)
 
     def prep(params, i, mb):
         params = cast(params)
-        rngs = jax.random.split(jax.random.fold_in(drop_rng, i), 2)
+        r = jax.random.fold_in(drop_rng, i)
+        if data_axis is not None:
+            # Replicated rng: fold the data rank so shards draw independent
+            # masks (the stage draw above stays replicated).
+            r = jax.random.fold_in(r, jax.lax.axis_index(data_axis))
+        rngs = jax.random.split(r, 2)
         tok_mb = mb_slice(tokens, i, mb)
         cod_mb = mb_slice(codes, i, mb)
         x_tok = add_positional(pe, embedding(params['tokens_emb'], tok_mb),

@@ -60,6 +60,21 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
     return y
 
 
+def cast_to_compute(params: Params, config) -> Params:
+    """Differentiable mixed-precision cast: every leaf stored in the master
+    ``param_dtype`` casts to the compute ``dtype`` (bf16 training); other
+    leaves (int8/int4 quantized, scalars) pass through.  Grads flow back in
+    the master dtype via the cast's transpose.  The ONE shared definition —
+    the solo losses, the pipeline schedules, and the context-parallel steps
+    must all cast identically or the manual paths silently diverge."""
+    cdtype = jnp.dtype(config.dtype)
+    pdtype = jnp.dtype(config.param_dtype)
+    if cdtype == pdtype:
+        return params
+    return jax.tree.map(
+        lambda a: a.astype(cdtype) if a.dtype == pdtype else a, params)
+
+
 def psum_replicated_grad(x: jax.Array, axis: str) -> jax.Array:
     """``jax.lax.psum`` whose TRANSPOSE is the identity.
 
@@ -263,9 +278,17 @@ def ffn(p: Params, x: jax.Array, *, dropout_rate: float = 0.0,
     ``tp_axis``: manual tensor parallelism inside a shard_map — lin1 is
     column-split (local hidden slice, local bias), lin2 row-split with a psum
     completing the output (``linear_row_parallel``); lin1's input gets the
-    backward all-reduce (``identity_psum_grad``) that completes dx."""
+    backward all-reduce (``identity_psum_grad``) that completes dx.  The
+    HIDDEN dropout folds the TP rank into its rng: the mask covers this
+    rank's dff/mp slice, so a shared rng would correlate hidden units
+    dff/mp apart (Megatron keeps a per-TP-rank rng for exactly this
+    region).  Only this inner mask may differ per rank — every full-width
+    dropout must stay identical or the replicated residual stream
+    diverges."""
     if tp_axis is not None:
         x = identity_psum_grad(x, tp_axis)
+        if rng is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(tp_axis))
     h = jax.nn.gelu(linear(p['lin1'], x), approximate=False)
     h = dropout(h, dropout_rate, rng)
     if tp_axis is not None:

@@ -66,10 +66,8 @@ def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
     pos = rank * s_loc + jnp.arange(s_loc)                  # global seq index
     is_tok = pos < ttm
     cdtype = jnp.dtype(config.dtype)
-    pdtype = jnp.dtype(config.param_dtype)
-    if cdtype != pdtype:
-        params = jax.tree.map(
-            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, params)
+    from ..ops.nn import cast_to_compute
+    params = cast_to_compute(params, config)
 
     # Per-position table select (blocks can straddle the stream boundary).
     # Out-of-vocab gathers clamp harmlessly — the other branch is selected.
@@ -148,7 +146,6 @@ def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
     is_tok = pos < ttm
     code_pos = jnp.clip(pos - ttm, 0, tc - 1)
     cdtype = jnp.dtype(config.dtype)
-    pdtype = jnp.dtype(config.param_dtype)
     stage_rng, drop_rng = jax.random.split(rng)
     nq = codes.shape[2]
     stage = jax.random.randint(stage_rng, (), 1, nq)     # loss_fn's exact draw
@@ -156,9 +153,8 @@ def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
     if n_data > 1:
         max_true = jax.lax.pmax(max_true, 'data')
     prefix_len = prefix_length(config, max_true)
-    if cdtype != pdtype:
-        params = jax.tree.map(
-            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, params)
+    from ..ops.nn import cast_to_compute
+    params = cast_to_compute(params, config)
 
     tok_local = jnp.take(tokens, jnp.clip(pos, 0, ttm - 1), axis=1)
     codes_local = jnp.take(codes, code_pos, axis=1)               # (b, sl, nq)
@@ -358,6 +354,14 @@ def make_cp_train_step(config, model_name: str, mesh: Mesh):
         with jax.default_matmul_precision(config.matmul_precision):
             loss, grads, metrics = mapped(state.params, ids, batch, step_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if bool(getattr(config, 'zero1', False)) and n_data > 1:
+            # Pin ZeRO-1 moments back to their 'data'-sharded placement —
+            # without the constraint the donated jitted step is free to
+            # silently replicate them (same guard as make_train_step).
+            from .mesh import param_sharding
+            opt_state = jax.tree.map(
+                jax.lax.with_sharding_constraint, opt_state,
+                param_sharding(mesh, opt_state, zero1=True))
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics['grad_norm'] = optax.global_norm(grads)

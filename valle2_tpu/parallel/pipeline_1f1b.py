@@ -106,13 +106,10 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
         from ..lora import lora_scale, merge_lora
         scale = lora_scale(config)
     cdtype = jnp.dtype(config.dtype)
-    pdtype = jnp.dtype(config.param_dtype)
+    from ..ops.nn import cast_to_compute
 
     def cast(p):
-        if cdtype == pdtype:
-            return p
-        return jax.tree.map(
-            lambda a: a.astype(cdtype) if a.dtype == pdtype else a, p)
+        return cast_to_compute(p, config)
 
     def device_grads(params, batch, rng):
         parts = parts_fn(config, batch, rng, data_axis=data_axis)
@@ -174,6 +171,11 @@ def make_pp_train_step_1f1b(config, model_name: str, mesh: Mesh,
                     g = stage_idx * l_per_stage + i
                     layer_rng = jax.random.fold_in(
                         jax.random.fold_in(rng, g), m_idx)
+                    if n_data > 1:
+                        # Replicated rng: fold the data rank so shards draw
+                        # independent dropout masks.
+                        layer_rng = jax.random.fold_in(
+                            layer_rng, jax.lax.axis_index('data'))
                 else:
                     layer_rng = None
                 y = encoder_layer(layer_p, carry, local_heads, bias_i,
