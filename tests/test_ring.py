@@ -215,3 +215,100 @@ class TestCPTrainStep:
             lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
             solo_state.params, jax.device_get(cp_state.params))))
         assert diff < 1e-5, diff
+
+
+class TestCPxTP:
+    """CP x TP (VERDICT r4 Next #7): ring attention with Megatron-split heads
+    per ctx shard, on a ('data', 'ctx', 'model') mesh — the standard
+    long-context production layout, exact-parity-tested against solo."""
+
+    _cfg = TestCPTrainStep._cfg
+    _batch = TestCPTrainStep._batch
+
+    def test_ar_step_matches_solo(self):
+        cfg = self._cfg()
+        batch = self._batch()
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        solo_state, sm = make_train_step(cfg, 'ValleAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_cp_mesh(2, 2, 2)                     # DP x CP x TP
+        assert mesh.axis_names == ('data', 'ctx', 'model')
+        state2 = init_state(cfg, 'ValleAR', jax.random.key(0))
+        cp_state, pm = make_cp_train_step(cfg, 'ValleAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(sm['acc']), float(pm['acc']),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(sm['grad_norm']),
+                                   float(pm['grad_norm']), rtol=1e-4)
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params, jax.device_get(cp_state.params))))
+        assert diff < 1e-5, diff
+
+    def test_ctx_tp_only_mesh(self):
+        """1 x 2 x 4: all-TP-heavy layout, no data axis contribution."""
+        cfg = self._cfg()
+        batch = self._batch()
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        _, sm = make_train_step(cfg, 'ValleAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_cp_mesh(1, 2, 4)
+        state2 = init_state(cfg, 'ValleAR', jax.random.key(0))
+        _, pm = make_cp_train_step(cfg, 'ValleAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+
+    def test_nar_step_matches_solo(self):
+        cfg = self._cfg(num_quantizers=8)
+        kt, kc = jax.random.split(jax.random.key(5), 2)
+        batch = {'tokens': jax.random.randint(kt, (4, 10), 0, 40),
+                 'codes': jax.random.randint(kc, (4, 22, 8), 0, 50),
+                 'tokens_lens': jnp.array([10, 8, 9, 7]),
+                 'codes_lens': jnp.array([22, 15, 20, 11])}
+        state = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        solo_state, sm = make_train_step(cfg, 'ValleNAR', mesh=None)(
+            state, batch, jax.random.key(9))
+        mesh = make_cp_mesh(2, 2, 2)
+        state2 = init_state(cfg, 'ValleNAR', jax.random.key(0))
+        cp_state, pm = make_cp_train_step(cfg, 'ValleNAR', mesh)(
+            state2, batch, jax.random.key(9))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+        assert int(sm['stage']) == int(pm['stage'])
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+            solo_state.params, jax.device_get(cp_state.params))))
+        assert diff < 1e-5, diff
+
+    def test_eval_step_matches_solo(self):
+        from valle2_tpu.parallel.context import make_cp_eval_step
+        from valle2_tpu.train import make_eval_step
+        cfg = self._cfg()
+        batch = self._batch()
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        sm = make_eval_step(cfg, 'ValleAR')(state.params, batch,
+                                            jax.random.key(2))
+        mesh = make_cp_mesh(2, 2, 2)
+        pm = make_cp_eval_step(cfg, 'ValleAR', mesh)(state.params, batch,
+                                                     jax.random.key(2))
+        np.testing.assert_allclose(float(sm['loss']), float(pm['loss']),
+                                   rtol=1e-6)
+
+    def test_trainer_accepts_cp_tp(self):
+        from valle2_tpu.train import Trainer
+        cfg = self._cfg(mesh_ctx=2, mesh_data=2, mesh_model=2)
+        mesh = make_cp_mesh(2, 2, 2)
+        tr = Trainer(cfg, 'ValleAR', mesh=mesh, use_tensorboard=False)
+        assert tr._cp
+        state = init_state(cfg, 'ValleAR', jax.random.key(0))
+        _, m = tr.train_step(state, self._batch(), jax.random.key(1))
+        assert np.isfinite(float(m['loss']))
+
+    def test_bad_tp_split_raises(self):
+        cfg = self._cfg(n_heads=3)                       # 3 % 2 != 0
+        mesh = make_cp_mesh(2, 2, 2)
+        with pytest.raises(ValueError, match='mesh_model'):
+            make_cp_train_step(cfg, 'ValleAR', mesh)

@@ -342,6 +342,18 @@ class ConfigValle:
                           'dir or a Trainer step dir); empty = fresh init '
                           '(adapters over random weights — tests only)'},
     )
+    nar_corrupt_p: float = field(
+        default=0.0,
+        metadata={'help': 'NAR conditioning-input corruption rate: during '
+                          'training, each suffix conditioning code (position '
+                          'past the acoustic prefix, any quantizer < stage) is '
+                          'replaced by a uniform random symbol with this '
+                          'probability while TARGETS stay clean — teaching the '
+                          'NAR to REFINE imperfect codebook-0 input (its real '
+                          'serving regime: AR output is imperfect, reference '
+                          'valle_nar.py:107-165 is a refiner). 0 = reference '
+                          'behaviour (train on ground truth only)'},
+    )
     use_fused_decode: bool | str = field(
         default='auto',
         metadata={'help': "Pallas fused whole-stack decode step: True | False | "

@@ -62,6 +62,14 @@ class GrammarSpec:
     adds: tuple = (11, 29, 43, 57)   # motif position offsets
     num_speakers: int = 1            # v2: distinct acoustic realizations
     speaker_stride: int = 29         # speaker s offset = (s * stride) % V
+    # v3 (``num_variants`` > 1): each phoneme has K valid motif RENDERINGS
+    # drawn from a known distribution, with per-variant durations in
+    # {2, 3, 4} — the text→codes mapping becomes one-to-MANY, so exact match
+    # stops being the right metric and quality machinery (temperature,
+    # best-of-N, NAR refinement) gets a measurable response surface at
+    # convergence (VERDICT r4 Next #1).  K = 1 preserves v1/v2 exactly.
+    num_variants: int = 1
+    variant_weights: tuple = ()      # () => 2^(K-1-k) / (2^K - 1)
 
 
 def multispeaker_spec(num_speakers: int, **kw) -> GrammarSpec:
@@ -137,6 +145,155 @@ def synthesize_codes(token_ids: np.ndarray, spec: GrammarSpec,
     return ((code0[None, :] + q * spec.stage_shift) % v).astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# v3: ambiguous acoustics — K valid renderings per phoneme
+# ---------------------------------------------------------------------------
+#
+# Construction (all deterministic given the spec):
+#
+# - Variant symbol p of phoneme t, variant k, speaker s:
+#       (muls[p] * (K*t + k) + adds[p] + offset(s)) % V,  p in [0, dur)
+#   With muls[0] odd and K*vocab <= V the FIRST symbol is injective in
+#   (t, k) per speaker, so a code stream parses unambiguously against its
+#   text; with muls[1]-muls[0] odd the within-motif difference recovers
+#   (K*t + k) without knowing the speaker (ASR stays well-posed), and with
+#   muls[2]-muls[1] odd any single corrupted symbol inside a motif of
+#   duration >= 2 is recoverable from its neighbours — the redundancy the
+#   NAR-refinement experiment relies on.
+# - Duration of (t, k): 2 + (t*7 + k*5) % 3 in {2, 3, 4}.  For fixed t the
+#   K <= 3 variants get pairwise-DISTINCT durations, so alignment is not
+#   fixed (VERDICT r4 Next #1a).
+# - Variant distribution: P(k) proportional to 2^(K-1-k) (known, non-uniform)
+#   => per-phoneme entropy H(spec) nats is the analytic NLL floor a perfectly
+#   calibrated model attains and no model beats.
+
+def variant_probs(spec: GrammarSpec) -> np.ndarray:
+    """Known sampling distribution over the K variants."""
+    k = spec.num_variants
+    if spec.variant_weights:
+        w = np.asarray(spec.variant_weights, np.float64)
+        assert len(w) == k and (w > 0).all()
+    else:
+        w = 2.0 ** np.arange(k - 1, -1, -1)
+    return w / w.sum()
+
+
+def variant_entropy(spec: GrammarSpec) -> float:
+    """Per-phoneme entropy (nats) — the analytic held-out NLL floor."""
+    p = variant_probs(spec)
+    return float(-(p * np.log(p)).sum())
+
+
+def variant_duration(spec: GrammarSpec, t, k):
+    """Codec frames for phoneme t rendered as variant k (vectorized)."""
+    return 2 + (np.asarray(t) * 7 + np.asarray(k) * 5) % 3
+
+
+def variant_motif(spec: GrammarSpec, t: int, k: int, speaker: int = 0
+                  ) -> np.ndarray:
+    """Codebook-0 symbols (dur,) of phoneme ``t`` rendered as variant ``k``."""
+    v = spec.num_audio_tokens
+    off = speaker_offset(spec, speaker)
+    d = int(variant_duration(spec, t, k))
+    base = spec.num_variants * int(t) + int(k)
+    return np.asarray([(spec.muls[p] * base + spec.adds[p] + off) % v
+                       for p in range(d)], np.int32)
+
+
+def ambiguous_spec(num_speakers: int = 1, num_variants: int = 3,
+                   **kw) -> GrammarSpec:
+    """v3 spec factory: multi-speaker-safe muls (37, 54, 71, 89) — muls[0]
+    odd (parse injectivity), muls[1]-muls[0] = 17 odd (speaker-invariant
+    ASR recovery), muls[2]-muls[1] = 17 odd (corruption redundancy)."""
+    spec = GrammarSpec(num_speakers=num_speakers, num_variants=num_variants,
+                       muls=(37, 54, 71, 89), **kw)
+    v = spec.num_audio_tokens
+    assert np.gcd(spec.muls[0], v) == 1
+    assert np.gcd((spec.muls[1] - spec.muls[0]) % v, v) == 1
+    assert np.gcd((spec.muls[2] - spec.muls[1]) % v, v) == 1
+    assert 1 <= num_variants <= 3, 'durations are distinct only for K <= 3'
+    return spec
+
+
+def sample_variants(token_ids: np.ndarray, spec: GrammarSpec,
+                    rng: np.random.RandomState) -> np.ndarray:
+    """One variant index per phoneme, i.i.d. from the known distribution."""
+    return rng.choice(spec.num_variants, size=len(token_ids),
+                      p=variant_probs(spec)).astype(np.int32)
+
+
+def realize_codes(token_ids: np.ndarray, variants: np.ndarray,
+                  spec: GrammarSpec, speaker: int = 0) -> np.ndarray:
+    """(token_ids, variants) → ground-truth codes (nq, T).  Residual codebook
+    q remains (codebook0 + q*stage_shift) % V — pointwise in the TRUE
+    codebook 0, so NAR targets are well-defined even when the NAR's
+    conditioning input is corrupted."""
+    v = spec.num_audio_tokens
+    code0 = np.concatenate(
+        [variant_motif(spec, int(t), int(k), speaker)
+         for t, k in zip(token_ids, variants)]) if len(token_ids) else \
+        np.zeros((0,), np.int32)
+    q = np.arange(spec.num_quantizers)[:, None]
+    return ((code0[None, :] + q * spec.stage_shift) % v).astype(np.int32)
+
+
+def sample_realization(token_ids: np.ndarray, spec: GrammarSpec,
+                       speaker: int, rng: np.random.RandomState
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """→ (codes (nq, T), variants (n,)) — one draw from the realization
+    distribution of (text, speaker)."""
+    variants = sample_variants(token_ids, spec, rng)
+    return realize_codes(token_ids, variants, spec, speaker), variants
+
+
+def realization_info_nats(variants: np.ndarray, spec: GrammarSpec) -> float:
+    """-ln P(realization): the information content a perfectly calibrated
+    model pays in NLL for this exact rendering."""
+    p = variant_probs(spec)
+    return float(-np.log(p[np.asarray(variants, np.int64)]).sum())
+
+
+def parse_codes0(codes0: np.ndarray, token_ids: np.ndarray, spec: GrammarSpec,
+                 speaker: int = 0) -> dict:
+    """Parse a generated codebook-0 stream against its text: is it one of the
+    enumerable valid renderings?  (The v3 quality metric — realization
+    VALIDITY replaces exact match, VERDICT r4 Next #1.)
+
+    Walks phoneme by phoneme: the first symbol of each motif identifies the
+    variant (injective in (t, k) given the speaker); the variant fixes the
+    duration and remaining symbols.  Valid iff every motif verifies and the
+    stream ends exactly at the last motif boundary.  Returns {valid,
+    variants (parsed so far), n_parsed, n_tokens, consumed}.
+    """
+    v = spec.num_audio_tokens
+    off = speaker_offset(spec, speaker)
+    codes0 = np.asarray(codes0)
+    pos, variants = 0, []
+    for t in np.asarray(token_ids, np.int64):
+        if pos >= len(codes0):
+            break
+        first = int(codes0[pos])
+        match = None
+        for k in range(spec.num_variants):
+            base = spec.num_variants * int(t) + k
+            if (spec.muls[0] * base + spec.adds[0] + off) % v == first:
+                match = k
+                break
+        if match is None:
+            break
+        d = int(variant_duration(spec, t, match))
+        want = variant_motif(spec, int(t), match, speaker)
+        if pos + d > len(codes0) or not np.array_equal(codes0[pos:pos + d],
+                                                       want):
+            break
+        variants.append(match)
+        pos += d
+    ok = len(variants) == len(token_ids) and pos == len(codes0)
+    return {'valid': ok, 'variants': np.asarray(variants, np.int32),
+            'n_parsed': len(variants), 'n_tokens': len(token_ids),
+            'consumed': pos}
+
+
 def parse_grammar_dataset(name: str) -> dict:
     """``'grammar'`` or ``'grammar://speakers=4,pairs=300,holdout=0.1,seed=0'``
     → options dict.  The URI form makes the grammar a first-class
@@ -144,7 +301,8 @@ def parse_grammar_dataset(name: str) -> dict:
     (``python -m valle2_tpu.train -c cfg.json -m ValleAR``) drives grammar
     training through the full data path — collate buckets, prefetch,
     checkpoints — with no bespoke harness."""
-    opts: dict = {'speakers': 1, 'pairs': 0, 'holdout': 0.1, 'seed': 0}
+    opts: dict = {'speakers': 1, 'pairs': 0, 'holdout': 0.1, 'seed': 0,
+                  'variants': 1, 'real': 1}
     rest = name[len('grammar'):].lstrip(':/')
     for kv in filter(None, rest.split(',')):
         k, _, v = kv.partition('=')
@@ -164,17 +322,27 @@ def build_grammar_datasets(config) -> tuple['GrammarDataset', 'GrammarDataset',
     opts = parse_grammar_dataset(str(config.dataset))
     kw = dict(num_audio_tokens=config.num_audio_tokens,
               num_quantizers=config.num_quantizers)
-    n_spk = int(opts['speakers'])
-    spec = multispeaker_spec(n_spk, **kw) if n_spk > 1 else GrammarSpec(**kw)
+    n_spk, n_var = int(opts['speakers']), int(opts['variants'])
+    if n_var > 1:
+        spec = ambiguous_spec(n_spk, n_var, **kw)
+    else:
+        spec = multispeaker_spec(n_spk, **kw) if n_spk > 1 \
+            else GrammarSpec(**kw)
     tokz = PhonemeTokenizer(use_g2p=False)
     if tokz.vocab_size > config.vocab_size:
         raise ValueError(f'grammar tokenizer vocab {tokz.vocab_size} exceeds '
                          f'config.vocab_size {config.vocab_size}')
+    if n_var * tokz.vocab_size > config.num_audio_tokens:
+        raise ValueError(
+            f'{n_var} variants x vocab {tokz.vocab_size} exceeds the code '
+            f'vocabulary {config.num_audio_tokens}: motifs would collide')
     train_s, held = split_sentences(seed=int(opts['seed']),
                                     holdout_frac=opts['holdout'])
     train_ds = GrammarDataset(train_s, spec, tokz, n_pairs=int(opts['pairs']),
-                              pair_seed=int(opts['seed']))
-    valid_ds = GrammarDataset(held, spec, tokz)
+                              pair_seed=int(opts['seed']),
+                              realizations=int(opts['real']))
+    valid_ds = GrammarDataset(held, spec, tokz,
+                              realize_seed=int(opts['seed']) + 104729)
     return train_ds, valid_ds, spec
 
 
@@ -191,13 +359,17 @@ class GrammarDataset:
     def __init__(self, sentences: list[str], spec: GrammarSpec,
                  tokenizer: PhonemeTokenizer | None = None,
                  n_pairs: int = 0, pair_seed: int = 0,
-                 speakers: tuple[int, ...] | None = None):
+                 speakers: tuple[int, ...] | None = None,
+                 realizations: int = 1, realize_seed: int = 0):
         self.spec = spec
         self.tokenizer = tokenizer or PhonemeTokenizer(use_g2p=False)
         # v2: every text realized once PER SPEAKER; pairs keep prompt and
         # continuation in the SAME voice — the exact supervision cloning
         # needs (the offset is constant across a training pair, so the model
         # learns to carry the prompt's offset into the continuation).
+        # v3 (spec.num_variants > 1): each (text, speaker) appears as
+        # ``realizations`` independent draws from the known variant
+        # distribution — the supervision a model needs to CALIBRATE to it.
         spk = tuple(speakers) if speakers is not None \
             else tuple(range(max(spec.num_speakers, 1)))
         texts = list(sentences)
@@ -207,12 +379,21 @@ class GrammarDataset:
                 i, j = rs.randint(len(sentences), size=2)
                 texts.append(sentences[i] + ' ' + sentences[j])
         self.items = []
-        for s in texts:
+        ambiguous = spec.num_variants > 1
+        n_real = max(int(realizations), 1) if ambiguous else 1
+        for si, s in enumerate(texts):
             toks = self.tokenizer(s)
             for sp in spk:
-                self.items.append({'tokens': toks,
-                                   'codes': synthesize_codes(toks, spec, sp),
-                                   'text': s, 'speaker': sp})
+                for r in range(n_real):
+                    if ambiguous:
+                        rs = np.random.RandomState(
+                            realize_seed + 9973 * si + 131 * sp + r)
+                        codes, variants = sample_realization(toks, spec, sp, rs)
+                    else:
+                        codes, variants = synthesize_codes(toks, spec, sp), None
+                    self.items.append({'tokens': toks, 'codes': codes,
+                                       'text': s, 'speaker': sp,
+                                       'variants': variants})
 
     def __len__(self):
         return len(self.items)
@@ -418,6 +599,331 @@ def evaluate_best_of_n(params, config, sentences: list[str], spec: GrammarSpec,
         out['best_of_n_delta'] = (out[f'beams_{beams[-1]}_exact']
                                   - out[f'beams_{beams[0]}_exact'])
     return out
+
+
+# ---------------------------------------------------------------------------
+# v3 evaluation: off-ceiling metrics with a response surface at convergence
+# ---------------------------------------------------------------------------
+
+def evaluate_validity(params, config, sentences: list[str], spec: GrammarSpec,
+                      tokenizer: PhonemeTokenizer | None = None,
+                      prompt_text: str | None = None, speaker: int = 0,
+                      temperature: float = 1.0, num_beams: int = 1,
+                      n_samples: int = 1, seed: int = 0) -> dict:
+    """Sample every sentence at ``temperature`` (best-of-``num_beams``) and
+    score realization VALIDITY: does the output parse as one of the
+    enumerable valid renderings of the text in the prompt's voice?
+    (v3's replacement for exact match — a converged model sits measurably
+    below 1.0 here because sampling can leak mass outside the K valid
+    continuations, and MORE so at higher temperature.)
+
+    Also reports: ``parse_frac`` (phonemes parsed before first failure —
+    partial credit), ``tv_distance`` (total variation between the sampled
+    variant distribution over parsed motifs and the known ground-truth
+    distribution — the calibration measure), and ``info_per_phoneme`` of
+    valid outputs (best-of-N's likelihood selector should push this BELOW
+    the distribution's entropy — it prefers probable renderings).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.ar import ValleAR
+
+    tok = tokenizer or PhonemeTokenizer(use_g2p=False)
+    prompt_text = prompt_text if prompt_text is not None else sentences[0]
+    p_toks = tok(prompt_text + ' ')
+    rs = np.random.RandomState(seed + 777)
+    pcodes_arr, _ = sample_realization(p_toks, spec, speaker, rs)
+    pcodes = np.ascontiguousarray(pcodes_arr.T)                    # (Tp, nq)
+    token_lists = [tok(s) for s in sentences]
+    model = ValleAR(dataclasses.replace(
+        config, num_beams=num_beams, temperature=temperature), params=params)
+    valid, frac, infos, counts = [], [], [], np.zeros(spec.num_variants)
+    for r in range(n_samples):
+        gen0 = [np.asarray(g) for g in model.generate_batch(
+            [jnp.asarray(np.concatenate([p_toks, t])) for t in token_lists],
+            [pcodes] * len(sentences), rng=jax.random.key(seed + r))]
+        for t, g in zip(token_lists, gen0):
+            p = parse_codes0(g, t, spec, speaker)
+            valid.append(float(p['valid']))
+            frac.append(p['n_parsed'] / max(p['n_tokens'], 1))
+            for k in p['variants']:
+                counts[k] += 1
+            if p['valid']:
+                infos.append(realization_info_nats(p['variants'], spec)
+                             / len(t))
+    emp = counts / counts.sum() if counts.sum() else counts
+    tv = 0.5 * float(np.abs(emp - variant_probs(spec)).sum())
+    return {'n': len(sentences) * n_samples, 'temperature': temperature,
+            'num_beams': num_beams, 'validity': float(np.mean(valid)),
+            'parse_frac': float(np.mean(frac)), 'tv_distance': tv,
+            'info_per_phoneme': float(np.mean(infos)) if infos else None,
+            'entropy_floor': variant_entropy(spec)}
+
+
+def evaluate_temperature_curve(params, config, sentences, spec,
+                               tokenizer=None, prompt_text=None, speaker=0,
+                               temperatures=(0.0, 0.7, 1.0, 1.3),
+                               n_samples: int = 1, seed: int = 0) -> list[dict]:
+    """validity/calibration as a function of temperature — the v3 response
+    curve (greedy is always-valid but maximally miscalibrated, tv → 0 near
+    τ=1 for a calibrated model, validity degrades as τ grows)."""
+    return [evaluate_validity(params, config, sentences, spec, tokenizer,
+                              prompt_text, speaker, temperature=t,
+                              n_samples=n_samples, seed=seed)
+            for t in temperatures]
+
+
+def evaluate_best_of_n_validity(params, config, sentences, spec,
+                                tokenizer=None, prompt_text=None, speaker=0,
+                                temperature: float = 1.0,
+                                beams: tuple = (1, 2, 4, 8),
+                                n_samples: int = 1, seed: int = 0) -> dict:
+    """Best-of-N under the v3 validity metric (the reference's num_beams
+    machinery, models/utils.py:71-88, measured where it can actually move a
+    number AT convergence: the likelihood selector should both raise
+    validity and pull info/phoneme below the entropy floor)."""
+    out: dict = {'temperature': temperature, 'beams': list(beams)}
+    for nb in beams:
+        r = evaluate_validity(params, config, sentences, spec, tokenizer,
+                              prompt_text, speaker, temperature=temperature,
+                              num_beams=nb, n_samples=n_samples, seed=seed)
+        out[f'beams_{nb}'] = {k: r[k] for k in
+                              ('validity', 'tv_distance', 'info_per_phoneme')}
+    out['best_of_n_delta'] = (out[f'beams_{beams[-1]}']['validity']
+                              - out[f'beams_{beams[0]}']['validity'])
+    return out
+
+
+def evaluate_prompt_conditioning_v3(ar_tts, sentences: list[str],
+                                    spec: GrammarSpec,
+                                    tokenizer: PhonemeTokenizer | None = None,
+                                    prompt_text: str | None = None,
+                                    speakers: tuple[int, ...] | None = None,
+                                    seed: int = 0) -> dict:
+    """Prompt-conditioning matrix under v3 ambiguity: generate with the
+    prompt realized in voice s (greedy), PARSE against every voice s'.
+    Validity requires the speaker offset, which appears ONLY in the prompt
+    codes — a prompt-ignoring model cannot be valid on the diagonal while
+    invalid off it (cf. evaluate_prompt_conditioning, whose exact-match
+    scoring is ill-defined once text→codes is one-to-many)."""
+    import jax
+    import jax.numpy as jnp
+
+    tok = tokenizer or PhonemeTokenizer(use_g2p=False)
+    spk = tuple(speakers) if speakers is not None \
+        else tuple(range(max(spec.num_speakers, 1)))
+    prompt_text = prompt_text if prompt_text is not None else sentences[0]
+    p_toks = tok(prompt_text + ' ')
+    token_lists = [tok(s) for s in sentences]
+    n_spk = len(spk)
+    validity = np.zeros((n_spk, n_spk))
+    for i, s_gen in enumerate(spk):
+        rs = np.random.RandomState(seed + 777 + s_gen)
+        pcodes_arr, _ = sample_realization(p_toks, spec, s_gen, rs)
+        pcodes = np.ascontiguousarray(pcodes_arr.T)
+        gen0 = [np.asarray(g) for g in ar_tts.generate_batch(
+            [jnp.asarray(np.concatenate([p_toks, t])) for t in token_lists],
+            [pcodes] * len(sentences), rng=jax.random.key(seed))]
+        for j, s_truth in enumerate(spk):
+            validity[i, j] = float(np.mean(
+                [float(parse_codes0(g, t, spec, s_truth)['valid'])
+                 for g, t in zip(gen0, token_lists)]))
+    diag = np.eye(n_spk, dtype=bool)
+    return {'n': len(sentences), 'speakers': list(spk),
+            'match_validity': float(validity[diag].mean()),
+            'mismatch_validity': float(validity[~diag].mean())
+            if n_spk > 1 else None,
+            'validity_matrix': validity.tolist()}
+
+
+def evaluate_nll(params, config, sentences: list[str], spec: GrammarSpec,
+                 tokenizer: PhonemeTokenizer | None = None,
+                 prompt_text: str | None = None, speaker: int = 0,
+                 realizations: int = 4, seed: int = 0) -> dict:
+    """Teacher-forced NLL of held-out realizations vs the ANALYTIC floor.
+
+    Each rendering's information content is known exactly
+    (``realization_info_nats``), so the resolution-limited question "is the
+    model calibrated?" has a sharp answer: ``excess_nats_per_phoneme`` =
+    mean(model NLL − true information content)/phonemes ≥ 0, with equality
+    iff the model reproduces the variant distribution (the quantity v2's
+    exact-match metric could not see).  Scoring is prompt-conditioned: the
+    prompt realization is given, NLL counts only target positions + EOS.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import bucket_len
+    from ..models import ar as ar_mod
+
+    tok = tokenizer or PhonemeTokenizer(use_g2p=False)
+    prompt_text = prompt_text if prompt_text is not None else sentences[0]
+    p_toks = tok(prompt_text + ' ')
+    rows = []
+    for si, s in enumerate(sentences):
+        t = tok(s)
+        full_t = np.concatenate([p_toks, t]).astype(np.int32)
+        for r in range(realizations):
+            rs = np.random.RandomState(seed + 131 * si + r)
+            pcodes, _ = sample_realization(p_toks, spec, speaker, rs)
+            codes, var = sample_realization(t, spec, speaker, rs)
+            c0 = np.concatenate([pcodes[0], codes[0]])
+            rows.append({
+                'tokens': full_t,
+                'codes': np.concatenate([[config.bos_token], c0]).astype(np.int32),
+                'target': np.concatenate([c0, [config.eos_token]]).astype(np.int32),
+                'start': pcodes.shape[1],
+                'info': realization_info_nats(var, spec),
+                'n_phon': len(t)})
+    tw = bucket_len(config.bucket_sizes, max(len(r['tokens']) for r in rows))
+    cw = bucket_len(config.bucket_sizes, max(len(r['codes']) for r in rows))
+
+    def pad(a, w):
+        return np.pad(np.asarray(a, np.int32), (0, w - len(a)))
+
+    tokens = jnp.asarray(np.stack([pad(r['tokens'], tw) for r in rows]))
+    codes = jnp.asarray(np.stack([pad(r['codes'], cw) for r in rows]))
+    target = jnp.asarray(np.stack([pad(r['target'], cw) for r in rows]))
+    tokens_lens = jnp.asarray([len(r['tokens']) for r in rows], jnp.int32)
+    codes_lens = jnp.asarray([len(r['codes']) for r in rows], jnp.int32)
+    starts = jnp.asarray([r['start'] for r in rows], jnp.int32)
+
+    @jax.jit
+    def score(params, tokens, codes, target, tokens_lens, codes_lens, starts):
+        logits = ar_mod.forward(params, config, tokens, codes,
+                                tokens_lens, codes_lens, None)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, target[..., None], axis=-1)[..., 0]
+        pos = jnp.arange(target.shape[1])[None, :]
+        valid = (pos >= starts[:, None]) & (pos < codes_lens[:, None])
+        return jnp.sum(nll * valid, axis=1)
+
+    sums = np.asarray(score(params, tokens, codes, target, tokens_lens,
+                            codes_lens, starts))
+    info = np.asarray([r['info'] for r in rows])
+    n_phon = np.asarray([r['n_phon'] for r in rows], np.float64)
+    n_codes = np.asarray([len(r['target']) - r['start'] for r in rows],
+                         np.float64)
+    return {'n_rows': len(rows),
+            'nll_per_phoneme': float((sums / n_phon).mean()),
+            'nll_per_token': float((sums / n_codes).mean()),
+            'floor_per_phoneme': variant_entropy(spec),
+            'excess_nats_per_phoneme': float(((sums - info) / n_phon).mean())}
+
+
+def evaluate_nar_refinement(nar, sentences: list[str], spec: GrammarSpec,
+                            tokenizer: PhonemeTokenizer | None = None,
+                            prompt_text: str | None = None, speaker: int = 0,
+                            corrupt: tuple = (0.0, 0.05, 0.15, 0.3),
+                            seed: int = 0) -> dict:
+    """Is the NAR a REFINER (reference valle_nar.py:107-165) or a pointwise
+    code-shifter?  Corrupt a fraction ε of the conditioning codebook-0
+    stream (uniform random symbols) and score stages 1..7 against the TRUE
+    stages of the uncorrupted realization.  A pointwise model follows the
+    corruption (acc ≈ 1−ε); a model that exploits the motif redundancy +
+    text alignment recovers the truth and beats that baseline — the gain is
+    the refinement measurement (VERDICT r4 Next #1)."""
+    import jax.numpy as jnp
+
+    tok = tokenizer or PhonemeTokenizer(use_g2p=False)
+    prompt_text = prompt_text if prompt_text is not None else sentences[0]
+    p_toks = tok(prompt_text + ' ')
+    rs = np.random.RandomState(seed + 777)
+    pcodes_arr, _ = sample_realization(p_toks, spec, speaker, rs)
+    pcodes = np.ascontiguousarray(pcodes_arr.T)                    # (Tp, nq)
+    nq, v = spec.num_quantizers, spec.num_audio_tokens
+    out: dict = {'corrupt': list(corrupt), 'n': len(sentences), 'by_eps': {}}
+    for eps in corrupt:
+        accs, base = [], []
+        for si, s in enumerate(sentences):
+            t = tok(s)
+            rs = np.random.RandomState(seed + 131 * si)
+            codes, _ = sample_realization(t, spec, speaker, rs)     # (nq, T)
+            c0 = codes[0].copy()
+            mask = rs.rand(len(c0)) < eps
+            c0[mask] = rs.randint(0, v, mask.sum())
+            got = np.asarray(nar.generate(
+                jnp.asarray(p_toks), jnp.asarray(pcodes), jnp.asarray(t),
+                jnp.asarray(c0)))                                   # (T, nq)
+            accs.append(float((got[:, 1:].T == codes[1:]).mean()))
+            follow = (c0[None, :] + np.arange(1, nq)[:, None]
+                      * spec.stage_shift) % v
+            base.append(float((follow == codes[1:]).mean()))
+        out['by_eps'][str(eps)] = {
+            'nar_acc': float(np.mean(accs)),
+            'follow_baseline': float(np.mean(base)),
+            'refinement_gain': float(np.mean(accs) - np.mean(base))}
+    return out
+
+
+def evaluate_closed_loop_v3(ar_tts, nar, ar_asr, sentences: list[str],
+                            spec: GrammarSpec,
+                            tokenizer: PhonemeTokenizer | None = None,
+                            prompt_text: str | None = None, speaker: int = 0,
+                            temperature: float | None = None,
+                            seed: int = 0) -> dict:
+    """text → AR (sampled) → NAR → ASR → text under v3 ambiguity.
+
+    TTS is scored by VALIDITY (parse), the NAR by consistency with the
+    sampled realization (a valid c0 IS a true realization, so its stages are
+    its pointwise shift), and ASR/text by exactness (transcription is still
+    a deterministic function of any valid rendering)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.ar import ValleAR
+
+    tok = tokenizer or PhonemeTokenizer(use_g2p=False)
+    prompt_text = prompt_text if prompt_text is not None else sentences[0]
+    p_toks = tok(prompt_text + ' ')
+    rs = np.random.RandomState(seed + 777)
+    pcodes_arr, _ = sample_realization(p_toks, spec, speaker, rs)
+    pcodes = np.ascontiguousarray(pcodes_arr.T)
+    token_lists = [tok(s) for s in sentences]
+    nq = spec.num_quantizers
+    empty = np.zeros((0, nq), np.int32)
+    model = ar_tts if temperature is None else ValleAR(
+        dataclasses.replace(ar_tts.config, temperature=temperature),
+        params=ar_tts.params)
+    gen0 = [np.asarray(g) for g in model.generate_batch(
+        [jnp.asarray(np.concatenate([p_toks, t])) for t in token_lists],
+        [pcodes] * len(sentences), rng=jax.random.key(seed))]
+    parses = [parse_codes0(g, t, spec, speaker)
+              for g, t in zip(gen0, token_lists)]
+    tts_valid = [float(p['valid']) for p in parses]
+
+    nar_accs = []
+    for t, g in zip(token_lists, gen0):
+        if len(g) == 0:
+            nar_accs.append(0.0)
+            continue
+        codes = np.asarray(nar.generate(jnp.asarray(p_toks),
+                                        jnp.asarray(pcodes), jnp.asarray(t),
+                                        jnp.asarray(g)))            # (T, nq)
+        want = ((g[None, :] + np.arange(nq)[:, None] * spec.stage_shift)
+                % spec.num_audio_tokens)
+        nar_accs.append(_token_acc(codes[:, 1:].T.reshape(-1),
+                                   want[1:].reshape(-1)))
+
+    asr_out = [np.asarray(o) for o in ar_asr.generate_batch(
+        [jnp.asarray(g) for g in gen0], [empty] * len(sentences))]
+    asr_exact = [len(o) == len(t) and np.array_equal(o, t)
+                 for o, t in zip(asr_out, token_lists)]
+    texts = [tok.to_text(o) for o in asr_out]
+    text_exact = [got == want.rstrip('.').strip() or got == want
+                  for got, want in zip(texts, sentences)]
+    return {'n': len(sentences),
+            'tts_validity': float(np.mean(tts_valid)),
+            'tts_parse_frac': float(np.mean(
+                [p['n_parsed'] / max(p['n_tokens'], 1) for p in parses])),
+            'nar_token_acc': float(np.mean(nar_accs)),
+            'asr_exact': float(np.mean(asr_exact)),
+            'text_exact': float(np.mean(text_exact))}
 
 
 def default_config(spec: GrammarSpec, tokenizer: PhonemeTokenizer, **kw):

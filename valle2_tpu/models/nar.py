@@ -90,14 +90,47 @@ def prepare_audio_embedding(params: Params, codes: jax.Array, stage: jax.Array,
     codes: (b, T, nq); stage: traced scalar in [1, nq-1].  Returns (b, T, d).
     ``positions``: explicit (T,) code-stream positions for callers holding a
     SLICE of the stream (context parallelism) — default arange(T).
+
+    Accumulated by a ``lax.scan`` over the nq tables rather than one vmapped
+    gather + einsum: the einsum form materializes (b, T, nq, d) — at the
+    204M bench scale (b=16, T=512, d=1024) that one tensor plus its backward
+    saves were the dominant term behind the NAR's OOM at the AR's batch size
+    (BENCHMARKS.md r4 memory note; VERDICT r4 Next #8).  The scan's live set
+    is the (b, T, d) accumulator + one gather; same math, q-ascending sum
+    order.
     """
-    per_q = _embed_codes_all(params['codes_embs'], codes)          # (b, T, nq, d)
     t = codes.shape[1]
     nq = codes.shape[2]
-    pos = (jnp.arange(t) if positions is None else positions)[:, None]  # (T, 1)
-    qidx = jnp.arange(nq)[None, :]                                  # (1, nq)
-    weight = jnp.where(pos < prefix_len, 1.0, (qidx < stage).astype(jnp.float32))
-    return jnp.einsum('btqd,tq->btd', per_q, weight.astype(per_q.dtype))
+    pos = jnp.arange(t) if positions is None else positions         # (T,)
+
+    def body(acc, q_in):
+        tbl, q = q_in                                               # (V, d), scalar
+        w = jnp.where(pos < prefix_len, 1.0,
+                      (q < stage).astype(jnp.float32))              # (T,)
+        emb = tbl[jax.lax.dynamic_index_in_dim(codes, q, 2, keepdims=False)]
+        return acc + emb * w[None, :, None].astype(tbl.dtype), None
+
+    acc0 = jnp.zeros((codes.shape[0], t, params['codes_embs'].shape[-1]),
+                     params['codes_embs'].dtype)
+    acc, _ = jax.lax.scan(body, acc0,
+                          (params['codes_embs'], jnp.arange(nq)))
+    return acc
+
+
+def corrupt_conditioning(codes: jax.Array, prefix_len, p: float,
+                         rng: jax.Array, v: int) -> jax.Array:
+    """Replace a fraction ``p`` of SUFFIX conditioning codes (pos >=
+    prefix_len, any quantizer) with uniform random symbols — the training-
+    time analogue of conditioning on imperfect AR output
+    (``config.nar_corrupt_p``).  The acoustic prefix stays clean (at
+    inference it is the ground-truth prompt); callers corrupt only the copy
+    fed to ``prepare_audio_embedding``, never the loss targets."""
+    r_mask, r_sym = jax.random.split(rng)
+    mask = jax.random.bernoulli(r_mask, p, codes.shape)
+    pos = jnp.arange(codes.shape[1])[None, :, None]
+    mask = mask & (pos >= prefix_len)
+    rand = jax.random.randint(r_sym, codes.shape, 0, v, codes.dtype)
+    return jnp.where(mask, rand, codes)
 
 
 def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
@@ -174,7 +207,19 @@ def loss_fn(params: Params, config: ConfigValle, batch: dict[str, jax.Array],
     x_tok = embedding(params['tokens_emb'], tokens)
     x_tok = add_positional(pe, x_tok, dropout_rate=drop, rng=rngs[0])
 
-    codes_emb = prepare_audio_embedding(params, codes, stage, prefix_len)
+    cond_codes = codes
+    if train and config.nar_corrupt_p > 0:
+        # fold_in (not another split) so the existing stage/dropout streams
+        # are untouched when the knob is off — bit-identical runs.
+        c_rng = jax.random.fold_in(rng, 0x5eed)
+        if data_axis is not None:
+            # manual-DP: decorrelate the corruption masks across shards
+            # (each shard holds different rows).
+            c_rng = jax.random.fold_in(c_rng, jax.lax.axis_index(data_axis))
+        cond_codes = corrupt_conditioning(
+            codes, prefix_len, config.nar_corrupt_p, c_rng,
+            config.num_audio_tokens)
+    codes_emb = prepare_audio_embedding(params, cond_codes, stage, prefix_len)
 
     # Padding bias: audio pads + token pads (see ar.forward note on the deviation).
     bias, flash = None, None
@@ -271,7 +316,14 @@ def pp_microbatch_parts(config: ConfigValle, batch: dict, rng: jax.Array,
         cod_mb = mb_slice(codes, i, mb)
         x_tok = add_positional(pe, embedding(params['tokens_emb'], tok_mb),
                                dropout_rate=drop, rng=rngs[0])
-        codes_emb = prepare_audio_embedding(params, cod_mb, stage, prefix_len)
+        cond_mb = cod_mb
+        if config.nar_corrupt_p > 0:
+            # Mirror loss_fn's corruption per microbatch (targets in
+            # head_loss re-slice the CLEAN codes).
+            cond_mb = corrupt_conditioning(
+                cod_mb, prefix_len, config.nar_corrupt_p,
+                jax.random.fold_in(r, 0x5eed), config.num_audio_tokens)
+        codes_emb = prepare_audio_embedding(params, cond_mb, stage, prefix_len)
         codes_emb = add_positional(pe, codes_emb, dropout_rate=drop,
                                    rng=rngs[1])
         x = jnp.concatenate([x_tok, codes_emb], axis=1).astype(cdtype)

@@ -40,23 +40,35 @@ from jax.sharding import Mesh, PartitionSpec as P
 Params = dict[str, Any]
 
 
-def make_cp_mesh(data: int, ctx: int, devices=None) -> Mesh:
-    """A ('data', 'ctx') mesh: batch over 'data', sequence over 'ctx'."""
+def make_cp_mesh(data: int, ctx: int, model: int = 1, devices=None) -> Mesh:
+    """A ('data', 'ctx'[, 'model']) mesh: batch over 'data', sequence over
+    'ctx', and (r5, VERDICT r4 Next #7) Megatron tensor parallelism over
+    'model' — the standard long-context production layout (ring attention
+    with TP-split heads per ctx shard)."""
     import numpy as np
     devices = devices if devices is not None else jax.devices()
-    n = data * ctx
+    n = data * ctx * model
     assert n <= len(devices), \
-        f'mesh {data}x{ctx} needs {n} devices, have {len(devices)}'
+        f'mesh {data}x{ctx}x{model} needs {n} devices, have {len(devices)}'
+    if model > 1:
+        return Mesh(np.asarray(devices[:n]).reshape(data, ctx, model),
+                    ('data', 'ctx', 'model'))
     return Mesh(np.asarray(devices[:n]).reshape(data, ctx), ('data', 'ctx'))
 
 
 def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
-                    config, ttm: int, tc: int, n_ctx: int, n_data: int = 1):
+                    config, ttm: int, tc: int, n_ctx: int, n_data: int = 1,
+                    tp: tuple | None = None):
     """Device-local AR loss over this rank's sequence block (inside shard_map).
 
     ids: (b, s_loc) — this block of the padded [tokens | codes] concat;
     target/lens replicated.  Returns UNNORMALIZED (nll_sum, acc_sum, n_valid)
-    — the caller psums over 'ctx' and normalizes (see module docstring)."""
+    — the caller psums over 'ctx' and normalizes (see module docstring).
+    ``tp``: (model_axis, mp) — Megatron TP within each ctx shard: the
+    transformer params slice differentiably to this model rank's shard
+    (pipeline.tp_slice_stage — canonical layout preserved for checkpoints),
+    attention rings over 'ctx' with n_heads/mp LOCAL heads, and the caller
+    psums the TP-partial grad leaves over the model axis."""
     from ..models.ar import MAX_POS
     from ..ops import embedding, linear, sinusoidal_table
     from ..ops.transformer import transformer
@@ -68,6 +80,14 @@ def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
     cdtype = jnp.dtype(config.dtype)
     from ..ops.nn import cast_to_compute
     params = cast_to_compute(params, config)
+    n_heads, tp_axis = config.n_heads, None
+    if tp is not None:
+        from .pipeline import tp_slice_stage
+        tp_axis, mp = tp
+        params = dict(params)
+        params['transformer'] = tp_slice_stage(params['transformer'],
+                                               tp_axis, mp)
+        n_heads //= mp
 
     # Per-position table select (blocks can straddle the stream boundary).
     # Out-of-vocab gathers clamp harmlessly — the other branch is selected.
@@ -92,9 +112,10 @@ def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
 
     meta = jnp.stack([tokens_lens, ttm + codes_lens], axis=1).astype(jnp.int32)
     ring = {'meta': meta, 'tokens_total': ttm, 'causal': True, 'axis': 'ctx'}
-    y = transformer(params['transformer'], x, config.n_heads, None,
+    y = transformer(params['transformer'], x, n_heads, None,
                     dropout_rate=drop, rng=rngs[1], remat=config.remat,
-                    unroll=config.train_scan_unroll, ring=ring)
+                    unroll=config.train_scan_unroll, ring=ring,
+                    tp_axis=tp_axis)
 
     logits = linear(params['proj'], y).astype(jnp.float32)  # all local positions
     tgt_idx = jnp.clip(pos - ttm, 0, tc - 1)
@@ -121,7 +142,7 @@ def _cp_loss_device(params, ids, target, tokens_lens, codes_lens, rng,
 
 
 def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
-                        n_data: int):
+                        n_data: int, tp: tuple | None = None):
     """Device-local NAR loss over this rank's sequence block.
 
     ``ids`` carries the concatenated [tokens | first-codebook] stream only
@@ -155,6 +176,14 @@ def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
     prefix_len = prefix_length(config, max_true)
     from ..ops.nn import cast_to_compute
     params = cast_to_compute(params, config)
+    n_heads, tp_axis = config.n_heads, None
+    if tp is not None:
+        from .pipeline import tp_slice_stage
+        tp_axis, mp = tp
+        params = dict(params)
+        params['transformer'] = tp_slice_stage(params['transformer'],
+                                               tp_axis, mp)
+        n_heads //= mp
 
     tok_local = jnp.take(tokens, jnp.clip(pos, 0, ttm - 1), axis=1)
     codes_local = jnp.take(codes, code_pos, axis=1)               # (b, sl, nq)
@@ -175,9 +204,10 @@ def _cp_loss_device_nar(params, ids, batch, rng, config, ttm: int, tc: int,
     ring = {'meta': meta, 'tokens_total': ttm, 'causal': False, 'axis': 'ctx'}
     cond = jax.lax.dynamic_index_in_dim(params['stage_embs'], stage - 1, 0,
                                         keepdims=True)
-    y = transformer(params['transformer'], x, config.n_heads, None, cond,
+    y = transformer(params['transformer'], x, n_heads, None, cond,
                     dropout_rate=drop, rng=rngs[1], remat=config.remat,
-                    unroll=config.train_scan_unroll, ring=ring)
+                    unroll=config.train_scan_unroll, ring=ring,
+                    tp_axis=tp_axis)
     head = jax.lax.dynamic_index_in_dim(params['proj_layers'], stage - 1, 0,
                                         keepdims=False)
     logits = (y @ head).astype(jnp.float32)
@@ -213,12 +243,28 @@ def _concat_ids(batch: dict, is_nar: bool, n_ctx: int) -> jax.Array:
     return jnp.pad(ids, ((0, 0), (0, pad)))
 
 
+def _cp_tp(config, mesh: Mesh) -> tuple | None:
+    """('model', mp) when the cp mesh carries a model axis (CP x TP), else
+    None.  Validates the Megatron split is well-formed."""
+    mp = mesh.shape.get('model', 1)
+    if mp <= 1:
+        return None
+    from .mesh import tp_divisible
+    if not tp_divisible(config.n_heads, config.dim_feedforward, mp):
+        raise ValueError(
+            f'mesh_model={mp} must divide n_heads={config.n_heads} and '
+            f'dim_feedforward={config.dim_feedforward} (Megatron TP within '
+            f'each ctx shard)')
+    return ('model', mp)
+
+
 def make_cp_eval_step(config, model_name: str, mesh: Mesh):
     """Validation under the cp mesh: the same device-local losses, no grads;
     returns the token-weighted metrics make_eval_step would."""
     is_nar = model_name == 'ValleNAR'
     n_ctx = mesh.shape['ctx']
     n_data = mesh.shape.get('data', 1)
+    tp = _cp_tp(config, mesh)
 
     def device_eval(params, ids, batch, rng):
         ttm = int(batch['tokens'].shape[1])
@@ -235,7 +281,7 @@ def make_cp_eval_step(config, model_name: str, mesh: Mesh):
             import dataclasses
             cfg0 = dataclasses.replace(config, dropout=0.0)
             nll, acc, n, stage = _cp_loss_device_nar(
-                params, ids, batch, rng, cfg0, ttm, tc, n_data)
+                params, ids, batch, rng, cfg0, ttm, tc, n_data, tp=tp)
         else:
             nll, acc, n = _cp_loss_device(
                 params, ids, batch['target'],
@@ -243,7 +289,7 @@ def make_cp_eval_step(config, model_name: str, mesh: Mesh):
                           jnp.full((ids.shape[0],), ttm, jnp.int32)),
                 batch.get('codes_lens',
                           jnp.full((ids.shape[0],), tc, jnp.int32)),
-                None, config, ttm, tc, n_ctx, n_data)
+                None, config, ttm, tc, n_ctx, n_data, tp=tp)
         red = jax.lax.psum({'nll': nll, 'acc': acc, 'n': n}, 'ctx')
         n_tot = jnp.maximum(red['n'], 1.0)
         metrics = {'loss': red['nll'] / n_tot, 'acc': red['acc'] / n_tot,
@@ -291,6 +337,7 @@ def make_cp_train_step(config, model_name: str, mesh: Mesh):
     tx = make_optimizer(config)
     n_ctx = mesh.shape['ctx']
     n_data = mesh.shape.get('data', 1)
+    tp = _cp_tp(config, mesh)
 
     def device_grads(params, ids, batch, rng):
         ttm = int(batch['tokens'].shape[1])
@@ -300,7 +347,7 @@ def make_cp_train_step(config, model_name: str, mesh: Mesh):
         if is_nar:
             def fwd(p):
                 nll, acc, n, stage = _cp_loss_device_nar(
-                    p, ids, batch, rng, config, ttm, tc, n_data)
+                    p, ids, batch, rng, config, ttm, tc, n_data, tp=tp)
                 return nll, (acc, n, stage)
             (nll, (acc, n, stage)), grads = jax.value_and_grad(
                 fwd, has_aux=True)(params)
@@ -312,10 +359,21 @@ def make_cp_train_step(config, model_name: str, mesh: Mesh):
                               jnp.full((ids.shape[0],), ttm, jnp.int32)),
                     batch.get('codes_lens',
                               jnp.full((ids.shape[0],), tc, jnp.int32)),
-                    rng, config, ttm, tc, n_ctx, n_data)
+                    rng, config, ttm, tc, n_ctx, n_data, tp=tp)
                 return nll, (acc, n)
             (nll, (acc, n)), grads = jax.value_and_grad(
                 fwd, has_aux=True)(params)
+        if tp is not None:
+            # CP x TP: tp_slice_stage's transpose scattered each model rank's
+            # grad block into full-shaped zeros — one psum over 'model'
+            # reassembles the dense transformer grads.  Every OTHER leaf
+            # (embeddings, head, norms) computed identically across model
+            # ranks (activations are replicated after the row-parallel
+            # psums), so only the TP-partial suffixes reduce.  Ordered
+            # BEFORE the ctx psum by dataflow (the ctx psum consumes these
+            # grads), satisfying the one-collective-chain discipline.
+            from .pipeline import _model_grad_reduce
+            grads, _anchor = _model_grad_reduce(grads, tp[0])
         # ONE fused psum over 'ctx': every param grad is partial (only this
         # block's positions contributed) and the loss sums live per block.
         red = jax.lax.psum({'g': grads, 'nll': nll, 'acc': acc, 'n': n}, 'ctx')

@@ -64,9 +64,11 @@ class HubStopped(RuntimeError):
 
 
 class _Session:
-    __slots__ = ('slot', 'q', 'done', 'lookahead', 'buf', 'n', 'emitted')
+    __slots__ = ('slot', 'q', 'done', 'lookahead', 'buf', 'n', 'emitted',
+                 'sink')
 
-    def __init__(self, slot: int, lookahead: int, max_new: int):
+    def __init__(self, slot: int, lookahead: int, max_new: int,
+                 sink: list | None = None):
         self.slot = slot
         self.q: queue.Queue = queue.Queue()
         self.done = False
@@ -75,6 +77,7 @@ class _Session:
         self.buf = np.zeros((max_new,), np.int32)   # first-codebook tokens
         self.n = 0                                  # tokens received
         self.emitted = 0                            # frames already emitted
+        self.sink = sink                            # optional codes collector
 
 
 class StreamHub:
@@ -168,11 +171,18 @@ class StreamHub:
 
     def open(self, text: str, prompt_tokens, prompt_codes,
              lookahead_frames: int = 38, rng=None,
-             bucket: bool = True) -> Iterator[np.ndarray]:
+             bucket: bool = True,
+             codes_sink: list | None = None) -> Iterator[np.ndarray]:
         """Join the shared loop and return a generator of 24 kHz float32
         waveform chunks.  Validation, prefill and row insertion happen at
         CALL time (bad args / HubFull raise immediately, before any chunked
-        HTTP response starts)."""
+        HTTP response starts).
+
+        ``codes_sink``: optional list the session's generated FIRST-CODEBOOK
+        token arrays are appended to as they arrive (np.int32 segments;
+        concatenate for the full stream).  Lets quality harnesses score the
+        decoded codes of a hub session (tools/hub_bench --trained) without
+        inverting the waveform."""
         if int(lookahead_frames) < 0:
             raise ValueError(
                 f'lookahead_frames must be >= 0, got {lookahead_frames}')
@@ -202,7 +212,7 @@ class StreamHub:
         # tests/test_stream_hub.py::test_lifecycle_stress_staggered_cycles).
         # The session object rides along as the advance tag (see _drive).
         sess = _Session(-1, int(lookahead_frames),
-                        self.tts.config.max_audio_len)
+                        self.tts.config.max_audio_len, sink=codes_sink)
         sess.slot = slot = self.cb.join(tokens, pcodes, start=False,
                                         rng=rng_ar, tag=sess)
         with self._wake:
@@ -524,6 +534,8 @@ class StreamHub:
             for slot, (sess, toks, done) in out.items():
                 if self._by_slot.get(slot) is not sess:
                     continue                # aborted between advance and here
+                if sess.sink is not None and len(toks):
+                    sess.sink.append(np.asarray(toks, np.int32))
                 sess.done = done
                 sess.q.put((toks, done))
                 if done:
@@ -554,6 +566,8 @@ class StreamHub:
             for slot, (sess, toks, done) in out.items():
                 if self._by_slot.get(slot) is not sess:
                     continue                # aborted between advance and here
+                if sess.sink is not None and len(toks):
+                    sess.sink.append(np.asarray(toks, np.int32))
                 sess.buf[sess.n:sess.n + len(toks)] = toks
                 sess.n += len(toks)
                 finalize = finalize_frames(sess.n, done, sess.lookahead)

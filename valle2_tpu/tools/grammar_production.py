@@ -44,8 +44,13 @@ _STEP_RE = re.compile(r'step (\d+) \| loss ([0-9.]+)')
 _VALID_RE = re.compile(r'valid \| step (\d+) \| loss ([0-9.]+)')
 
 
-def base_config(run_dir: Path, smoke: bool = False) -> dict:
-    """Production-configuration hparams (reference-default model scale)."""
+def base_config(run_dir: Path, smoke: bool = False, v3: bool = False,
+                scale: str = 'ref') -> dict:
+    """Production-configuration hparams.  ``scale``: 'ref' = the reference
+    default (d=256, 8L — valle/config.py:23-30); '204m' = the d=1024/16L/16H
+    configuration whose MFU/remat/quantization story the benches measure
+    (VERDICT r4 Next #3: that scale had only ever seen random-weight
+    throughput arms — this trains it to convergence on-chip)."""
     cfg = {
         # The grammar as a dataset: 4 speakers (offset recoverable only from
         # the prompt), same-voice sentence pairs teach prompt continuation.
@@ -73,12 +78,33 @@ def base_config(run_dir: Path, smoke: bool = False) -> dict:
         'compile_cache_dir': os.environ.get(
             'VALLE2_COMPILE_CACHE', '/tmp/jax_cache_tpu'),
     }
+    if v3:
+        # Grammar v3 (VERDICT r4 Next #1): K=3 renderings per phoneme with
+        # durations {2,3,4} — motifs are LONGER (E[dur]=3 vs 2) and each
+        # (text, speaker) trains on 3 independent realizations, so buckets,
+        # decode budget, and step count all grow.
+        cfg.update({'dataset': 'grammar://speakers=4,variants=3,real=3,'
+                               'pairs=540',
+                    'bucket_sizes': [64, 128, 192, 256],
+                    'max_audio_len': 256, 'max_steps': 4000})
+    if scale == '204m':
+        # The bench scale (bench.py 204M arms), production placement: remat
+        # off (fits comfortably at this batch), flash on, grammar-appropriate
+        # optimizer.  The task needs far fewer steps than d=256 needs at its
+        # lr — capacity is not the binding constraint.
+        cfg.update({'d_model': 1024, 'n_heads': 16, 'dim_feedforward': 4096,
+                    'num_layers': 16, 'lr': 3e-4, 'lr_warmup': 300,
+                    'batch_size': 32, 'valid_batch_size': 32,
+                    'max_steps': 2500})
+    elif scale != 'ref':
+        raise ValueError(f"scale must be 'ref' or '204m', got {scale!r}")
     if smoke:
         cfg.update({'d_model': 32, 'n_heads': 2, 'dim_feedforward': 64,
                     'num_layers': 2, 'dtype': 'float32', 'max_steps': 30,
                     'lr': 2e-3, 'log_every_n_steps': 5,
                     'ckpt_every_n_steps': 10,
-                    'dataset': 'grammar://speakers=2,pairs=64',
+                    'dataset': 'grammar://speakers=2,pairs=64'
+                               + (',variants=3,real=2' if v3 else ''),
                     'batch_size': 16, 'valid_batch_size': 16,
                     'compile_cache_dir': '/tmp/jax_cache'})
     return cfg
@@ -149,10 +175,11 @@ def _latest_ckpt(run_dir: Path, model: str) -> Path:
     return steps[-1][1]
 
 
-def train_all(run_dir: Path, smoke: bool = False) -> tuple[dict, dict]:
+def train_all(run_dir: Path, smoke: bool = False, v3: bool = False,
+              scale: str = 'ref') -> tuple[dict, dict]:
     """Three CLI runs (AR-TTS with SIGTERM+resume, NAR, ASR) → (cfg, report)."""
     run_dir.mkdir(parents=True, exist_ok=True)
-    cfg = base_config(run_dir, smoke=smoke)
+    cfg = base_config(run_dir, smoke=smoke, v3=v3, scale=scale)
     platform = 'cpu' if smoke else None
     report: dict = {'config': cfg, 'runs': {}}
 
@@ -177,9 +204,14 @@ def train_all(run_dir: Path, smoke: bool = False) -> tuple[dict, dict]:
         'final_ckpt': str(_latest_ckpt(run_dir, 'ValleAR'))}
 
     # --- ValleNAR and ValleASR: straight runs. ---
+    nar_over = {'norm': 'AdaptiveLayerNorm',
+                'max_steps': cfg['max_steps'] // 2}
+    if v3:
+        # Corruption training turns the NAR into a refiner (measured by
+        # evaluate_nar_refinement) — its real serving regime.
+        nar_over['nar_corrupt_p'] = 0.3
     for model, overrides in (
-            ('ValleNAR', {'norm': 'AdaptiveLayerNorm',
-                          'max_steps': cfg['max_steps'] // 2}),
+            ('ValleNAR', nar_over),
             ('ValleASR', {'direction': 'asr'})):
         mc = dict(cfg, **overrides)
         mc_path = run_dir / f'{model.lower()}.json'
@@ -192,17 +224,22 @@ def train_all(run_dir: Path, smoke: bool = False) -> tuple[dict, dict]:
 
 
 def evaluate(cfg: dict, report: dict, run_dir: Path,
-             smoke: bool = False) -> dict:
+             smoke: bool = False, v3: bool = False) -> dict:
     """Held-out closed loop + prompt-conditioning + best-of-N from the
     TPU-trained checkpoints, through the production (bf16 + flash + bucketed)
-    decode path."""
+    decode path.  ``v3``: the off-ceiling suite — validity/calibration
+    temperature curve, best-of-N under validity, teacher-forced NLL vs the
+    analytic floor, and NAR refinement of corrupted codebook-0 input."""
     import jax
 
     from ..config import ConfigValle
     from ..data.frontend import PhonemeTokenizer
     from ..data.grammar import (build_grammar_datasets, evaluate_best_of_n,
-                                evaluate_closed_loop,
-                                evaluate_prompt_conditioning, split_sentences,
+                                evaluate_best_of_n_validity,
+                                evaluate_closed_loop, evaluate_closed_loop_v3,
+                                evaluate_nar_refinement, evaluate_nll,
+                                evaluate_prompt_conditioning,
+                                evaluate_temperature_curve, split_sentences,
                                 parse_grammar_dataset)
     from ..models.ar import ValleAR
     from ..models.nar import ValleNAR
@@ -223,22 +260,57 @@ def evaluate(cfg: dict, report: dict, run_dir: Path,
         return m
 
     ar = load(ValleAR, 'ValleAR')
-    nar = load(ValleNAR, 'ValleNAR', norm='AdaptiveLayerNorm')
+    nar_over = dict(report['runs'].get('ValleNAR_config', {}))
+    nar_over.pop('max_steps', None)
+    nar = load(ValleNAR, 'ValleNAR', norm='AdaptiveLayerNorm',
+               **{k: v for k, v in nar_over.items() if k == 'nar_corrupt_p'})
     asr = load(ValleAR, 'ValleASR', direction='asr')
     evals: dict = {}
     t0 = time.time()
-    # Closed loop per speaker: the serving composition, every voice.
     speakers = range(spec.num_speakers)
-    evals['closed_loop'] = {
-        s: {k: v for k, v in evaluate_closed_loop(
-            ar, nar, asr, held_s, spec, tok, prompt_text=train_s[0],
-            speaker=s).items() if k != 'texts'}
-        for s in speakers}
-    evals['prompt_conditioning'] = evaluate_prompt_conditioning(
-        ar, held_s, spec, tok, prompt_text=train_s[0])
-    evals['best_of_n'] = evaluate_best_of_n(
-        ar.params, ar.config, held_s, spec, tok, prompt_text=train_s[0],
-        temperature=0.7, beams=(1, 4), seed=0)
+    if v3:
+        held_eval = held_s[:6] if smoke else held_s
+        # Closed loop per speaker under sampling (τ=1): TTS validity + NAR
+        # consistency + ASR/text exactness.
+        evals['closed_loop_v3'] = {
+            s: evaluate_closed_loop_v3(ar, nar, asr, held_eval, spec, tok,
+                                       prompt_text=train_s[0], speaker=s,
+                                       temperature=1.0)
+            for s in speakers}
+        evals['temperature_curve'] = evaluate_temperature_curve(
+            ar.params, ar.config, held_eval, spec, tok,
+            prompt_text=train_s[0], speaker=0,
+            temperatures=(0.0, 0.7, 1.0, 1.3),
+            n_samples=1 if smoke else 2)
+        evals['best_of_n_validity'] = evaluate_best_of_n_validity(
+            ar.params, ar.config, held_eval, spec, tok,
+            prompt_text=train_s[0], speaker=0, temperature=1.0,
+            beams=(1, 4) if smoke else (1, 2, 4, 8))
+        evals['nll'] = evaluate_nll(
+            ar.params, ar.config, held_eval, spec, tok,
+            prompt_text=train_s[0], speaker=0,
+            realizations=2 if smoke else 4)
+        evals['nar_refinement'] = evaluate_nar_refinement(
+            nar, held_eval[:4] if smoke else held_eval, spec, tok,
+            prompt_text=train_s[0], speaker=0,
+            corrupt=(0.0, 0.2) if smoke else (0.0, 0.05, 0.15, 0.3))
+        # Prompt conditioning still holds under ambiguity: validity requires
+        # the PROMPT voice's offset, so score validity per (gen, truth) pair.
+        from ..data.grammar import evaluate_prompt_conditioning_v3
+        evals['prompt_conditioning_v3'] = evaluate_prompt_conditioning_v3(
+            ar, held_eval, spec, tok, prompt_text=train_s[0])
+    else:
+        # Closed loop per speaker: the serving composition, every voice.
+        evals['closed_loop'] = {
+            s: {k: v for k, v in evaluate_closed_loop(
+                ar, nar, asr, held_s, spec, tok, prompt_text=train_s[0],
+                speaker=s).items() if k != 'texts'}
+            for s in speakers}
+        evals['prompt_conditioning'] = evaluate_prompt_conditioning(
+            ar, held_s, spec, tok, prompt_text=train_s[0])
+        evals['best_of_n'] = evaluate_best_of_n(
+            ar.params, ar.config, held_s, spec, tok, prompt_text=train_s[0],
+            temperature=0.7, beams=(1, 4), seed=0)
     evals['eval_wall_s'] = round(time.time() - t0, 1)
     evals['backend'] = jax.default_backend()
     return evals
@@ -246,13 +318,27 @@ def evaluate(cfg: dict, report: dict, run_dir: Path,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument('--run-dir', type=Path, default=Path('runs/grammar_tpu'))
+    p.add_argument('--run-dir', type=Path, default=None)
     p.add_argument('--smoke', action='store_true',
                    help='tiny CPU-sized run (CI smoke of the orchestration)')
-    p.add_argument('--out', type=Path, default=Path('GRAMMAR_TPU.json'))
+    p.add_argument('--v3', action='store_true',
+                   help='grammar v3: ambiguous acoustics, off-ceiling metrics '
+                        '(validity/calibration/NLL-vs-floor/NAR refinement)')
+    p.add_argument('--scale', default='ref', choices=('ref', '204m'),
+                   help="model scale: 'ref' (d=256, the reference default) "
+                        "or '204m' (d=1024/16L — the bench scale, trained "
+                        'to convergence on-chip)')
+    p.add_argument('--out', type=Path, default=None)
     p.add_argument('--eval-only', action='store_true',
                    help='reuse the checkpoints + report in --run-dir')
     args = p.parse_args(argv)
+    suffix = '_204m' if args.scale == '204m' else ''
+    if args.run_dir is None:
+        args.run_dir = Path(('runs/grammar_v3_tpu' if args.v3
+                             else 'runs/grammar_tpu') + suffix)
+    if args.out is None:
+        args.out = Path(('GRAMMAR_V3_TPU' if args.v3
+                         else 'GRAMMAR_TPU') + suffix.upper() + '.json')
     if args.smoke:
         import jax
         jax.config.update('jax_platforms', 'cpu')
@@ -263,26 +349,49 @@ def main(argv=None):
         cfg = report['config']
     else:
         t0 = time.time()
-        cfg, report = train_all(args.run_dir, smoke=args.smoke)
+        cfg, report = train_all(args.run_dir, smoke=args.smoke, v3=args.v3,
+                                scale=args.scale)
         report['train_wall_s'] = round(time.time() - t0, 1)
         args.run_dir.mkdir(parents=True, exist_ok=True)
         report_path.write_text(json.dumps(report, indent=1))
-    evals = evaluate(cfg, report, args.run_dir, smoke=args.smoke)
+    evals = evaluate(cfg, report, args.run_dir, smoke=args.smoke, v3=args.v3)
     report['evals'] = evals
     args.out.write_text(json.dumps(report, indent=1))
     report_path.write_text(json.dumps(report, indent=1))
 
-    pc = evals['prompt_conditioning']
-    cl0 = evals['closed_loop'][0]
-    print(json.dumps({
-        'text_exact_speaker0': cl0['text_exact'],
-        'tts_exact_speaker0': cl0['tts_exact'],
-        'prompt_match_exact': pc['match_exact'],
-        'prompt_mismatch_exact': pc['mismatch_exact'],
-        'best_of_n': {k: v for k, v in evals['best_of_n'].items()
-                      if k.startswith('beams') or k == 'best_of_n_delta'},
-        'train_wall_s': report.get('train_wall_s'),
-    }, indent=1))
+    if args.v3:
+        cl0 = evals['closed_loop_v3'][0]
+        print(json.dumps({
+            'tts_validity_speaker0': cl0['tts_validity'],
+            'text_exact_speaker0': cl0['text_exact'],
+            'nll_excess_per_phoneme':
+                evals['nll']['excess_nats_per_phoneme'],
+            'nll_floor': evals['nll']['floor_per_phoneme'],
+            'temperature_curve': [
+                {'t': r['temperature'], 'validity': r['validity'],
+                 'tv': r['tv_distance']}
+                for r in evals['temperature_curve']],
+            'best_of_n_delta':
+                evals['best_of_n_validity']['best_of_n_delta'],
+            'nar_refinement': evals['nar_refinement']['by_eps'],
+            'prompt_match_validity':
+                evals['prompt_conditioning_v3']['match_validity'],
+            'prompt_mismatch_validity':
+                evals['prompt_conditioning_v3']['mismatch_validity'],
+            'train_wall_s': report.get('train_wall_s'),
+        }, indent=1))
+    else:
+        pc = evals['prompt_conditioning']
+        cl0 = evals['closed_loop'][0]
+        print(json.dumps({
+            'text_exact_speaker0': cl0['text_exact'],
+            'tts_exact_speaker0': cl0['tts_exact'],
+            'prompt_match_exact': pc['match_exact'],
+            'prompt_mismatch_exact': pc['mismatch_exact'],
+            'best_of_n': {k: v for k, v in evals['best_of_n'].items()
+                          if k.startswith('beams') or k == 'best_of_n_delta'},
+            'train_wall_s': report.get('train_wall_s'),
+        }, indent=1))
 
 
 if __name__ == '__main__':

@@ -248,11 +248,10 @@ class Trainer:
         self._pp = mesh is not None and 'pipe' in mesh.axis_names
         self._cp = mesh is not None and 'ctx' in mesh.axis_names
         if self._cp:
-            if config.lora_rank > 0 or config.mesh_model > 1 \
-                    or config.mesh_pipe > 1:
+            if config.lora_rank > 0 or config.mesh_pipe > 1:
                 raise ValueError(
-                    'mesh_ctx composes with mesh_data only: disable '
-                    'lora_rank / mesh_model / mesh_pipe')
+                    'mesh_ctx composes with mesh_data and mesh_model '
+                    '(DP x CP x TP): disable lora_rank / mesh_pipe')
             from .parallel import make_cp_train_step
             from .parallel.context import make_cp_eval_step
             self.train_step = make_cp_train_step(config, model_name, mesh)
@@ -576,9 +575,10 @@ def train(hparams_fp: Path | str, model_name: str, synthetic: bool = False,
                  config.mesh_data, config.mesh_pipe, config.mesh_model)
     elif mesh is None and config.mesh_ctx > 1:
         from .parallel import make_cp_mesh
-        mesh = make_cp_mesh(config.mesh_data, config.mesh_ctx)
-        log_info('Mesh from config: %dx%d (data x ctx)',
-                 config.mesh_data, config.mesh_ctx)
+        mesh = make_cp_mesh(config.mesh_data, config.mesh_ctx,
+                            config.mesh_model)
+        log_info('Mesh from config: %dx%dx%d (data x ctx x model)',
+                 config.mesh_data, config.mesh_ctx, config.mesh_model)
     elif mesh is None and config.mesh_data * config.mesh_model > 1:
         # The config's mesh request (mesh_data x mesh_model) builds the device
         # mesh here so `-c cfg.json` alone scales a run across chips.
