@@ -360,30 +360,59 @@ def _grammar_tpu_extras() -> dict:
     """Fold the production-configuration grammar training results
     (tools/grammar_production.py -> GRAMMAR_TPU.json) into the bench JSON so
     the driver-captured record carries the trained-to-convergence evidence."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        'GRAMMAR_TPU.json')
-    if not os.path.exists(path):
-        return {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    path = os.path.join(here, 'GRAMMAR_TPU.json')
     try:
-        with open(path, encoding='utf-8') as f:
-            rep = json.load(f)
-        ev = rep.get('evals', {})
-        pc = ev.get('prompt_conditioning', {})
-        bo = ev.get('best_of_n', {})
-        cl = ev.get('closed_loop', {})
-        cl0 = cl.get(0, cl.get('0', {}))
-        out = {
-            'grammar_train_wall_s': rep.get('train_wall_s'),
-            'grammar_text_exact': cl0.get('text_exact'),
-            'grammar_tts_exact': cl0.get('tts_exact'),
-            'grammar_prompt_match_exact': pc.get('match_exact'),
-            'grammar_prompt_mismatch_exact': pc.get('mismatch_exact'),
-            'grammar_best_of_n_delta': bo.get('best_of_n_delta'),
-        }
-        return {k: v for k, v in out.items() if v is not None}
+        if os.path.exists(path):
+            with open(path, encoding='utf-8') as f:
+                rep = json.load(f)
+            ev = rep.get('evals', {})
+            pc = ev.get('prompt_conditioning', {})
+            bo = ev.get('best_of_n', {})
+            cl = ev.get('closed_loop', {})
+            cl0 = cl.get(0, cl.get('0', {}))
+            out.update({
+                'grammar_train_wall_s': rep.get('train_wall_s'),
+                'grammar_text_exact': cl0.get('text_exact'),
+                'grammar_tts_exact': cl0.get('tts_exact'),
+                'grammar_prompt_match_exact': pc.get('match_exact'),
+                'grammar_prompt_mismatch_exact': pc.get('mismatch_exact'),
+                'grammar_best_of_n_delta': bo.get('best_of_n_delta'),
+            })
     except Exception as exc:
         log(f'GRAMMAR_TPU.json unreadable: {exc!r}')
-        return {}
+    # v3 (r5): the off-ceiling evidence — validity/calibration/NLL-vs-floor.
+    for fname, prefix in (('GRAMMAR_V3_TPU.json', 'grammar_v3'),
+                          ('GRAMMAR_V3_TPU_204M.json', 'grammar_v3_204m')):
+        path = os.path.join(here, fname)
+        try:
+            if not os.path.exists(path):
+                continue
+            with open(path, encoding='utf-8') as f:
+                rep = json.load(f)
+            ev = rep.get('evals', {})
+            cl = ev.get('closed_loop_v3', {})
+            cl0 = cl.get(0, cl.get('0', {}))
+            nll = ev.get('nll', {})
+            bo = ev.get('best_of_n_validity', {})
+            pc = ev.get('prompt_conditioning_v3', {})
+            add = {
+                f'{prefix}_train_wall_s': rep.get('train_wall_s'),
+                f'{prefix}_tts_validity': cl0.get('tts_validity'),
+                f'{prefix}_text_exact': cl0.get('text_exact'),
+                f'{prefix}_nll_excess_per_phoneme':
+                    nll.get('excess_nats_per_phoneme'),
+                f'{prefix}_best_of_n_delta': bo.get('best_of_n_delta'),
+                f'{prefix}_prompt_match_validity': pc.get('match_validity'),
+                f'{prefix}_prompt_mismatch_validity':
+                    pc.get('mismatch_validity'),
+            }
+            out.update({k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in add.items() if v is not None})
+        except Exception as exc:
+            log(f'{fname} unreadable: {exc!r}')
+    return {k: v for k, v in out.items() if v is not None}
 
 
 def main():
@@ -420,12 +449,21 @@ def main():
         log(f'NAR train bench failed: {exc!r}')
         nar = None
     try:
-        # b=8, not the AR arm's 16: the NAR step's activations (per-quantizer
-        # embedding tensors + AdaLN backward) are ~2x the AR step's and b=16
-        # exhausts HBM at this scale (measured r4; b=8 runs at 37.6% MFU).
-        nar_large = bench_train_nar(batch=8, frames=512, tag='204M',
-                                    d_model=1024, num_layers=16, n_heads=16,
-                                    dim_feedforward=4096)
+        # r4 OOM'd the NAR at the AR arm's b=16 (per-quantizer embedding
+        # tensors + AdaLN backward ~2x the AR's activations); r5 reformulated
+        # the 8-way embedding sum as a lax.scan (peak (b,T,d), not
+        # (b,T,nq,d)) — try b=16 first and record which batch ran.
+        try:
+            nar_large = bench_train_nar(batch=16, frames=512, tag='204M-b16',
+                                        d_model=1024, num_layers=16,
+                                        n_heads=16, dim_feedforward=4096)
+            nar_large['batch'] = 16
+        except Exception as exc16:
+            log(f'204M NAR b=16 failed ({exc16!r}); falling back to b=8')
+            nar_large = bench_train_nar(batch=8, frames=512, tag='204M',
+                                        d_model=1024, num_layers=16,
+                                        n_heads=16, dim_feedforward=4096)
+            nar_large['batch'] = 8
     except Exception as exc:
         log(f'204M NAR train bench failed: {exc!r}')
         nar_large = None
@@ -460,6 +498,7 @@ def main():
     if nar_large is not None:
         extra['nar_frames_per_sec_204m'] = round(nar_large['frames_per_sec'])
         extra['nar_mfu_204m'] = round(nar_large['mfu'], 4)
+        extra['nar_204m_batch'] = nar_large.get('batch')
     if codec is not None:
         extra['codec_encode_x_realtime'] = round(codec['encode_x_realtime'])
     extra.update(_RESULTS)

@@ -267,6 +267,12 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        if hasattr(self.dataset, 'set_epoch'):
+            # Epoch-aware datasets (e.g. GrammarDataset's dynamic
+            # realizations) draw fresh-but-DETERMINISTIC samples per epoch —
+            # the stream stays a pure function of (seed, epoch, index), so
+            # the resume fast-forward replays it exactly.
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
         for start in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0),
                            self.batch_size):

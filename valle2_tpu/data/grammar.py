@@ -380,27 +380,52 @@ class GrammarDataset:
                 texts.append(sentences[i] + ' ' + sentences[j])
         self.items = []
         ambiguous = spec.num_variants > 1
-        n_real = max(int(realizations), 1) if ambiguous else 1
+        # realizations == 0 (and ambiguous): DYNAMIC mode — every epoch
+        # draws a FRESH realization per item (a deterministic function of
+        # (realize_seed, item, epoch) via set_epoch, so resume replays the
+        # exact stream).  Any fixed realization set is jointly memorizable
+        # by a big model (identify which of R realizations from the first
+        # motifs, predict the rest — measured: d=256 drove train loss to
+        # 0.04, 8x BELOW the entropy floor, and held-out calibration
+        # suffered); a fresh draw per epoch makes the floor binding.
+        self.dynamic = ambiguous and int(realizations) == 0
+        self._realize_seed = realize_seed
+        self._epoch = 0
+        n_real = 1 if self.dynamic else (
+            max(int(realizations), 1) if ambiguous else 1)
         for si, s in enumerate(texts):
             toks = self.tokenizer(s)
             for sp in spk:
                 for r in range(n_real):
-                    if ambiguous:
+                    if ambiguous and not self.dynamic:
                         rs = np.random.RandomState(
                             realize_seed + 9973 * si + 131 * sp + r)
                         codes, variants = sample_realization(toks, spec, sp, rs)
+                    elif ambiguous:
+                        codes, variants = None, None      # drawn per epoch
                     else:
                         codes, variants = synthesize_codes(toks, spec, sp), None
                     self.items.append({'tokens': toks, 'codes': codes,
                                        'text': s, 'speaker': sp,
                                        'variants': variants})
 
+    def set_epoch(self, epoch: int) -> None:
+        """Dynamic-realization epoch pin (called by DataLoader._batches)."""
+        self._epoch = int(epoch)
+
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, i):
-        return {'tokens': self.items[i]['tokens'],
-                'codes': self.items[i]['codes']}
+        it = self.items[i]
+        if self.dynamic:
+            rs = np.random.RandomState(
+                (self._realize_seed + 9973 * i + 2654435761 * self._epoch)
+                % (2**31 - 1))
+            codes, _ = sample_realization(it['tokens'], self.spec, it['speaker'],
+                                          rs)
+            return {'tokens': it['tokens'], 'codes': codes}
+        return {'tokens': it['tokens'], 'codes': it['codes']}
 
 
 # ---------------------------------------------------------------------------

@@ -119,18 +119,22 @@ def prepare_audio_embedding(params: Params, codes: jax.Array, stage: jax.Array,
 
 def corrupt_conditioning(codes: jax.Array, prefix_len, p: float,
                          rng: jax.Array, v: int) -> jax.Array:
-    """Replace a fraction ``p`` of SUFFIX conditioning codes (pos >=
-    prefix_len, any quantizer) with uniform random symbols — the training-
-    time analogue of conditioning on imperfect AR output
-    (``config.nar_corrupt_p``).  The acoustic prefix stays clean (at
-    inference it is the ground-truth prompt); callers corrupt only the copy
-    fed to ``prepare_audio_embedding``, never the loss targets."""
+    """Replace a fraction ``p`` of SUFFIX codebook-0 conditioning codes
+    (pos >= prefix_len, quantizer 0 only) with uniform random symbols — the
+    training-time analogue of conditioning on imperfect AR output
+    (``config.nar_corrupt_p``; the serving regime is exactly this: the AR's
+    first-codebook stream is the only imperfect conditioning input, the
+    NAR's own stage predictions and the acoustic prefix are self-consistent).
+    The prefix stays clean (at inference it is the ground-truth prompt);
+    callers corrupt only the copy fed to ``prepare_audio_embedding``, never
+    the loss targets."""
     r_mask, r_sym = jax.random.split(rng)
-    mask = jax.random.bernoulli(r_mask, p, codes.shape)
-    pos = jnp.arange(codes.shape[1])[None, :, None]
-    mask = mask & (pos >= prefix_len)
-    rand = jax.random.randint(r_sym, codes.shape, 0, v, codes.dtype)
-    return jnp.where(mask, rand, codes)
+    b, t, _nq = codes.shape
+    mask = jax.random.bernoulli(r_mask, p, (b, t))
+    mask = mask & (jnp.arange(t)[None, :] >= prefix_len)
+    rand = jax.random.randint(r_sym, (b, t), 0, v, codes.dtype)
+    c0 = jnp.where(mask, rand, codes[:, :, 0])
+    return codes.at[:, :, 0].set(c0)
 
 
 def forward_stage(params: Params, config: ConfigValle, x_tok: jax.Array,
