@@ -33,3 +33,23 @@ class TestProductionOrchestration:
         pc = ev['prompt_conditioning']
         assert pc['n'] > 0 and 'match_exact' in pc
         assert 'beams_1_exact' in ev['best_of_n']
+
+    def test_smoke_v3_end_to_end(self, tmp_path):
+        """The --v3 orchestration (ambiguous grammar, dynamic realizations,
+        corruption-trained NAR, off-ceiling eval suite) end-to-end at CPU
+        scale — gates the PIPELINE; quality gates live in the full-scale
+        run (GRAMMAR_V3_TPU.json) and tests/test_grammar_v3.py."""
+        from valle2_tpu.tools.grammar_production import main
+        out = tmp_path / 'GRAMMAR_V3_SMOKE.json'
+        main(['--smoke', '--v3', '--run-dir', str(tmp_path / 'run'),
+              '--out', str(out)])
+        rep = json.loads(out.read_text())
+        assert rep['runs']['ValleAR']['phase_a']['preempted_at'] is not None
+        assert rep['runs']['ValleNAR_config']['nar_corrupt_p'] > 0
+        ev = rep['evals']
+        for key in ('closed_loop_v3', 'temperature_curve',
+                    'best_of_n_validity', 'nll', 'nar_refinement',
+                    'prompt_conditioning_v3'):
+            assert key in ev, key
+        assert ev['nll']['floor_per_phoneme'] > 0
+        assert len(ev['temperature_curve']) == 4

@@ -109,7 +109,7 @@ def base_config(run_dir: Path, smoke: bool = False, v3: bool = False,
                     'lr': 2e-3, 'log_every_n_steps': 5,
                     'ckpt_every_n_steps': 10,
                     'dataset': 'grammar://speakers=2,pairs=64'
-                               + (',variants=3,real=2' if v3 else ''),
+                               + (',variants=3,real=0' if v3 else ''),
                     'batch_size': 16, 'valid_batch_size': 16,
                     'compile_cache_dir': '/tmp/jax_cache'})
     return cfg
