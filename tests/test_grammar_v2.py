@@ -70,7 +70,8 @@ class TestMultispeakerSpec:
 class TestGrammarDatasetURI:
     def test_parse(self):
         assert parse_grammar_dataset('grammar') == {
-            'speakers': 1, 'pairs': 0, 'holdout': 0.1, 'seed': 0}
+            'speakers': 1, 'pairs': 0, 'holdout': 0.1, 'seed': 0,
+            'variants': 1, 'real': 1}
         assert parse_grammar_dataset('grammar://speakers=4,pairs=300')[
             'speakers'] == 4
         with pytest.raises(ValueError, match='unknown grammar'):

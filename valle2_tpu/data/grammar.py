@@ -630,6 +630,28 @@ def evaluate_best_of_n(params, config, sentences: list[str], spec: GrammarSpec,
 # v3 evaluation: off-ceiling metrics with a response surface at convergence
 # ---------------------------------------------------------------------------
 
+#: Decode-row budget for the eval harnesses: sentences x num_beams rows per
+#: dispatch.  60 held-out sentences x 4 beams = 240 rows OOM'd the 204M
+#: eval (16L x 240 rows x ~576 cache slots x d=1024 KV ~ 9 GB); chunking
+#: keeps every dispatch under the budget with identical per-row outputs
+#: (per-length masking) — only the sampling rng draws differ per chunk.
+MAX_EVAL_DECODE_ROWS = 128
+
+
+def _generate_chunked(model, tokens_list, codes_list, rng=None,
+                      max_rows: int = MAX_EVAL_DECODE_ROWS) -> list:
+    import jax
+
+    nb = max(1, model.config.num_beams)
+    per = max(1, max_rows // nb)
+    out = []
+    for ci, i in enumerate(range(0, len(tokens_list), per)):
+        r = jax.random.fold_in(rng, ci) if rng is not None else None
+        out.extend(model.generate_batch(tokens_list[i:i + per],
+                                        codes_list[i:i + per], rng=r))
+    return out
+
+
 def evaluate_validity(params, config, sentences: list[str], spec: GrammarSpec,
                       tokenizer: PhonemeTokenizer | None = None,
                       prompt_text: str | None = None, speaker: int = 0,
@@ -667,7 +689,8 @@ def evaluate_validity(params, config, sentences: list[str], spec: GrammarSpec,
         config, num_beams=num_beams, temperature=temperature), params=params)
     valid, frac, infos, counts = [], [], [], np.zeros(spec.num_variants)
     for r in range(n_samples):
-        gen0 = [np.asarray(g) for g in model.generate_batch(
+        gen0 = [np.asarray(g) for g in _generate_chunked(
+            model,
             [jnp.asarray(np.concatenate([p_toks, t])) for t in token_lists],
             [pcodes] * len(sentences), rng=jax.random.key(seed + r))]
         for t, g in zip(token_lists, gen0):
@@ -749,7 +772,8 @@ def evaluate_prompt_conditioning_v3(ar_tts, sentences: list[str],
         rs = np.random.RandomState(seed + 777 + s_gen)
         pcodes_arr, _ = sample_realization(p_toks, spec, s_gen, rs)
         pcodes = np.ascontiguousarray(pcodes_arr.T)
-        gen0 = [np.asarray(g) for g in ar_tts.generate_batch(
+        gen0 = [np.asarray(g) for g in _generate_chunked(
+            ar_tts,
             [jnp.asarray(np.concatenate([p_toks, t])) for t in token_lists],
             [pcodes] * len(sentences), rng=jax.random.key(seed))]
         for j, s_truth in enumerate(spk):
@@ -915,7 +939,8 @@ def evaluate_closed_loop_v3(ar_tts, nar, ar_asr, sentences: list[str],
     model = ar_tts if temperature is None else ValleAR(
         dataclasses.replace(ar_tts.config, temperature=temperature),
         params=ar_tts.params)
-    gen0 = [np.asarray(g) for g in model.generate_batch(
+    gen0 = [np.asarray(g) for g in _generate_chunked(
+        model,
         [jnp.asarray(np.concatenate([p_toks, t])) for t in token_lists],
         [pcodes] * len(sentences), rng=jax.random.key(seed))]
     parses = [parse_codes0(g, t, spec, speaker)
@@ -935,8 +960,8 @@ def evaluate_closed_loop_v3(ar_tts, nar, ar_asr, sentences: list[str],
         nar_accs.append(_token_acc(codes[:, 1:].T.reshape(-1),
                                    want[1:].reshape(-1)))
 
-    asr_out = [np.asarray(o) for o in ar_asr.generate_batch(
-        [jnp.asarray(g) for g in gen0], [empty] * len(sentences))]
+    asr_out = [np.asarray(o) for o in _generate_chunked(
+        ar_asr, [jnp.asarray(g) for g in gen0], [empty] * len(sentences))]
     asr_exact = [len(o) == len(t) and np.array_equal(o, t)
                  for o, t in zip(asr_out, token_lists)]
     texts = [tok.to_text(o) for o in asr_out]

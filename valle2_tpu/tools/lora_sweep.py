@@ -110,6 +110,9 @@ def main(argv=None):
     p.add_argument('--ranks', default='4,16,64')
     p.add_argument('--full-ft', action='store_true', default=True)
     p.add_argument('--max-epochs', type=int, default=40)
+    p.add_argument('--held', type=int, default=16,
+                   help='held-out sentences per exactness eval (the eval '
+                        'decodes this many EVERY epoch per arm)')
     p.add_argument('--smoke', action='store_true',
                    help='CPU-sized: rank 4 only, few epochs, small eval')
     args = p.parse_args(argv)
@@ -145,6 +148,7 @@ def main(argv=None):
     tok = PhonemeTokenizer(use_g2p=False)
     train_s, held_s = split_sentences(seed=int(opts['seed']),
                                       holdout_frac=opts['holdout'])
+    held_s = held_s[:max(args.held, 1)]
     if args.smoke:
         held_s = held_s[:4]
         args.ranks, args.max_epochs = '4', 3
