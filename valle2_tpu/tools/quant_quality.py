@@ -182,6 +182,7 @@ def main(argv=None):
              for w in ('compute', 'int8', 'int4')
              for k in ('float32', 'bfloat16', 'int8')
              for f in (True, False)]
+    nll_by_weight: dict[str, float] = {}
     for w, k, f in cells:
         name = f'{w}/{k}/{"fused" if f else "unfused"}'
         try:
@@ -191,8 +192,16 @@ def main(argv=None):
             m.load(ckpt)
             grid[name] = score_cell(m, held_s, spec, tok, train_s[0],
                                     args.speaker, args.v3)
+            if w not in nll_by_weight:
+                # Teacher-forced NLL depends only on the WEIGHT layout (KV
+                # and the fused kernel are decode-side) — one forward per
+                # weight dtype resolves perturbation below argmax.
+                nll_by_weight[w] = cell_nll(m, held_s, spec, tok, train_s[0],
+                                            args.speaker, args.v3)
+            grid[name]['nll_per_token'] = round(nll_by_weight[w], 5)
             print(f'{name:32s} quality={grid[name]["quality"]:.3f} '
                   f'tok_acc={grid[name]["token_acc"]:.3f} '
+                  f'nll={grid[name]["nll_per_token"]:.4f} '
                   f'wall={grid[name]["decode_wall_s"]}s', flush=True)
         except Exception as e:  # noqa: BLE001 — record per-cell failures
             grid[name] = {'error': f'{type(e).__name__}: {e}'}
