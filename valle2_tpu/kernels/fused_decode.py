@@ -440,9 +440,13 @@ def _vmem_budget(weights, num_layers: int, rows: int, chunk: int, d: int,
               + (rows * chunk * 4 * h if quant else 0))   # bf16 k/v scales
     resident = (3 * resident_rows * d * 4) \
         + 2 * num_layers * resident_rows * d * 2
+    # 12 MB slack / 36 MB floor: the estimate excludes int4 group scales and
+    # Mosaic's own stack padding — int4 weights x int8 KV at rows=60, S=512
+    # measured 752 KB over the old 32 MB floor (QUANT_QUALITY_V3 grid); the
+    # core has 128 MB, so generosity here costs nothing.
     return int(min(110 * 2 ** 20,
-                   max(32 * 2 ** 20,
-                       2 * (wbytes + cbytes) + resident + 8 * 2 ** 20)))
+                   max(36 * 2 ** 20,
+                       2 * (wbytes + cbytes) + resident + 12 * 2 ** 20)))
 
 
 def _write_rows_per_slot(buf, new, index):
